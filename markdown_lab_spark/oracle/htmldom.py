@@ -1,0 +1,432 @@
+"""Minimal HTML5-ish DOM used by the conversion oracle.
+
+Pure-stdlib replacement for the reference's html5ever/scraper stack
+(reference: src/markdown_converter.rs:76-94, src/html_parser.rs). The
+reference parses with html5ever (entity decoding, implied html/head/body),
+re-serializes, string-replace-cleans, re-parses, then extracts content with
+CSS selectors in document order. This module reproduces the pieces of that
+behavior the conversion semantics depend on:
+
+- entity decoding at parse time (``convert_charrefs=True``; raw-text
+  elements like <script>/<style> keep their text verbatim),
+- implied ``html``/``head``/``body`` wrapper elements,
+- html5ever-style serialization (text re-escaped ``& < > \xa0``; attributes
+  double-quoted with ``& " \xa0`` escaped; void elements; raw-text elements
+  unescaped),
+- ``element.text()`` = concatenation of descendant text nodes with NO
+  separator (src/markdown_converter.rs:146 ``.text().collect::<String>()``),
+- document-order CSS ``select`` for the simple selector subset the
+  reference uses (tag, #id, .class, tag[attr], comma lists).
+
+It is NOT a general browser-grade parser; it is the executable semantics
+oracle for this engine's corpus + the reference's own test fixtures.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Tuple
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen "
+    "link meta param source track wbr".split()
+)
+
+# serialized with unescaped text per the HTML serialization spec
+RAW_TEXT_ELEMENTS = frozenset(
+    "style script xmp iframe noembed noframes plaintext".split()
+)
+
+# start tags routed into an implicit <head> before body content begins
+HEAD_ELEMENTS = frozenset(
+    "base basefont bgsound link meta title style script noscript template".split()
+)
+
+# block-ish elements whose start tag closes an open <p>
+P_CLOSERS = frozenset(
+    "address article aside blockquote details dialog dir div dl fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main "
+    "menu nav ol p pre section summary table ul".split()
+)
+
+
+class Node:
+    __slots__ = ("parent",)
+
+
+class TextNode(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+
+class CommentNode(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[List[Tuple[str, str]]] = None):
+        self.parent = None
+        self.tag = tag
+        self.attrs = list(attrs or [])
+        self.children: List[Node] = []
+
+    # --- attribute helpers -------------------------------------------------
+    def attr(self, name: str) -> Optional[str]:
+        for k, v in self.attrs:
+            if k == name:
+                return v
+        return None
+
+    def classes(self) -> List[str]:
+        cls = self.attr("class")
+        return cls.split() if cls else []
+
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    # --- traversal (iterative: hostile pages nest 1000s deep) --------------
+    def iter_elements(self) -> Iterator["Element"]:
+        """Descendant elements in document (pre-)order, self excluded."""
+        stack = [iter(self.children)]
+        while stack:
+            for child in stack[-1]:
+                if isinstance(child, Element):
+                    yield child
+                    stack.append(iter(child.children))
+                    break
+            else:
+                stack.pop()
+
+    def iter_text_nodes(self) -> Iterator[str]:
+        stack = [iter(self.children)]
+        while stack:
+            for child in stack[-1]:
+                if isinstance(child, TextNode):
+                    yield child.data
+                elif isinstance(child, Element):
+                    stack.append(iter(child.children))
+                    break
+            else:
+                stack.pop()
+
+    def text(self) -> str:
+        """All descendant text concatenated with no separator.
+
+        Mirrors scraper's ``element.text().collect::<String>()`` as used in
+        the conversion path (src/markdown_converter.rs:146,163,182).
+        """
+        return "".join(self.iter_text_nodes())
+
+    def text_joined(self) -> str:
+        """Whitespace-collapsed, space-joined variant.
+
+        Mirrors ``get_element_text`` (src/html_parser.rs:293-301).
+        """
+        return " ".join(" ".join(self.iter_text_nodes()).split())
+
+    # --- serialization -----------------------------------------------------
+    def html(self) -> str:
+        """Outer HTML, html5ever-style serialization."""
+        out: List[str] = []
+        _serialize(self, out)
+        return "".join(out)
+
+    def inner_html(self) -> str:
+        out: List[str] = []
+        for child in self.children:
+            _serialize(child, out)
+        return "".join(out)
+
+    def select(self, selector: "Selector") -> Iterator["Element"]:
+        for el in self.iter_elements():
+            if selector.matches(el):
+                yield el
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} attrs={self.attrs} kids={len(self.children)}>"
+
+
+class HtmlDocument:
+    """Parsed document; ``root_element`` is the (possibly implied) <html>."""
+
+    def __init__(self, root: Element):
+        self.root = root
+
+    def root_element(self) -> Element:
+        return self.root
+
+    def select(self, selector: "Selector") -> Iterator[Element]:
+        if selector.matches(self.root):
+            yield self.root
+        yield from self.root.select(selector)
+
+    def html(self) -> str:
+        return self.root.html()
+
+
+def _escape_text(text: str) -> str:
+    return (
+        text.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _escape_attr(text: str) -> str:
+    return (
+        text.replace("&", "&amp;").replace("\xa0", "&nbsp;").replace('"', "&quot;")
+    )
+
+
+def _serialize(node: Node, out: List[str], raw: bool = False) -> None:
+    # iterative (explicit stack): hostile web pages nest thousands deep and
+    # this runs inside Spark tasks where a RecursionError kills the task
+    stack: List[object] = [(node, raw)]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):  # pending close tag
+            out.append(item)
+            continue
+        cur, cur_raw = item  # type: ignore[misc]
+        if isinstance(cur, TextNode):
+            out.append(cur.data if cur_raw else _escape_text(cur.data))
+            continue
+        if isinstance(cur, CommentNode):
+            out.append(f"<!--{cur.data}-->")
+            continue
+        assert isinstance(cur, Element)
+        out.append(f"<{cur.tag}")
+        for k, v in cur.attrs:
+            out.append(f' {k}="{_escape_attr(v)}"')
+        out.append(">")
+        if cur.tag in VOID_ELEMENTS:
+            continue
+        stack.append(f"</{cur.tag}>")
+        child_raw = cur.tag in RAW_TEXT_ELEMENTS
+        for child in reversed(cur.children):
+            stack.append((child, child_raw))
+
+
+class _TreeBuilder(HTMLParser):
+    """Simplified HTML5 tree construction (implied html/head/body)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.html_el = Element("html")
+        self.head_el: Optional[Element] = None
+        self.body_el: Optional[Element] = None
+        # modes: before_head -> in_head -> in_body
+        self.mode = "before_head"
+        self.stack: List[Element] = [self.html_el]
+        self.saw_explicit_html = False
+
+    # -- mode helpers --------------------------------------------------------
+    def _ensure_head(self) -> Element:
+        if self.head_el is None:
+            self.head_el = Element("head")
+            self.html_el.append(self.head_el)
+        return self.head_el
+
+    def _ensure_body(self) -> Element:
+        self._ensure_head()
+        if self.body_el is None:
+            self.body_el = Element("body")
+            self.html_el.append(self.body_el)
+        return self.body_el
+
+    def _current(self) -> Element:
+        return self.stack[-1]
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attrs = [(k, v if v is not None else "") for k, v in attrs]
+        if tag == "html":
+            self.saw_explicit_html = True
+            self.html_el.attrs.extend(a for a in attrs if a[0] not in dict(self.html_el.attrs))
+            return
+        if tag == "head":
+            self._ensure_head()
+            self.mode = "in_head"
+            self.stack = [self.html_el, self.head_el]  # type: ignore[list-item]
+            return
+        if tag == "body":
+            self._ensure_body()
+            self.mode = "in_body"
+            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
+            return
+
+        if self.mode in ("before_head", "in_head"):
+            if tag in HEAD_ELEMENTS:
+                head = self._ensure_head()
+                self.mode = "in_head"
+                el = Element(tag, attrs)
+                head.append(el)
+                if tag not in VOID_ELEMENTS:
+                    self.stack = [self.html_el, head, el]
+                else:
+                    self.stack = [self.html_el, head]
+                return
+            # non-head element forces body
+            self._ensure_body()
+            self.mode = "in_body"
+            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
+
+        # in body -----------------------------------------------------------
+        if tag in P_CLOSERS:
+            self._close_if_open("p")
+        if tag == "li":
+            self._close_li()
+        el = Element(tag, attrs)
+        self._current().append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        attrs = [(k, v if v is not None else "") for k, v in attrs]
+        if self.mode in ("before_head", "in_head") and tag in HEAD_ELEMENTS:
+            self._ensure_head().append(Element(tag, attrs))
+            return
+        if self.mode != "in_body":
+            self._ensure_body()
+            self.mode = "in_body"
+            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
+        self._current().append(Element(tag, attrs))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        if tag in ("html", "head", "body"):
+            if tag == "head" and self.mode == "in_head":
+                self.mode = "after_head"
+                self.stack = [self.html_el]
+            elif tag == "body":
+                self.stack = [self.html_el]
+            return
+        # pop to matching open tag; ignore unmatched
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def _close_if_open(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            el = self.stack[i]
+            if el.tag == tag:
+                del self.stack[i:]
+                return
+            if el.tag in ("ul", "ol", "table", "body", "html"):
+                return
+
+    def _close_li(self) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            el = self.stack[i]
+            if el.tag == "li":
+                del self.stack[i:]
+                return
+            if el.tag in ("ul", "ol", "body", "html"):
+                return
+
+    def handle_data(self, data: str) -> None:
+        if self.mode in ("before_head", "after_head") and not data.strip():
+            return  # whitespace before head/body is dropped
+        if self.mode == "in_head":
+            if self._current() is not self.html_el:
+                self._current().append(TextNode(data))
+                return
+            if not data.strip():
+                return
+            self._ensure_body()
+            self.mode = "in_body"
+            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
+        if self.mode in ("before_head", "after_head"):
+            self._ensure_body()
+            self.mode = "in_body"
+            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
+        cur = self._current()
+        # merge adjacent text nodes so serialization is stable
+        if cur.children and isinstance(cur.children[-1], TextNode):
+            cur.children[-1].data += data
+        else:
+            cur.append(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:
+        target = self._current()
+        if self.mode in ("before_head", "after_head"):
+            return  # comments outside head/body: dropped (we only need body parity)
+        target.append(CommentNode(data))
+
+
+def parse_document(html: str) -> HtmlDocument:
+    builder = _TreeBuilder()
+    builder.feed(html or "")
+    builder.close()
+    builder._ensure_body()
+    return HtmlDocument(builder.html_el)
+
+
+# --------------------------------------------------------------------------
+# CSS selector subset: "tag", "#id", ".class", "tag[attr]", "tag.class",
+# comma-separated lists. This covers every selector the reference compiles
+# (src/html_parser.rs:22-60, src/markdown_converter.rs selectors).
+# --------------------------------------------------------------------------
+class _SimpleSelector:
+    __slots__ = ("tag", "sel_id", "classes", "attrs")
+
+    def __init__(self, spec: str):
+        self.tag: Optional[str] = None
+        self.sel_id: Optional[str] = None
+        self.classes: List[str] = []
+        self.attrs: List[str] = []
+        token = ""
+        kind = "tag"
+        spec = spec.strip()
+        i = 0
+        while i <= len(spec):
+            ch = spec[i] if i < len(spec) else None
+            if ch in ("#", ".", "[", None):
+                if token:
+                    if kind == "tag":
+                        self.tag = token.lower()
+                    elif kind == "id":
+                        self.sel_id = token
+                    elif kind == "class":
+                        self.classes.append(token)
+                token = ""
+                kind = {"#": "id", ".": "class", "[": "attr"}.get(ch or "", "tag")
+                if ch == "[":
+                    j = spec.index("]", i)
+                    self.attrs.append(spec[i + 1 : j])
+                    i = j
+            else:
+                token += ch
+            i += 1
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        if self.sel_id is not None and el.attr("id") != self.sel_id:
+            return False
+        if self.classes:
+            el_classes = el.classes()
+            if any(c not in el_classes for c in self.classes):
+                return False
+        return all(el.attr(a) is not None for a in self.attrs)
+
+
+class Selector:
+    def __init__(self, spec: str):
+        self.parts = [_SimpleSelector(p) for p in spec.split(",") if p.strip()]
+
+    def matches(self, el: Element) -> bool:
+        return any(p.matches(el) for p in self.parts)

@@ -1,0 +1,160 @@
+"""URL utilities: semantic ports of the reference's URL handling.
+
+- ``validate_url``, ``get_filename_from_url``, ``extract_base_url``,
+  ``normalize_url``, ``get_domain_from_url``: ports of
+  ``markdown_lab/utils/url_utils.py:14-157``.
+- ``url_join`` / ``url_serialize``: reproduce the observable behavior of
+  rust-url's ``Url::join`` + ``Url::to_string`` as used by
+  ``src/markdown_converter.rs:282-302`` and ``src/html_parser.rs:225-245``
+  (lowercased scheme/host, default port stripped, empty path of special
+  schemes rendered as "/", space percent-encoded).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional, Tuple
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_SPECIAL_SCHEMES = {
+    "http": 80,
+    "https": 443,
+    "ws": 80,
+    "wss": 443,
+    "ftp": 21,
+}
+
+_INVALID_FNAME_RE = re.compile(r'[\\/*?:"<>|]')
+
+
+def validate_url(url: str) -> Tuple[bool, Optional[str]]:
+    """Port of markdown_lab/utils/url_utils.py:14-43."""
+    if not url:
+        return False, "URL cannot be empty"
+    if not url.startswith(("http://", "https://")):
+        return False, "URL must start with http:// or https://"
+    try:
+        parsed = urlsplit(url)
+        if not parsed.netloc:
+            return False, "Invalid URL format"
+    except Exception:
+        return False, "Invalid URL format"
+    return True, None
+
+
+def get_filename_from_url(url: str, output_format: str) -> str:
+    """Port of markdown_lab/utils/url_utils.py:46-94."""
+    ext_map = {"markdown": ".md", "json": ".json", "xml": ".xml"}
+    ext = ext_map.get(output_format.lower(), f".{output_format}")
+
+    parsed = urlsplit(url)
+    safe_path = (parsed.netloc + parsed.path).replace("/", "_").replace("\\", "_") or "file"
+    safe_path = safe_path.split("?", 1)[0].split("#", 1)[0]
+    safe_path = _INVALID_FNAME_RE.sub("_", safe_path)
+
+    max_filename_length = 200
+    filename = safe_path
+    if len(filename) > max_filename_length:
+        hash_suffix = hashlib.sha1(safe_path.encode("utf-8")).hexdigest()[:10]
+        filename = f"{safe_path[:max_filename_length]}_{hash_suffix}"
+
+    max_total_length = 255 - len(ext)
+    if len(filename) > max_total_length:
+        filename = filename[:max_total_length]
+
+    return f"{filename}{ext}"
+
+
+def extract_base_url(url: str) -> str:
+    """Port of markdown_lab/utils/url_utils.py:97-112."""
+    parsed = urlsplit(url)
+    return f"{parsed.scheme}://{parsed.netloc}"
+
+
+def normalize_url(url: str) -> str:
+    """Port of markdown_lab/utils/url_utils.py:115-140.
+
+    Strip fragment; rstrip trailing "/" from path unless path == "/";
+    keep query. This is the engine's URL canonicalizer input.
+    """
+    parsed = urlsplit(url)
+    normalized_path = parsed.path.rstrip("/") if parsed.path != "/" else parsed.path
+    result = f"{parsed.scheme}://{parsed.netloc}{normalized_path}"
+    if parsed.query:
+        result += f"?{parsed.query}"
+    return result
+
+
+def get_domain_from_url(url: str) -> str:
+    """Port of markdown_lab/utils/url_utils.py:143-157."""
+    return urlsplit(url).netloc
+
+
+def is_absolute_url(url: str) -> bool:
+    return url.startswith(("http://", "https://"))
+
+
+def url_serialize(url: str) -> str:
+    """Serialize like rust-url ``Url::to_string``.
+
+    Lowercase scheme+host, strip default port, empty path -> "/" for
+    special schemes, percent-encode spaces in the path/query.
+    """
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    host = p.hostname or ""
+    netloc = host
+    if p.port is not None and p.port != _SPECIAL_SCHEMES.get(scheme):
+        netloc = f"{host}:{p.port}"
+    if p.username:
+        cred = p.username + (f":{p.password}" if p.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = p.path
+    if scheme in _SPECIAL_SCHEMES and not path:
+        path = "/"
+    path = path.replace(" ", "%20")
+    query = p.query.replace(" ", "%20")
+    return urlunsplit((scheme, netloc, path, query, p.fragment))
+
+
+def url_join(base: str, href: str) -> Optional[str]:
+    """rust-url ``base.join(href)`` + ``to_string`` lookalike.
+
+    Returns None when both the join and an absolute parse would fail
+    (mirrors the Err paths of src/markdown_converter.rs:295-301).
+    """
+    try:
+        joined = urljoin(base, href)
+        split = urlsplit(joined)
+        if not split.scheme:
+            return None
+        if split.scheme in _SPECIAL_SCHEMES:
+            return url_serialize(joined)
+        return joined  # non-special schemes (mailto:, etc.) pass through
+    except ValueError:
+        return None
+
+
+def resolve_url_against_base(base: str, href: str) -> Optional[str]:
+    """Port of src/markdown_converter.rs:282-302 (converter link filter)."""
+    href_trimmed = href.strip()
+    low = href_trimmed.lower()
+    if (
+        not href_trimmed
+        or href_trimmed.startswith("#")
+        or low.startswith("javascript:")
+        or low.startswith("data:")
+        or " " in href_trimmed
+        or href_trimmed.startswith(":")
+        or ":::" in href_trimmed
+    ):
+        return None
+    return url_join(base, href_trimmed)
+
+
+def resolve_url(base_url: str, relative_url: str) -> Optional[str]:
+    """Port of src/html_parser.rs:268-278: absolute http(s) pass-through."""
+    if relative_url.startswith(("http://", "https://")):
+        return relative_url
+    return url_join(base_url, relative_url)
