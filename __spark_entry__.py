@@ -1,38 +1,966 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pages->convert->chunks pipeline on sf0.001.
+``queries`` exposes one entry per implemented operator from SURVEY.md §2
+plus the training-pipeline operators (dedup / similarity / text analysis);
+``oracle_sql`` gives each a DuckDB twin over the same parquet views.
+
+Column-name + type discipline: every computed column is aliased
+identically on both sides; computed integers are cast to BIGINT, floats
+rounded and cast to DOUBLE, so the driver's schema + value-hash compare is
+well-defined.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from markdown_lab_spark.functions import dedup as D
+from markdown_lab_spark.functions import similarity as S
+from markdown_lab_spark.functions import text as X
+from markdown_lab_spark.functions.udfs import (
+    chunk_semantic_udf,
+    convert_html_udf,
+    domain_col,
+    extract_base_url_col,
+    make_chunk_markdown_udf,
+    make_filename_udf,
+    normalize_url_col,
+    valid_url_col,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared synthesized web-doc columns (documents table -> crawl-shaped rows)
+# --------------------------------------------------------------------------
+def _url_col():
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/doc-"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+_URL_SQL = "'https://' || source || '.example.com/docs/doc-' || CAST(doc_id AS VARCHAR)"
+
+
+def _webdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized url/html columns (deterministic)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", _url_col())
+        .withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><h2>Part "),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("</h2><p>"),
+                F.col("text"),
+                F.lit('</p><a href="/next/doc-'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">next doc</a></body></html>'),
+            ),
+        )
+    )
+
+
+_MD_SQL = (
+    "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
+    "'## Part ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) || "
+    "trim(text) || chr(10) || chr(10) || "
+    "'[next doc](https://' || source || '.example.com/next/doc-' || "
+    "CAST(doc_id + 1 AS VARCHAR) || ')'"
+)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesized pages -> convert UDF -> Rust-semantics chunks."""
+    docs = _webdocs(spark, SF_DEFAULT)
+    chunker = make_chunk_markdown_udf(chunk_size=200, chunk_overlap=40)
+    converted = docs.withColumn(
+        "doc", convert_html_udf(F.col("html"), F.col("url"))
+    ).select(
+        "doc_id",
+        "url",
+        F.col("doc.title").alias("title"),
+        F.col("doc.markdown").alias("markdown"),
+        F.col("doc.status").alias("status"),
+    )
+    return converted.filter(F.col("status") == "ok").select(
+        "doc_id",
+        "url",
+        "title",
+        F.posexplode(chunker(F.col("markdown"))).alias("pos", "content"),
+    )
 
 
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- S/F/X: url handling ------------------------------------------------
+    def q01_validate_urls(spark, sf):
+        df = _t(spark, sf, "documents").withColumn(
+            "url",
+            F.when((F.col("doc_id") % 7) == 0, F.lit("not-a-url")).otherwise(
+                _url_col()
+            ),
+        )
+        return df.filter(valid_url_col(F.col("url"))).select("doc_id", "url")
+
+    q["q01_validate_urls"] = q01_validate_urls
+
+    def q02_normalize_url(spark, sf):
+        df = _t(spark, sf, "documents").withColumn(
+            "raw_url",
+            F.concat(
+                _url_col(),
+                F.when((F.col("doc_id") % 3) == 0, F.lit("/"))
+                .when((F.col("doc_id") % 3) == 1, F.lit("#frag"))
+                .otherwise(F.lit("?q=1")),
+            ),
+        )
+        return df.select(
+            "doc_id", normalize_url_col(F.col("raw_url")).alias("canon_url")
+        )
+
+    q["q02_normalize_url"] = q02_normalize_url
+
+    def q03_filename(spark, sf):
+        fn = make_filename_udf("markdown")
+        return (
+            _t(spark, sf, "documents")
+            .withColumn("url", _url_col())
+            .select("doc_id", fn(F.col("url")).alias("out_name"))
+        )
+
+    q["q03_filename"] = q03_filename
+
+    def q04_base_and_domain(spark, sf):
+        df = _t(spark, sf, "documents").withColumn("url", _url_col())
+        return df.select(
+            "doc_id",
+            extract_base_url_col(F.col("url")).alias("base_url"),
+            domain_col(F.col("url")).alias("host"),
+        )
+
+    q["q04_base_and_domain"] = q04_base_and_domain
+
+    def q05_md5_chunk_ids(spark, sf):
+        df = _t(spark, sf, "documents").withColumn("url", _url_col())
+        return df.select(
+            "doc_id",
+            F.md5(F.concat(F.col("url"), F.lit(":text:0"))).alias("chunk_id"),
+        )
+
+    q["q05_md5_chunk_ids"] = q05_md5_chunk_ids
+
+    # ---- F6/F7/F8: sitemap-style filters -----------------------------------
+    def q06_priority_filter(spark, sf):
+        df = _t(spark, sf, "documents").withColumn(
+            "priority",
+            F.when((F.col("doc_id") % 5) == 0, F.lit(None).cast("double")).otherwise(
+                (F.col("doc_id") % 10) / F.lit(10.0)
+            ),
+        )
+        return df.filter(
+            F.col("priority").isNull() | (F.col("priority") >= 0.5)
+        ).select("doc_id", "priority")
+
+    q["q06_priority_filter"] = q06_priority_filter
+
+    def q07_regex_filters(spark, sf):
+        df = _t(spark, sf, "documents")
+        return df.filter(
+            F.col("text").rlike("spark|join") & ~F.col("text").rlike("slow")
+        ).select("doc_id")
+
+    q["q07_regex_filters"] = q07_regex_filters
+
+    def q08_limit_ordered(spark, sf):
+        w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            _t(spark, sf, "documents")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 100)
+            .select("doc_id", "n_chars", "rn")
+        )
+
+    q["q08_limit_ordered"] = q08_limit_ordered
+
+    # ---- A3: status tallies --------------------------------------------------
+    def q09_status_counts(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["q09_status_counts"] = q09_status_counts
+
+    # ---- W2/P1: politeness scheduler ----------------------------------------
+    def q10_politeness_budget(spark, sf):
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            _t(spark, sf, "documents")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 20)
+            .select("source", "doc_id", "rn")
+        )
+
+    q["q10_politeness_budget"] = q10_politeness_budget
+
+    # ---- J2/O3: seen anti-join -----------------------------------------------
+    def q11_seen_antijoin(spark, sf):
+        docs = _t(spark, sf, "documents")
+        seen = docs.filter((F.col("doc_id") % 3) == 0).select("doc_id")
+        return docs.join(seen, on="doc_id", how="left_anti").select("doc_id")
+
+    q["q11_seen_antijoin"] = q11_seen_antijoin
+
+    # ---- O1: link sort+dedup ---------------------------------------------------
+    def q12_link_sort_dedup(spark, sf):
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        links = F.array_sort(F.array_distinct(F.slice(words, 1, 8)))
+        return (
+            _t(spark, sf, "documents")
+            .select("doc_id", F.explode(links).alias("link"))
+        )
+
+    q["q12_link_sort_dedup"] = q12_link_sort_dedup
+
+    # ---- frontier wave expansion (BFS step as SQL) ----------------------------
+    def q13_wave_expand(spark, sf):
+        docs = _t(spark, sf, "documents")
+        n = docs.agg(F.count("*").alias("n"))
+        links = (
+            docs.crossJoin(n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        (F.col("doc_id") * 2 + 1) % F.col("n"),
+                        (F.col("doc_id") * 3 + 7) % F.col("n"),
+                    )
+                ).alias("target"),
+            )
+        )
+        seeds = docs.filter(F.col("doc_id") < 10).select("doc_id")
+        wave1 = (
+            links.join(seeds, on="doc_id")
+            .select(F.col("target").alias("doc_id"))
+            .dropDuplicates()
+            .join(seeds, on="doc_id", how="left_anti")
+        )
+        return wave1.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    q["q13_wave_expand"] = q13_wave_expand
+
+    # ---- A1: counts ------------------------------------------------------------
+    def q14_word_char_counts(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            X.ws_token_count(F.col("text")).cast("long").alias("word_count"),
+            F.length("text").cast("long").alias("char_count"),
+        )
+
+    q["q14_word_char_counts"] = q14_word_char_counts
+
+    # ---- C4: plain-text word-window chunker (reference Python semantics) ------
+    def q15_text_chunks(spark, sf):
+        # words_per_chunk = 1000//5 = 200, overlap = 200//5 = 40, step = 160
+        df = _t(spark, sf, "documents").withColumn("url", _url_col())
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(160)
+        )
+        return (
+            df.select("doc_id", "url", words.alias("w"), F.explode(starts).alias("i"))
+            .select(
+                "doc_id",
+                F.col("i").cast("long").alias("start_idx"),
+                F.md5(
+                    F.concat(F.col("url"), F.lit(":text:"), F.col("i").cast("string"))
+                ).alias("chunk_id"),
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i") + 1, 200)).alias(
+                    "content"
+                ),
+            )
+        )
+
+    q["q15_text_chunks"] = q15_text_chunks
+
+    # ---- X8: markdown-ness routing ----------------------------------------------
+    def q16_markdownness(spark, sf):
+        df = _t(spark, sf, "documents").withColumn(
+            "content",
+            F.when(
+                (F.col("doc_id") % 4) == 0, F.concat(F.lit("# Heading\n"), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        return df.select(
+            "doc_id",
+            F.col("content").rlike("(?m)^#+ ").alias("is_markdown"),
+        )
+
+    q["q16_markdownness"] = q16_markdownness
+
+    # ---- robots allow/deny (prefix rules) -----------------------------------------
+    def q17_robots_deny(spark, sf):
+        df = _t(spark, sf, "documents").withColumn(
+            "path",
+            F.when(
+                (F.col("doc_id") % 10) == 9,
+                F.concat(F.lit("/private/doc-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.concat(F.lit("/docs/doc-"), F.col("doc_id").cast("string"))),
+        )
+        return df.select(
+            "doc_id",
+            "path",
+            (~F.col("path").startswith("/private/")).alias("allowed"),
+        )
+
+    q["q17_robots_deny"] = q17_robots_deny
+
+    # ---- training-pipeline: dedup family -------------------------------------------
+    def _dupdocs(spark, sf):
+        # inject duplicate groups: 3 of every 10 docs share a group text
+        return _t(spark, sf, "documents").withColumn(
+            "content",
+            F.when(
+                (F.col("doc_id") % 10) < 3,
+                F.concat(
+                    F.lit("shared dedup block number "),
+                    F.floor(F.col("doc_id") / 30).cast("string"),
+                    F.lit(" lorem ipsum dolor sit amet consectetur"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+
+    def q18_dedup_exact(spark, sf):
+        return D.exact_dedup(_dupdocs(spark, sf), "doc_id", "content")
+
+    q["q18_dedup_exact"] = q18_dedup_exact
+
+    def q19_minhash_signatures(spark, sf):
+        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
+        return D.minhash_signatures(docs, "doc_id", "content", k=8)
+
+    q["q19_minhash_signatures"] = q19_minhash_signatures
+
+    def q20_minhash_lsh_pairs(spark, sf):
+        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
+        sigs = D.minhash_signatures(docs, "doc_id", "content", k=8)
+        return D.minhash_lsh_pairs(sigs, "doc_id", k=8, bands=4, min_est_jaccard=0.5)
+
+    q["q20_minhash_lsh_pairs"] = q20_minhash_lsh_pairs
+
+    def q21_ngram_jaccard(spark, sf):
+        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
+        return D.ngram_jaccard_pairs(docs, "doc_id", "content", 3, 0.8)
+
+    q["q21_ngram_jaccard"] = q21_ngram_jaccard
+
+    def q22_simhash(spark, sf):
+        docs = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
+        return D.simhash16(docs, "doc_id", "text")
+
+    q["q22_simhash"] = q22_simhash
+
+    # ---- training-pipeline: similarity search ----------------------------------------
+    def q23_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        scored = emb.crossJoin(F.broadcast(qv)).select(
+            "vec_id",
+            F.round(
+                S.cosine_similarity_col(F.col("embedding"), F.col("qv")), 4
+            ).alias("cos_sim"),
+        )
+        w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return (
+            scored.filter(F.col("vec_id") != 0)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+        )
+
+    q["q23_cosine_topk"] = q23_cosine_topk
+
+    def q24_lsh_ann(spark, sf):
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "bucket", S.sign_bucket_col(F.col("embedding"), 8)
+        )
+        qb = emb.filter(F.col("vec_id") == 0).select(
+            F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+        )
+        cands = emb.crossJoin(F.broadcast(qb)).filter(
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
+        )
+        w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return (
+            cands.select(
+                "vec_id",
+                F.round(
+                    S.cosine_similarity_col(F.col("embedding"), F.col("qv")), 4
+                ).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+        )
+
+    q["q24_lsh_ann"] = q24_lsh_ann
+
+    # ---- training-pipeline: text analysis ----------------------------------------------
+    def q25_lang_id(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", X.predicted_lang(F.col("text")).alias("pred_lang")
+        )
+
+    q["q25_lang_id"] = q25_lang_id
+
+    def q26_quality_score(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            X.quality_score(F.col("text")).cast("double").alias("quality"),
+        )
+
+    q["q26_quality_score"] = q26_quality_score
+
+    def q27_token_counts(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            X.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+            X.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        )
+
+    q["q27_token_counts"] = q27_token_counts
+
+    def q28_fingerprint(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", X.doc_fingerprint_expr("text").alias("fingerprint")
+        )
+
+    q["q28_fingerprint"] = q28_fingerprint
+
+    # ---- general aggregation parity (events + lineitem) ----------------------------------
+    def q29_events_agg(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+    q["q29_events_agg"] = q29_events_agg
+
+    def q30_lineitem_agg(spark, sf):
+        return (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q30_lineitem_agg"] = q30_lineitem_agg
+
+    # ---- conversion + chunking through the real UDFs ---------------------------------------
+    def q31_convert_markdown(spark, sf):
+        docs = _webdocs(spark, sf)
+        return docs.withColumn(
+            "doc", convert_html_udf(F.col("html"), F.col("url"))
+        ).select("doc_id", F.col("doc.title").alias("title"), F.col("doc.markdown").alias("markdown"))
+
+    q["q31_convert_markdown"] = q31_convert_markdown
+
+    def q32_chunk_markdown(spark, sf):
+        docs = _webdocs(spark, sf)
+        chunker = make_chunk_markdown_udf(chunk_size=200, chunk_overlap=40)
+        converted = docs.withColumn(
+            "doc", convert_html_udf(F.col("html"), F.col("url"))
+        )
+        return converted.select(
+            "doc_id",
+            F.posexplode(chunker(F.col("doc.markdown"))).alias("pos", "content"),
+        ).withColumn("pos", F.col("pos").cast("long"))
+
+    q["q32_chunk_markdown"] = q32_chunk_markdown
+
+    def q33_chunk_semantic(spark, sf):
+        docs = _webdocs(spark, sf)
+        converted = docs.withColumn(
+            "doc", convert_html_udf(F.col("html"), F.col("url"))
+        )
+        return converted.select(
+            "doc_id",
+            F.explode(
+                chunk_semantic_udf(F.col("doc.markdown"), F.col("url"))
+            ).alias("c"),
+        ).select(
+            "doc_id",
+            F.col("c.id").alias("chunk_id"),
+            F.col("c.content").alias("content"),
+            F.col("c.chunk_type").alias("chunk_type"),
+            F.col("c.word_count").cast("long").alias("word_count"),
+            F.col("c.char_count").cast("long").alias("char_count"),
+        )
+
+    q["q33_chunk_semantic"] = q33_chunk_semantic
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_validate_urls"] = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'not-a-url' ELSE {_URL_SQL} END AS url
+        FROM documents
+        WHERE regexp_matches(
+            CASE WHEN doc_id % 7 = 0 THEN 'not-a-url' ELSE {_URL_SQL} END,
+            '^https?://[^/\\s]+')
     """
-    return {}
+
+    o["q02_normalize_url"] = f"""
+        WITH raw AS (
+          SELECT doc_id, {_URL_SQL} ||
+            CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '#frag' ELSE '?q=1' END AS raw_url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+            regexp_extract(raw_url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+            regexp_extract(raw_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS netloc,
+            regexp_extract(raw_url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+            regexp_extract(raw_url, '^[^?#]*\\?([^#]*)', 1) AS query
+          FROM raw
+        )
+        SELECT doc_id,
+          scheme || '://' || netloc ||
+          CASE WHEN path = '/' THEN path ELSE regexp_replace(path, '/+$', '') END ||
+          CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+        FROM parts
+    """
+
+    o["q03_filename"] = f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+        SELECT doc_id,
+          regexp_replace(
+            regexp_extract(url, '^[a-z]+://([^?#]*)', 1), '/', '_', 'g'
+          ) || '.md' AS out_name
+        FROM u
+    """
+
+    o["q04_base_and_domain"] = f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+        SELECT doc_id,
+          regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+            regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS base_url,
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+        FROM u
+    """
+
+    o["q05_md5_chunk_ids"] = f"""
+        SELECT doc_id, md5({_URL_SQL} || ':text:0') AS chunk_id FROM documents
+    """
+
+    o["q06_priority_filter"] = """
+        WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN NULL
+                 ELSE (doc_id % 10) / 10.0 END AS priority
+          FROM documents
+        )
+        SELECT doc_id, priority FROM p
+        WHERE priority IS NULL OR priority >= 0.5
+    """
+
+    o["q07_regex_filters"] = """
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(text, 'spark|join')
+          AND NOT regexp_matches(text, 'slow')
+    """
+
+    o["q08_limit_ordered"] = """
+        SELECT doc_id, n_chars, rn FROM (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= 100
+    """
+
+    o["q09_status_counts"] = """
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """
+
+    o["q10_politeness_budget"] = """
+        SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= 20
+    """
+
+    o["q11_seen_antijoin"] = """
+        SELECT d.doc_id FROM documents d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND s.doc_id = d.doc_id
+        )
+    """
+
+    o["q12_link_sort_dedup"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+')[1:8])) AS links
+          FROM documents
+        )
+        SELECT doc_id, unnest(links) AS link FROM w
+    """
+
+    o["q13_wave_expand"] = """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        links AS (
+          SELECT doc_id, unnest([ (doc_id * 2 + 1) % n.n, (doc_id * 3 + 7) % n.n ]) AS target
+          FROM documents, n
+        ),
+        seeds AS (SELECT doc_id FROM documents WHERE doc_id < 10)
+        SELECT DISTINCT target AS doc_id FROM links
+        WHERE doc_id IN (SELECT doc_id FROM seeds)
+          AND target NOT IN (SELECT doc_id FROM seeds)
+    """
+
+    o["q14_word_char_counts"] = """
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS word_count,
+          length(text)::BIGINT AS char_count
+        FROM documents
+    """
+
+    o["q15_text_chunks"] = f"""
+        WITH w AS (
+          SELECT doc_id, {_URL_SQL} AS url,
+                 regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               i::BIGINT AS start_idx,
+               md5(url || ':text:' || CAST(i AS VARCHAR)) AS chunk_id,
+               array_to_string(words[i + 1 : i + 200], ' ') AS content
+        FROM w, unnest(generate_series(0, greatest(len(words) - 1, 0), 160)) AS t(i)
+    """
+
+    o["q16_markdownness"] = """
+        WITH c AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN '# Heading' || chr(10) || text
+                 ELSE text END AS content
+          FROM documents
+        )
+        SELECT doc_id, regexp_matches(content, '(?m)^#+ ') AS is_markdown FROM c
+    """
+
+    o["q17_robots_deny"] = """
+        WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 9
+                 THEN '/private/doc-' || CAST(doc_id AS VARCHAR)
+                 ELSE '/docs/doc-' || CAST(doc_id AS VARCHAR) END AS path
+          FROM documents
+        )
+        SELECT doc_id, path, NOT starts_with(path, '/private/') AS allowed FROM p
+    """
+
+    _DUP = """
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 < 3
+               THEN 'shared dedup block number ' || CAST(CAST(floor(doc_id / 30) AS BIGINT) AS VARCHAR)
+                    || ' lorem ipsum dolor sit amet consectetur'
+               ELSE text END AS content
+        FROM documents
+    """
+
+    o["q18_dedup_exact"] = f"""
+        WITH d AS ({_DUP})
+        SELECT md5(content) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM d GROUP BY md5(content)
+    """
+
+    _SHINGLES = """
+        SELECT doc_id, sh FROM (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> array_to_string(words[i : i + 2], ' ')
+                 )) AS shs
+          FROM (SELECT doc_id, regexp_split_to_array(trim(content), '\\s+') AS words FROM d)
+        ), unnest(shs) AS t(sh)
+    """
+
+    mh_lanes = ",\n               ".join(
+        f"min(md5(sh || ':{i}')) AS mh_{i}" for i in range(8)
+    )
+    o["q19_minhash_signatures"] = f"""
+        WITH d AS (
+          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
+        ),
+        sh AS ({_SHINGLES})
+        SELECT doc_id,
+               {mh_lanes}
+        FROM sh GROUP BY doc_id
+    """
+
+    band_defs = ",\n               ".join(
+        f"md5('{b}' || '|' || mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_{b}"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(f"(l.mh_{i} = r.mh_{i})::INT" for i in range(8))
+    o["q20_minhash_lsh_pairs"] = f"""
+        WITH d AS (
+          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
+        ),
+        sh AS ({_SHINGLES}),
+        sigs AS (
+          SELECT doc_id, {mh_lanes}
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT *, {band_defs} FROM sigs
+        ),
+        buckets AS (
+          SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7,
+                 unnest([band_0, band_1, band_2, band_3]) AS bucket
+          FROM banded
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 round(({eq_sum}) / 8.0, 6) AS est_jaccard
+          FROM buckets l JOIN buckets r
+            ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+    """
+
+    o["q21_ngram_jaccard"] = f"""
+        WITH d AS (
+          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+    """
+
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN substr(h, {d + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{d}"
+        for d in range(16)
+    )
+    fp_concat = " || ".join(
+        f"CASE WHEN v_{d} > 0 THEN '1' ELSE '0' END" for d in range(16)
+    )
+    o["q22_simhash"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        toks AS (
+          SELECT doc_id, md5(tok) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d)
+        ),
+        agg AS (
+          SELECT doc_id,
+               {votes}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {fp_concat} AS simhash FROM agg
+    """
+
+    _COS = """
+        round(
+          list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+            i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')
+          / (sqrt(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+             * sqrt(list_aggregate(list_transform(generate_series(1, len(q.qv)),
+               i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum'))), 4)
+    """
+
+    o["q23_cosine_topk"] = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, {_COS} AS cos_sim
+          FROM embeddings e, q
+          WHERE e.vec_id != 0
+        )
+        SELECT vec_id, cos_sim, rank FROM (
+          SELECT vec_id, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+    """
+
+    bucket_expr = " || ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in range(8)
+    )
+    o["q24_lsh_ann"] = f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+        ),
+        q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0),
+        cands AS (
+          SELECT e.vec_id, {_COS} AS cos_sim
+          FROM b e, q
+          WHERE e.bucket = q.qbucket AND e.vec_id != 0
+        )
+        SELECT vec_id, cos_sim, rank FROM (
+          SELECT vec_id, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM cands
+        ) WHERE rank <= 5
+    """
+
+    def _lang_score(words: list[str]) -> str:
+        pat = r"\b(" + "|".join(words) + r")\b"
+        return (
+            f"round(len(regexp_extract_all(lower(text), '{pat}')) / "
+            f"greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6)"
+        )
+
+    from markdown_lab_spark.functions.text import LANG_STOPWORDS
+
+    score_cols = ",\n            ".join(
+        f"{_lang_score(w)} AS s_{lang}" for lang, w in LANG_STOPWORDS.items()
+    )
+    o["q25_lang_id"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+            {score_cols}
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es'
+          END AS pred_lang
+        FROM s
+    """
+
+    en_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    o["q26_quality_score"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+            round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct,
+            round(len(regexp_extract_all(lower(text), '{en_pat}')) /
+              greatest(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stop_r
+          FROM documents
+        )
+        SELECT doc_id,
+          round(0.4 * least(1.0, toks / 100.0)
+              + 0.3 * (1.0 - least(1.0, 5.0 * punct))
+              + 0.3 * least(1.0, 4.0 * stop_r), 6)::DOUBLE AS quality
+        FROM m
+    """
+
+    o["q27_token_counts"] = f"""
+        SELECT doc_id,
+          (CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
+          len(regexp_extract_all(text, '{X.BPE_ISH_TOKEN_RE}'))::BIGINT AS bpe_tokens
+        FROM documents
+    """
+
+    o["q28_fingerprint"] = """
+        SELECT doc_id,
+          list_aggregate(list_transform(
+            generate_series(1, greatest(length(text) - 7, 1), 4),
+            i -> md5(substr(text, i, 8))), 'min') AS fingerprint
+        FROM documents
+    """
+
+    o["q29_events_agg"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type
+    """
+
+    o["q30_lineitem_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["q31_convert_markdown"] = f"""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               {_MD_SQL} AS markdown
+        FROM documents
+    """
+
+    # q32 (stateful Rust chunker) and q33 partially: q33's single-section
+    # semantic chunk IS expressible (all docs fit one section at this scale)
+    o["q33_chunk_semantic"] = f"""
+        WITH m AS (
+          SELECT doc_id, source, {_MD_SQL} AS md, {_URL_SQL} AS url FROM documents
+        )
+        SELECT doc_id,
+               md5(url || ':# Doc ' || CAST(doc_id AS VARCHAR)) AS chunk_id,
+               md || chr(10) AS content,
+               'section' AS chunk_type,
+               (CASE WHEN trim(md) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(md), '\\s+')) END)::BIGINT AS word_count,
+               (length(md) + 1)::BIGINT AS char_count
+        FROM m
+    """
+
+    return o

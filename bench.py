@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: URLs processed/sec through frontier + fetch(corpus join) +
+convert + chunk on a deterministic synthetic Common-Crawl-style corpus
+sized to the scale factor, plus per-query timings of the contract queries
+at ``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "urls_per_sec": ..., "scaling": {...}}
+
+``--scaling`` additionally runs the identical crawl at local[N/4] and
+local[N] and reports throughput at both plus efficiency (T_N/T_{N/4})/4
+(the sandbox proxy for the north rule's N vs 4N executors), appending the
+table to BENCH.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# crawl corpus size scales with the sf directory's lineitem scale
+_CORPUS_SIZE = {"sf0.001": (4, 60), "sf0.01": (5, 400), "sf0.1": (6, 2000)}
+BENCH_QUERIES = [
+    "q15_text_chunks",
+    "q18_dedup_exact",
+    "q20_minhash_lsh_pairs",
+    "q22_simhash",
+    "q23_cosine_topk",
+    "q25_lang_id",
+    "q26_quality_score",
+    "q28_fingerprint",
+    "q30_lineitem_agg",
+    "q31_convert_markdown",
+    "q32_chunk_markdown",
+]
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"markdown_lab_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def corpus_parquet(tag: str) -> str:
+    """Generate (once) the bench corpus parquet; cached in a temp dir."""
+    from markdown_lab_spark.corpus.generator import (
+        CorpusSpec,
+        generate_corpus,
+        write_corpus_parquet,
+    )
+
+    hosts, per_host = _CORPUS_SIZE.get(tag, (6, 2000))
+    path = os.path.join(
+        tempfile.gettempdir(), f"mls_bench_corpus_{tag}_{hosts}x{per_host}.parquet"
+    )
+    if not os.path.exists(path):
+        corpus = generate_corpus(
+            CorpusSpec(hosts=hosts, pages_per_host=per_host, hot_fraction=0.4)
+        )
+        write_corpus_parquet(corpus, path)
+    return path
+
+
+def crawl_run(spark, corpus_path: str, waves: int = 3) -> tuple[float, int]:
+    """Run the crawl pipeline; returns (seconds, urls_processed)."""
+    from markdown_lab_spark.corpus.generator import CorpusSpec, generate_corpus
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    hosts, per_host = _CORPUS_SIZE.get(tag, (6, 2000))
+    seeds = generate_corpus(
+        CorpusSpec(hosts=hosts, pages_per_host=per_host, hot_fraction=0.4)
+    ).seeds
+
+    pages = spark.read.parquet(corpus_path)
+    cfg = CrawlConfig(rps=100.0, wave_seconds=10, max_waves=waves, salt_n=8)
+    engine = CrawlEngine(spark, pages, cfg)
+    t0 = time.time()
+    out = engine.crawl(seeds)
+    n = out["trace"].count()
+    dt = time.time() - t0
+    return dt, n
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    scaling_mode = "--scaling" in sys.argv
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    corpus_path = corpus_parquet(tag)
+
+    result: dict = {
+        "metric": "crawl+convert+chunk pipeline wall sec (headline) and per-query sec",
+        "unit": "sec",
+        "sf": tag,
+        "cpus": CPUS,
+    }
+
+    spark = make_spark(CPUS)
+    crawl_sec, n_urls = crawl_run(spark, corpus_path)
+    qtimes = run_queries(spark, SF_DIR)
+    spark.stop()
+
+    result["value"] = round(crawl_sec, 3)
+    result["urls_processed"] = n_urls
+    result["urls_per_sec"] = round(n_urls / crawl_sec, 1)
+    result["queries"] = qtimes
+
+    if scaling_mode:
+        low = max(1, CPUS // 4)
+        spark_low = make_spark(low)
+        crawl_low_sec, n_low = crawl_run(spark_low, corpus_path)
+        spark_low.stop()
+        tput_hi = n_urls / crawl_sec
+        tput_lo = n_low / crawl_low_sec
+        eff = (tput_hi / tput_lo) / (CPUS / low)
+        result["scaling"] = {
+            f"local[{low}]_urls_per_sec": round(tput_lo, 1),
+            f"local[{CPUS}]_urls_per_sec": round(tput_hi, 1),
+            "parallelism_ratio": CPUS / low,
+            "efficiency": round(eff, 3),
+        }
+        _append_bench_md(result, low)
+
+    print(json.dumps(result))
+
+
+def _append_bench_md(result: dict, low: int) -> None:
+    s = result["scaling"]
+    lines = [
+        "",
+        f"## Scaling run — {time.strftime('%Y-%m-%d %H:%M')} (sf={result['sf']})",
+        "",
+        "| parallelism | URLs/sec |",
+        "|---|---|",
+        f"| local[{low}] | {s[f'local[{low}]_urls_per_sec']} |",
+        f"| local[{result['cpus']}] | {s[f'local[{result['cpus']}]_urls_per_sec']} |",
+        "",
+        f"Scaling efficiency (T_{result['cpus']}/T_{low})/{result['cpus'] // low}"
+        f" = **{s['efficiency']}** (north-rule target >= 0.8 from N to 4N).",
+        f"Headline crawl: {result['urls_processed']} URLs in {result['value']}s"
+        f" = {result['urls_per_sec']} URLs/sec at local[{result['cpus']}].",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,466 @@
+"""The wave-loop crawl engine: frontier -> fetch(join) -> convert -> expand.
+
+Spark-first design (SURVEY.md §3.2/§4):
+
+- The "fetch" is a broadcast hash join of the tiny per-wave schedule against
+  the huge pages corpus (the corpus stands in for the network per the north
+  rule) — the schedule is at most hosts*budget rows, so broadcasting it
+  keeps the corpus scan shuffle-free.
+- URL-seen = sharded from-scratch bloom PREFILTER (no false negatives ->
+  bloom-miss rows skip the join entirely) + exact ``left_anti`` join for
+  bloom hits, so a false positive costs a probe, never a dropped URL.
+- Politeness = salted host-partitioned priority queues (politeness.py).
+- Robots allow/deny parsed from the corpus's robots.txt rows, broadcast.
+- Canonicalization in the hot path is a pure JVM expression
+  (normalize_url_col) — Python only runs inside the Arrow-batched convert
+  UDF.
+- Each wave checkpoints frontier/seen-delta/docs/chunks/metrics as parquet
+  under ``ckpt/wave=N`` with a manifest; ``resume_state`` restarts from the
+  last complete wave with per-partition lineage metrics preserved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.udfs import (
+    chunk_markdown_udf,
+    convert_html_udf,
+    normalize_url_col,
+    domain_col,
+)
+from ..oracle.sitemap import RobotsRules, parse_robots
+from .bloom import ShardedBloom
+from .politeness import politeness_budget, schedule_wave
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    rps: float = 1.0
+    wave_seconds: int = 10
+    max_waves: int = 100
+    bloom_shards: int = 8
+    bloom_capacity_per_shard: int = 1 << 17
+    bloom_fpr: float = 0.01
+    salt_n: int = 16
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+
+    @property
+    def budget(self) -> int:
+        return politeness_budget(self.rps, self.wave_seconds)
+
+
+def load_robots_rules(pages: DataFrame) -> Dict[str, RobotsRules]:
+    """Parse every robots.txt row of the corpus (one small job)."""
+    rows = (
+        pages.filter(F.col("url").endswith("/robots.txt"))
+        .select("url", F.col("html").cast("string").alias("body"))
+        .collect()
+    )
+    out: Dict[str, RobotsRules] = {}
+    for r in rows:
+        host = r["url"].split("://", 1)[-1].split("/", 1)[0]
+        out[host] = parse_robots(r["body"] or "")
+    return out
+
+
+def robots_filter(
+    df: DataFrame, robots: Dict[str, RobotsRules], spark: SparkSession
+) -> Tuple[DataFrame, DataFrame]:
+    """Split (allowed, denied) using a broadcast prefix-rule table.
+
+    Rules are exploded to (host, prefix, is_allow, rule_len) and joined
+    broadcast; longest matching prefix wins, Allow wins ties, no rule =>
+    allowed. This is a pure JVM plan (no Python in the path).
+    """
+    rule_rows = [
+        (host, prefix, is_allow, len(prefix))
+        for host, rr in robots.items()
+        for prefix, is_allow in rr.rules
+    ]
+    if not rule_rows:
+        return df, df.limit(0)
+    rules_df = spark.createDataFrame(
+        rule_rows, "host string, prefix string, is_allow boolean, rule_len int"
+    )
+    path = F.regexp_extract(F.col("canon_url"), r"^[a-z]+://[^/]*(/.*)?$", 1)
+    matched = (
+        df.withColumn("_path", F.coalesce(path, F.lit("/")))
+        .join(F.broadcast(rules_df), on="host", how="left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("prefix").isNotNull()
+                & F.col("_path").startswith(F.col("prefix")),
+                F.struct(F.col("rule_len"), F.col("is_allow")),
+            ),
+        )
+        .groupBy("canon_url", "host", "depth", "priority")
+        .agg(F.max("_hit").alias("_best"))
+        .withColumn(
+            "_allowed", F.coalesce(F.col("_best.is_allow"), F.lit(True))
+        )
+    )
+    allowed = matched.filter(F.col("_allowed")).drop("_best", "_allowed")
+    denied = matched.filter(~F.col("_allowed")).drop("_best", "_allowed")
+    return allowed, denied
+
+
+def bloom_antijoin(
+    candidates: DataFrame,
+    seen: Optional[DataFrame],
+    bloom: Optional[ShardedBloom],
+    spark: SparkSession,
+) -> DataFrame:
+    """candidates minus seen: bloom prefilter + exact left_anti for hits."""
+    if seen is None:
+        return candidates
+    if bloom is None:
+        return candidates.join(seen, on="canon_url", how="left_anti")
+
+    bc = spark.sparkContext.broadcast(
+        [(bf.m_bits, bf.k, bf.to_bytes()) for bf in bloom.shards]
+    )
+    num_shards = bloom.num_shards
+
+    from pyspark.sql.pandas.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf(T.BooleanType())
+    def maybe_seen(url: pd.Series, host: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        from .bloom import BloomFilter  # noqa: PLC0415
+        from .hashing import url_hash64_vec  # noqa: PLC0415
+
+        shards = []
+        for m_bits, k, raw in bc.value:
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.m_bits, bf.k = m_bits, k
+            bf.bits = np.frombuffer(raw, dtype=np.uint64)
+            shards.append(bf)
+        urls = url.fillna("").tolist()
+        hosts = host.fillna("").tolist()
+        keys = url_hash64_vec(urls)
+        sid = ShardedBloom.shard_of(hosts, num_shards)
+        out = np.zeros(len(urls), dtype=bool)
+        for s in np.unique(sid):
+            mask = sid == s
+            out[mask] = shards[int(s)].contains_keys(keys[mask])
+        return pd.Series(out)
+
+    flagged = candidates.withColumn("_maybe", maybe_seen("canon_url", "host"))
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = needs_check.join(seen, on="canon_url", how="left_anti")
+    return definite_new.unionByName(verified_new)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: Optional[CrawlConfig] = None,
+        checkpoint_dir: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.checkpoint_dir = checkpoint_dir
+        # canonicalize the corpus once; keep html out of any shuffle by
+        # projecting it only at the join
+        self.pages = pages.withColumn("canon_url", normalize_url_col(F.col("url")))
+        self.robots = load_robots_rules(pages)
+
+    # -- state ----------------------------------------------------------------
+    def _frontier_from_seeds(self, seeds: List[str]) -> DataFrame:
+        rows = [(s,) for s in seeds]
+        df = self.spark.createDataFrame(rows, "url string")
+        return (
+            df.withColumn("canon_url", normalize_url_col(F.col("url")))
+            .withColumn("host", domain_col(F.col("canon_url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(1.0))
+            .select("canon_url", "host", "depth", "priority")
+            .dropDuplicates(["canon_url"])
+        )
+
+    def _ckpt_path(self, wave: int, name: str) -> str:
+        assert self.checkpoint_dir is not None
+        return os.path.join(self.checkpoint_dir, f"wave={wave}", name)
+
+    def _write_wave(
+        self,
+        wave: int,
+        frontier_next: DataFrame,
+        seen_delta: DataFrame,
+        docs: DataFrame,
+        chunks: DataFrame,
+        metrics: DataFrame,
+    ) -> None:
+        if self.checkpoint_dir is None:
+            return
+        frontier_next.write.mode("overwrite").parquet(
+            self._ckpt_path(wave, "frontier_next")
+        )
+        seen_delta.write.mode("overwrite").parquet(self._ckpt_path(wave, "seen_delta"))
+        docs.write.mode("overwrite").parquet(self._ckpt_path(wave, "docs"))
+        chunks.write.mode("overwrite").parquet(self._ckpt_path(wave, "chunks"))
+        metrics.write.mode("overwrite").parquet(self._ckpt_path(wave, "metrics"))
+        manifest = {"wave": wave}
+        with open(
+            os.path.join(self.checkpoint_dir, f"wave={wave}", "MANIFEST.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def resume_state(self) -> Tuple[Optional[DataFrame], Optional[DataFrame], int]:
+        """(frontier, seen, next_wave) from the last complete checkpoint."""
+        if self.checkpoint_dir is None or not os.path.isdir(self.checkpoint_dir):
+            return None, None, 0
+        waves = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.checkpoint_dir)
+            if d.startswith("wave=")
+            and os.path.exists(os.path.join(self.checkpoint_dir, d, "MANIFEST.json"))
+        )
+        if not waves:
+            return None, None, 0
+        last = waves[-1]
+        frontier = self.spark.read.parquet(self._ckpt_path(last, "frontier_next"))
+        seen = self.spark.read.parquet(
+            *[self._ckpt_path(w, "seen_delta") for w in waves]
+        ).dropDuplicates(["canon_url"])
+        return frontier, seen, last + 1
+
+    # -- the loop ---------------------------------------------------------------
+    def crawl(
+        self, seeds: List[str], resume: bool = False
+    ) -> Dict[str, DataFrame]:
+        cfg = self.config
+        frontier: Optional[DataFrame]
+        seen: Optional[DataFrame]
+        start_wave = 0
+        if resume:
+            frontier, seen, start_wave = self.resume_state()
+        else:
+            frontier, seen = None, None
+        if frontier is None:
+            frontier = self._frontier_from_seeds(seeds)
+            seen = None
+
+        bloom: Optional[ShardedBloom] = None
+        if seen is not None:
+            bloom = self._build_bloom(seen)
+
+        all_records: List[DataFrame] = []
+        pages_slim = self.pages.select("canon_url", "url", "html")
+
+        for wave in range(start_wave, cfg.max_waves):
+            if frontier.isEmpty():
+                break
+
+            # 1. seen anti-join (bloom prefilter + exact)
+            candidates = bloom_antijoin(frontier, seen, bloom, self.spark)
+
+            # 2. robots allow/deny
+            allowed, denied = robots_filter(candidates, self.robots, self.spark)
+
+            # 3. politeness budget per host
+            scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
+            scheduled = scheduled.cache()
+
+            # 4. fetch = broadcast join against the corpus
+            fetched = pages_slim.join(
+                F.broadcast(scheduled), on="canon_url", how="inner"
+            )
+            missed = scheduled.join(pages_slim, on="canon_url", how="left_anti")
+
+            # 5. convert + chunk (Arrow-vectorized)
+            docs = (
+                fetched.withColumn(
+                    "doc", convert_html_udf(F.col("html"), F.col("url"))
+                )
+                .select(
+                    "canon_url",
+                    "url",
+                    "host",
+                    "depth",
+                    F.lit(wave).alias("wave"),
+                    F.col("doc.title").alias("title"),
+                    F.col("doc.markdown").alias("markdown"),
+                    F.col("doc.links").alias("links"),
+                    F.col("doc.status").alias("status"),
+                    F.col("doc.error").alias("error"),
+                )
+                .cache()
+            )
+            chunks = docs.filter(F.col("status") == "ok").select(
+                "canon_url",
+                "wave",
+                F.posexplode(chunk_markdown_udf(F.col("markdown"))).alias(
+                    "pos", "content"
+                ),
+            )
+
+            # 6. discover next frontier: explode links, canonicalize (JVM),
+            #    filter http(s), exclude sitemap/robots rows' pseudo-links
+            discovered = (
+                docs.filter(~F.col("canon_url").rlike(r"/(robots\.txt|sitemap\.xml)$"))
+                .select(
+                    F.col("depth").alias("parent_depth"),
+                    F.explode("links").alias("link"),
+                )
+                .filter(F.col("link").rlike(r"^https?://[^/\s]+"))
+                .withColumn("canon_url", normalize_url_col(F.col("link")))
+                .withColumn("host", domain_col(F.col("canon_url")))
+                .groupBy("canon_url", "host")
+                .agg(
+                    (F.min("parent_depth") + 1).alias("depth"),
+                    F.lit(0.5).alias("priority"),
+                )
+            )
+
+            # 7. bookkeeping
+            seen_delta = (
+                scheduled.select("canon_url", "host", "depth")
+                .withColumn("status_wave", F.lit(wave))
+                .unionByName(
+                    denied.select("canon_url", "host", "depth").withColumn(
+                        "status_wave", F.lit(wave)
+                    )
+                )
+                .dropDuplicates(["canon_url"])
+            )
+            records = (
+                docs.select(
+                    "canon_url", "host", "depth", "wave",
+                    F.col("status").alias("status"),
+                )
+                .unionByName(
+                    missed.select("canon_url", "host", "depth")
+                    .withColumn("wave", F.lit(wave))
+                    .withColumn("status", F.lit("fetch_miss"))
+                )
+                .unionByName(
+                    denied.select("canon_url", "host", "depth")
+                    .withColumn("wave", F.lit(wave))
+                    .withColumn("status", F.lit("robots_denied"))
+                )
+            )
+            all_records.append(records)
+
+            # per-partition lineage metrics
+            metrics = (
+                docs.groupBy(F.spark_partition_id().alias("partition_id"), "status")
+                .agg(F.count("*").alias("rows"))
+                .withColumn("wave", F.lit(wave))
+            )
+
+            # next-wave state (materialize BEFORE mutating seen)
+            seen_next = (
+                seen.unionByName(seen_delta.select(seen.columns))
+                if seen is not None
+                else seen_delta
+            ).dropDuplicates(["canon_url"])
+
+            new_frontier = (
+                deferred.unionByName(
+                    discovered.join(seen_next, on="canon_url", how="left_anti")
+                    .join(deferred, on="canon_url", how="left_anti")
+                    .select("canon_url", "host", "depth", "priority")
+                )
+                .groupBy("canon_url", "host")
+                .agg(F.min("depth").alias("depth"), F.max("priority").alias("priority"))
+            )
+
+            self._write_wave(wave, new_frontier, seen_delta, docs, chunks, metrics)
+
+            if self.checkpoint_dir is not None:
+                # cut lineage: reload state from the checkpoint we just wrote
+                frontier = self.spark.read.parquet(
+                    self._ckpt_path(wave, "frontier_next")
+                )
+                seen_delta_r = self.spark.read.parquet(
+                    self._ckpt_path(wave, "seen_delta")
+                )
+                seen = (
+                    seen.unionByName(seen_delta_r)
+                    if seen is not None
+                    else seen_delta_r
+                ).dropDuplicates(["canon_url"])
+            else:
+                frontier = new_frontier.localCheckpoint(eager=True)
+                seen = seen_next.localCheckpoint(eager=True)
+
+            bloom = self._build_bloom(seen)
+            scheduled.unpersist()
+            docs.unpersist()
+
+        if all_records:
+            trace = all_records[0]
+            for r in all_records[1:]:
+                trace = trace.unionByName(r)
+        else:
+            trace = self.spark.createDataFrame(
+                [], "canon_url string, host string, depth int, wave int, status string"
+            )
+        return {"trace": trace, "seen": seen}
+
+    def _build_bloom(self, seen: DataFrame) -> ShardedBloom:
+        """Distributed-style build: per-partition partial bitsets, OR-merged.
+
+        Uses mapInPandas so each partition hashes its own rows (the cluster
+        pattern); the driver only ORs num_shards small bitsets.
+        """
+        cfg = self.config
+        num_shards = cfg.bloom_shards
+        cap, fpr = cfg.bloom_capacity_per_shard, cfg.bloom_fpr
+
+        def build_partial(iterator):
+            from .bloom import partial_bitsets_from_keys  # noqa: PLC0415
+            from .bloom import ShardedBloom as SB  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
+
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                keys = url_hash64_vec(pdf["canon_url"].fillna("").tolist())
+                sid = SB.shard_of(pdf["host"].fillna("").tolist(), num_shards)
+                partial = partial_bitsets_from_keys(keys, sid, num_shards, cap, fpr)
+                yield pd.DataFrame(
+                    {
+                        "shard": list(partial.keys()),
+                        "bits": list(partial.values()),
+                    }
+                )
+
+        partials = (
+            seen.select("canon_url", "host")
+            .mapInPandas(build_partial, "shard int, bits binary")
+            .collect()
+        )
+        import numpy as np
+
+        sb = ShardedBloom(num_shards, cap, fpr)
+        for row in partials:
+            sb.shards[row["shard"]].bits |= np.frombuffer(
+                row["bits"], dtype=np.uint64
+            )
+        return sb

@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators are DataFrame compositions (shuffle-conscious, no Python in
+the hot path). Hash functions are md5-based so every operator has an exact
+DuckDB oracle twin (portable across engines; lexicographic min of fixed-
+width hex == numeric min, which makes min-hashing expressible in both).
+
+Scale notes:
+- exact dedup: one shuffle on the content hash (map-side partial distinct
+  via AQE); at 100 TB prefer a two-level hash (cheap 64-bit prefilter,
+  md5 verify) and bucketed output.
+- MinHash LSH: explode shingles -> ONE groupBy computes all k signature
+  lanes (single shuffle), bands -> self-join only within band buckets, so
+  candidate pairs ~ O(true dups), not O(n^2).
+- n-gram Jaccard: candidate pairs restricted to pairs sharing >=1 shingle
+  (inner self-join on shingle), counts -> |A∩B| / (|A|+|B|-|A∩B|).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (distinct, order-free)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per exact content (md5) group."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k-lane MinHash signature per doc: lane i = min(md5(shingle || ':' || i)).
+
+    One explode + ONE groupBy (single shuffle) computes all lanes.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs;
+    estimated Jaccard = fraction of equal signature lanes. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    with_bands = sigs.select(F.col(id_col), *band_cols, *[f"mh_{i}" for i in range(k)])
+
+    banded = with_bands.select(
+        id_col,
+        *[f"mh_{i}" for i in range(k)],
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int").alias(f"eq_{i}")
+                for i in range(k)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq_{i}") for i in range(k)) / F.lit(float(k))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).dropDuplicates([id_col, "sh"])
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: per token, md5 hex chars 1..16 are 16 dimensions;
+    dimension d votes +1 if the nibble's top bit is set (hex char >= '8')
+    else -1, weighted by token frequency; fingerprint bit d = sign of the
+    vote sum. Output: 16-char '0'/'1' string (portable to the oracle).
+
+    The production variant extends the same plan to 64 bits; 16 keeps the
+    oracle SQL tractable while exercising the identical dataflow."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), d + 1, 1).isin(
+                    *"89abcdef"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{d}")
+        for d in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(
+        *[F.when(F.col(f"v_{d}") > 0, F.lit("1")).otherwise(F.lit("0")) for d in range(16)]
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run as JVM higher-order functions (zip_with + aggregate),
+  so the scan is whole-stage-codegen'd; no Python.
+- ``lsh_cosine_topk``: the scale path — sign-LSH bucketing (axis-aligned
+  hyperplanes on the first ``b`` dimensions) prunes candidates to the
+  query's bucket (plus optional 1-bit-flip probing) before exact scoring.
+  At 100 TB the bucket column is a partition/bucket key so a query touches
+  one bucket's files instead of the full corpus.
+
+Scores are rounded to 4 decimals and ties broken by vec_id so results are
+deterministic and hash-comparable against the DuckDB oracle despite float
+summation-order differences.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a constant query."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def sign_bucket_col(vec_col, bits: int = 8):
+    """Sign-LSH bucket: concatenated signs of the first ``bits`` dims."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec_col, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(bits)
+        ]
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign bucket
+    (plus all 1-bit-flip neighbor buckets when ``multiprobe``)."""
+    qbucket = "".join("1" if float(x) >= 0 else "0" for x in query_vec[:bits])
+    probes: List[str] = [qbucket]
+    if multiprobe:
+        for d in range(bits):
+            flipped = qbucket[:d] + ("0" if qbucket[d] == "1" else "1") + qbucket[d + 1 :]
+            probes.append(flipped)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    candidates = embeddings.withColumn(
+        "bucket", sign_bucket_col(F.col(vec_col), bits)
+    ).filter(F.col("bucket").isin(probes))
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors per query row (broadcast the smaller side)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All pure JVM expressions (pyspark.sql.functions — whole-stage codegen, no
+Python in the path). Each has a DuckDB-expressible twin in
+``__spark_entry__.oracle_sql`` so the driver's correctness gate hashes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic stopword lists per language (language-ID heuristic)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "es", "de", "que", "en", "por", "una"],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokenizer matches: letter runs, single digits,
+    single punctuation."""
+    return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_RE))
+
+
+def _count_words(text: Column, words: list[str]) -> Column:
+    """Occurrences of any of ``words`` as whole lowercase words."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return F.round(
+        _count_words(text, LANG_STOPWORDS[lang])
+        / F.greatest(ws_token_count(text), F.lit(1)),
+        6,
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.round(
+        F.regexp_count(text, F.lit(r"[^\w\s]")) / F.greatest(F.length(text), F.lit(1)),
+        6,
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    return F.round(
+        F.length(F.regexp_replace(text, r"\s+", ""))
+        / F.greatest(ws_token_count(text), F.lit(1)),
+        6,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]:
+    0.4 * min(1, n_tokens/100) + 0.3 * (1 - min(1, 5*punct_ratio))
+    + 0.3 * min(1, 4*stopword_ratio_en)."""
+    toks = ws_token_count(text)
+    length_term = F.least(F.lit(1.0), toks / F.lit(100.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(5.0) * punct_ratio(text))
+    stop_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text, "en"))
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * punct_term + F.lit(0.3) * stop_term, 6
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.greatest(ws_token_count(text), F.lit(1))
+    return {
+        lang: F.round(_count_words(text, words) / toks, 6)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax of per-language stopword-hit rate; ties resolve in fixed
+    order en > de > fr > es; all-zero -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lang in ["es", "fr", "de", "en"]:
+        result = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def doc_fingerprint_expr(text_col_name: str, gram: int = 8, stride: int = 4) -> Column:
+    """Rolling-hash document fingerprint (winnowing-lite): minimum md5 over
+    character ``gram``-grams sampled every ``stride`` chars. Equal
+    fingerprints => near-identical content; cheap first-pass dedup key.
+    Lexicographic min of fixed-width hex == numeric min, so min(md5) is
+    portable to the DuckDB oracle."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col_name}) - {gram - 1}, 1), {stride}),"
+        f" i -> md5(substr({text_col_name}, i, {gram}))))"
+    )

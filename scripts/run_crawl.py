@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Crawl driver for spark-submit.
+
+  spark-submit --py-files dist/markdown_lab_spark.zip scripts/run_crawl.py \
+      --pages /path/pages.parquet --seeds https://hot.example/blog/page-0 \
+      --checkpoint /path/ckpt --max-waves 10 --rps 1.0 --wave-seconds 10
+
+Resumable: rerun with the same --checkpoint and --resume to continue from
+the last complete wave. With --generate-corpus N_HOSTSxPAGES the synthetic
+corpus is generated first (smoke/demo mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--seeds", nargs="*", default=[], help="seed URLs")
+    ap.add_argument("--seeds-file", help="links file (blank/# lines skipped)")
+    ap.add_argument("--checkpoint", help="checkpoint directory")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-waves", type=int, default=10)
+    ap.add_argument("--rps", type=float, default=1.0)
+    ap.add_argument("--wave-seconds", type=int, default=10)
+    ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("markdown_lab_spark-crawl")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+
+    seeds = list(args.seeds)
+    if args.seeds_file:
+        # S4 links-file source (markdown_lab/core/scraper.py:474-498)
+        raw = spark.read.text(args.seeds_file)
+        seeds += [
+            r["value"].strip()
+            for r in raw.collect()
+            if r["value"].strip() and not r["value"].strip().startswith("#")
+        ]
+
+    if args.generate_corpus:
+        import tempfile
+
+        from markdown_lab_spark.corpus.generator import (
+            CorpusSpec,
+            generate_corpus,
+            write_corpus_parquet,
+        )
+
+        hosts, pages_n = (int(x) for x in args.generate_corpus.split("x"))
+        corpus = generate_corpus(CorpusSpec(hosts=hosts, pages_per_host=pages_n))
+        path = tempfile.mktemp(suffix=".parquet")
+        write_corpus_parquet(corpus, path)
+        args.pages = path
+        if not seeds:
+            seeds = corpus.seeds
+
+    if not args.pages or not seeds:
+        print("need --pages and seeds", file=sys.stderr)
+        return 2
+
+    pages = spark.read.parquet(args.pages)
+    cfg = CrawlConfig(
+        rps=args.rps, wave_seconds=args.wave_seconds, max_waves=args.max_waves
+    )
+    engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
+    out = engine.crawl(seeds, resume=args.resume)
+    trace = out["trace"]
+    print("crawl trace by (wave, status):")
+    trace.groupBy("wave", "status").count().orderBy("wave", "status").show(100)
+    print("total URLs seen:", out["seen"].count())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

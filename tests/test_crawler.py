@@ -1,0 +1,100 @@
+"""Crawl-order parity: the Spark engine must reproduce the simulator's
+trace (same (url, wave, depth, status) tuples) and the exact URL-seen set,
+plus checkpoint/resume identity."""
+
+import pytest
+
+from markdown_lab_spark.corpus.generator import CorpusSpec, generate_corpus
+from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+from markdown_lab_spark.frontier.simulator import simulate_crawl
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(CorpusSpec(hosts=4, pages_per_host=25, hot_fraction=0.4))
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, corpus, tmp_path_factory):
+    from markdown_lab_spark.corpus.generator import write_corpus_parquet
+
+    path = str(tmp_path_factory.mktemp("corpus") / "pages.parquet")
+    write_corpus_parquet(corpus, path)
+    return spark.read.parquet(path)
+
+
+CFG = dict(rps=1.0, wave_seconds=5, max_waves=6)
+
+
+def test_crawl_matches_simulator(spark, corpus, pages_df):
+    sim = simulate_crawl(
+        corpus.pages_dict(), corpus.seeds, rps=CFG["rps"],
+        wave_seconds=CFG["wave_seconds"], max_waves=CFG["max_waves"],
+    )
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(**CFG))
+    out = engine.crawl(corpus.seeds)
+    trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in out["trace"].collect()
+    }
+    assert trace == sim.trace()
+
+    seen = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
+    assert seen == sim.seen
+
+
+def test_robots_denied_present(spark, corpus, pages_df):
+    """hot.example (host index 0) disallows /private/ — those URLs must be
+    denied, not fetched."""
+    sim = simulate_crawl(corpus.pages_dict(), corpus.seeds, max_waves=8)
+    denied = [r for r in sim.records if r.status == "robots_denied"]
+    assert denied, "corpus must exercise robots denial"
+    assert all("/private/" in r.url for r in denied)
+
+
+def test_politeness_budget_respected(spark, corpus, pages_df):
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(rps=1.0, wave_seconds=3, max_waves=4))
+    out = engine.crawl(corpus.seeds)
+    per = (
+        out["trace"]
+        .filter("status != 'robots_denied'")
+        .groupBy("wave", "host")
+        .count()
+        .collect()
+    )
+    budget = engine.config.budget
+    assert all(r["count"] <= budget for r in per), [
+        (r["wave"], r["host"], r["count"]) for r in per if r["count"] > budget
+    ]
+
+
+def test_checkpoint_resume_identical(spark, corpus, pages_df, tmp_path):
+    full_dir = str(tmp_path / "full")
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=full_dir)
+    full = engine.crawl(corpus.seeds)
+    full_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in full["trace"].collect()
+    }
+    full_seen = {r["canon_url"] for r in full["seen"].select("canon_url").collect()}
+
+    # interrupted run: stop after wave 2, then resume to completion
+    part_dir = str(tmp_path / "part")
+    cfg_short = CrawlConfig(**{**CFG, "max_waves": 3})
+    CrawlEngine(spark, pages_df, cfg_short, checkpoint_dir=part_dir).crawl(corpus.seeds)
+    resumed_engine = CrawlEngine(
+        spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=part_dir
+    )
+    resumed = resumed_engine.crawl(corpus.seeds, resume=True)
+
+    resumed_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in resumed["trace"].collect()
+    }
+    resumed_seen = {
+        r["canon_url"] for r in resumed["seen"].select("canon_url").collect()
+    }
+    # resumed trace only covers waves >= 3; rebuild full from checkpoints
+    early = {t for t in full_trace if t[1] < 3}
+    assert early | resumed_trace == full_trace
+    assert resumed_seen == full_seen

@@ -1,0 +1,203 @@
+"""Spark-layer function tests: UDFs equal the oracle row-wise; dedup /
+similarity / text / multimodal operators behave as specified."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from markdown_lab_spark.functions import dedup as D
+from markdown_lab_spark.functions import similarity as S
+from markdown_lab_spark.functions import text as X
+from markdown_lab_spark.functions.udfs import (
+    canonicalize_url_udf,
+    convert_html_udf,
+    chunk_markdown_udf,
+    domain_col,
+    extract_base_url_col,
+    normalize_url_col,
+)
+from markdown_lab_spark.oracle import convert_to_markdown, normalize_url
+from markdown_lab_spark.oracle.chunker import create_semantic_chunks
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (
+            f"https://h{i % 3}.example/docs/p{i}",
+            f"<html><head><title>T{i}</title></head><body><h1>H{i}</h1>"
+            f'<p>para {i} content</p><a href="/l{i}">go</a></body></html>'.encode(),
+        )
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_convert_udf_matches_oracle(spark, pages):
+    out = pages.withColumn("d", convert_html_udf("html", "url")).select(
+        "url", "html", "d.markdown", "d.status"
+    )
+    for row in out.collect():
+        assert row["status"] == "ok"
+        expected = convert_to_markdown(bytes(row["html"]).decode(), row["url"])
+        assert row["markdown"] == expected  # byte identity through Arrow
+
+
+def test_convert_udf_error_capture(spark):
+    df = spark.createDataFrame(
+        [("https://x.com/a", None), (None, b"<p>x</p>")],
+        "url string, html binary",
+    )
+    rows = (
+        df.withColumn("d", convert_html_udf("html", "url"))
+        .select("d.status")
+        .collect()
+    )
+    statuses = {r["status"] for r in rows}
+    assert "fetch_miss" in statuses  # null html -> miss, no crash
+
+
+def test_chunk_udf_matches_oracle(spark):
+    md = "# T\n\n" + "\n".join(f"line {i} with words here" for i in range(60))
+    df = spark.createDataFrame([(md,)], "markdown string")
+    got = df.select(chunk_markdown_udf("markdown").alias("c")).collect()[0]["c"]
+    assert got == create_semantic_chunks(md, 1000, 200)
+
+
+def test_canonicalize_udf_and_jvm_col_agree(spark):
+    urls = [
+        "https://example.com/path/",
+        "https://example.com/path#frag",
+        "https://example.com/",
+        "https://example.com",
+        "https://example.com/a/b?q=1&r=2#x",
+        "http://sub.host.example:8080/x/",
+        "https://example.com//double//",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url_udf("url").alias("c"),
+        normalize_url_col(F.col("url")).alias("jvm_canon"),
+        domain_col(F.col("url")).alias("jvm_host"),
+        extract_base_url_col(F.col("url")).alias("jvm_base"),
+    ).collect()
+    for r in rows:
+        assert r["c"]["canon_url"] == normalize_url(r["url"])
+        assert r["jvm_canon"] == normalize_url(r["url"])  # JVM == oracle
+        assert r["jvm_host"] == r["c"]["host"]
+        assert r["c"]["url_hash"] is not None
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(df, "doc_id", "text").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "tail variation"),
+            (3, "completely different content about spark shuffles and joins " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df, "doc_id", "text", k=16)
+    pairs = D.minhash_lsh_pairs(sigs, "doc_id", k=16, bands=4, min_est_jaccard=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    rows = D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark data pipeline " * 20), (2, "spark data pipeline " * 20)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in D.simhash16(df, "doc_id", "text").collect()}
+    assert rows[1] == rows[2]
+    assert set(rows[1]) <= {"0", "1"} and len(rows[1]) == 16
+
+
+def test_cosine_topk_exact_vs_lsh(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[5][1]
+    exact = S.cosine_topk(df, query, k=5).collect()
+    assert exact[0]["vec_id"] == 5  # self is most similar
+    assert exact[0]["cos_sim"] == pytest.approx(1.0, abs=1e-3)
+    approx = S.lsh_cosine_topk(df, query, k=5, bits=6).collect()
+    assert approx[0]["vec_id"] == 5  # self lands in its own bucket
+
+
+def test_text_analysis_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house that was warm"),
+            (2, "der hund und die katze ist nicht mit der maus"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            X.ws_token_count(F.col("text")).alias("toks"),
+            X.predicted_lang(F.col("text")).alias("lang"),
+            X.quality_score(F.col("text")).alias("q"),
+            X.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    assert out[3]["lang"] == "und"
+    assert out[3]["toks"] == 0
+    assert 0.0 <= out[1]["q"] <= 1.0
+
+
+def test_multimodal_stub_pipeline(spark):
+    from markdown_lab_spark.functions.multimodal import (
+        decode_image_stub,
+        extract_image_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNGfake1", "image/png", {}),
+        (2, "image", b"\x89PNGfake22", "image/png", {}),
+        (3, "video", b"vid", "video/mp4", {"duration_s": "12"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, meta map<string,string>"
+    )
+    feats = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1]["n_bytes"] == 9
+    assert len(feats[1]["feature"]) == 8
+    # deterministic fake
+    assert feats[1]["width"] == decode_image_stub(b"\x89PNGfake1")[0]
+
+    frames = frame_sample_plan(df, every_n_seconds=5).collect()
+    assert [r["frame_ts"] for r in frames] == [0, 5, 10]
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"x", strict=True)
