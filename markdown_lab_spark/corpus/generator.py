@@ -211,4 +211,7 @@ def write_corpus_parquet(corpus: Corpus, path: str) -> None:
             "lang": [r[4] for r in corpus.rows],
         }
     )
-    pq.write_table(table, path)
+    # small row groups: a parquet row group is the atomic parallelism unit
+    # for readers — one giant group would serialize the whole scan into a
+    # single Spark task regardless of split count
+    pq.write_table(table, path, row_group_size=1024)

@@ -41,6 +41,17 @@ from ..oracle.sitemap import RobotsRules, parse_robots
 from .bloom import ShardedBloom
 from .politeness import politeness_budget, schedule_wave
 
+
+import time as _time
+
+
+def _tick(label: str, t0: float) -> float:
+    """Wave-step wall-time telemetry, enabled with MLS_TIMING=1."""
+    if os.environ.get("MLS_TIMING"):
+        print(f"[mls-timing] {label:28s} {_time.time() - t0:7.2f}s", flush=True)
+    return _time.time()
+
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("canon_url", T.StringType(), False),
@@ -190,9 +201,13 @@ class CrawlEngine:
         self.robots = load_robots_rules(pages)
 
     # -- state ----------------------------------------------------------------
-    def _frontier_from_seeds(self, seeds: List[str]) -> DataFrame:
-        rows = [(s,) for s in seeds]
-        df = self.spark.createDataFrame(rows, "url string")
+    def _frontier_from_seeds(self, seeds) -> DataFrame:
+        """seeds: list[str] or a DataFrame with a ``url`` column (the
+        DataFrame form avoids a driver round-trip for huge seed sets)."""
+        if isinstance(seeds, DataFrame):
+            df = seeds.select("url")
+        else:
+            df = self.spark.createDataFrame([(s,) for s in seeds], "url string")
         return (
             df.withColumn("canon_url", normalize_url_col(F.col("url")))
             .withColumn("host", domain_col(F.col("canon_url")))
@@ -250,9 +265,7 @@ class CrawlEngine:
         return frontier, seen, last + 1
 
     # -- the loop ---------------------------------------------------------------
-    def crawl(
-        self, seeds: List[str], resume: bool = False
-    ) -> Dict[str, DataFrame]:
+    def crawl(self, seeds, resume: bool = False) -> Dict[str, DataFrame]:
         cfg = self.config
         frontier: Optional[DataFrame]
         seen: Optional[DataFrame]
@@ -267,24 +280,43 @@ class CrawlEngine:
 
         bloom: Optional[ShardedBloom] = None
         if seen is not None:
-            bloom = self._build_bloom(seen)
+            bloom = self._build_bloom(seen)  # full build only on resume
 
         all_records: List[DataFrame] = []
-        pages_slim = self.pages.select("canon_url", "url", "html")
+        all_chunks: List[DataFrame] = []
+        # cache the slim projection: every wave probes it twice (fetch join +
+        # miss anti-join) and the canon_url regexp shouldn't re-run per scan.
+        # At warehouse scale the analogue is storing canon_url as a real
+        # column of the Iceberg pages table (computed once at ingest).
+        pages_slim = self.pages.select("canon_url", "url", "html").cache()
 
         for wave in range(start_wave, cfg.max_waves):
+            _t = _time.time()
             if frontier.isEmpty():
                 break
+            _t = _tick(f"w{wave} isEmpty", _t)
 
             # 1. seen anti-join (bloom prefilter + exact)
             candidates = bloom_antijoin(frontier, seen, bloom, self.spark)
 
-            # 2. robots allow/deny
+            # 2. robots allow/deny — cache both branches: each is consumed by
+            # multiple downstream plans and would otherwise re-run the whole
+            # frontier lineage (corpus scan + robots join + windows) per use
             allowed, denied = robots_filter(candidates, self.robots, self.spark)
+            allowed = allowed.cache()
+            denied = denied.cache()
 
             # 3. politeness budget per host
             scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
             scheduled = scheduled.cache()
+            deferred = deferred.cache()
+            # fill the shared caches SEQUENTIALLY: a single downstream job
+            # evaluates these branches in parallel tasks that would all miss
+            # the cold cache at once and recompute the frontier lineage
+            # concurrently (cache population is not coordinated mid-job)
+            scheduled.count()  # fills allowed + scheduled
+            denied.count()
+            deferred.count()
 
             # 4. fetch = broadcast join against the corpus
             fetched = pages_slim.join(
@@ -364,7 +396,14 @@ class CrawlEngine:
                     .withColumn("status", F.lit("robots_denied"))
                 )
             )
+            # materialize NOW from the cached docs — consuming these after
+            # docs.unpersist() would re-run the convert UDF over the corpus
+            records = records.localCheckpoint(eager=True)
+            _t = _tick(f"w{wave} records lc", _t)
+            chunks = chunks.localCheckpoint(eager=True)
+            _t = _tick(f"w{wave} chunks lc", _t)
             all_records.append(records)
+            all_chunks.append(chunks)
 
             # per-partition lineage metrics
             metrics = (
@@ -390,7 +429,9 @@ class CrawlEngine:
                 .agg(F.min("depth").alias("depth"), F.max("priority").alias("priority"))
             )
 
+            _t = _tick(f"w{wave} plan build", _t)
             self._write_wave(wave, new_frontier, seen_delta, docs, chunks, metrics)
+            _t = _tick(f"w{wave} write_wave", _t)
 
             if self.checkpoint_dir is not None:
                 # cut lineage: reload state from the checkpoint we just wrote
@@ -405,29 +446,47 @@ class CrawlEngine:
                     if seen is not None
                     else seen_delta_r
                 ).dropDuplicates(["canon_url"])
+                delta_for_bloom = seen_delta_r
             else:
                 frontier = new_frontier.localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} frontier lc", _t)
                 seen = seen_next.localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} seen lc", _t)
+                delta_for_bloom = seen_delta
 
-            bloom = self._build_bloom(seen)
-            scheduled.unpersist()
-            docs.unpersist()
+            # incremental bloom: OR only this wave's delta into the shards
+            # (full-seen rebuild would rescan 10^10 keys every wave)
+            bloom = self._build_bloom(delta_for_bloom, into=bloom)
+            _t = _tick(f"w{wave} bloom build", _t)
+            for df in (scheduled, docs, allowed, denied, deferred):
+                df.unpersist()
 
+        pages_slim.unpersist()
         if all_records:
             trace = all_records[0]
             for r in all_records[1:]:
                 trace = trace.unionByName(r)
+            chunks_all = all_chunks[0]
+            for c in all_chunks[1:]:
+                chunks_all = chunks_all.unionByName(c)
         else:
             trace = self.spark.createDataFrame(
                 [], "canon_url string, host string, depth int, wave int, status string"
             )
-        return {"trace": trace, "seen": seen}
+            chunks_all = self.spark.createDataFrame(
+                [], "canon_url string, wave int, pos int, content string"
+            )
+        return {"trace": trace, "seen": seen, "chunks": chunks_all}
 
-    def _build_bloom(self, seen: DataFrame) -> ShardedBloom:
+    def _build_bloom(
+        self, seen: DataFrame, into: Optional[ShardedBloom] = None
+    ) -> ShardedBloom:
         """Distributed-style build: per-partition partial bitsets, OR-merged.
 
         Uses mapInPandas so each partition hashes its own rows (the cluster
-        pattern); the driver only ORs num_shards small bitsets.
+        pattern); the driver only ORs num_shards small bitsets. With
+        ``into``, the new bitsets are OR'd into an existing filter
+        (incremental per-wave update).
         """
         cfg = self.config
         num_shards = cfg.bloom_shards
@@ -451,14 +510,18 @@ class CrawlEngine:
                     }
                 )
 
+        # coalesce first: partial bitsets are num_shards * m_bits/8 bytes PER
+        # INPUT PARTITION; collecting 64 partitions x 8 shards x 160 KB would
+        # ship ~80 MB to the driver each wave for no benefit
         partials = (
             seen.select("canon_url", "host")
+            .coalesce(num_shards)
             .mapInPandas(build_partial, "shard int, bits binary")
             .collect()
         )
         import numpy as np
 
-        sb = ShardedBloom(num_shards, cap, fpr)
+        sb = into if into is not None else ShardedBloom(num_shards, cap, fpr)
         for row in partials:
             sb.shards[row["shard"]].bits |= np.frombuffer(
                 row["bits"], dtype=np.uint64

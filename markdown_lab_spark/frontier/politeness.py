@@ -32,8 +32,25 @@ def schedule_wave(
 
     scheduled: per-host head of at most ``budget`` rows in deterministic
     order; deferred: the remainder (carries to the next wave unchanged).
+
+    Skew design: a host whose candidate count is <= budget is scheduled
+    WHOLE with no window at all (the common case — most hosts are small),
+    so the expensive per-host sort never sees them and no single task
+    carries a mega-host that fits its budget. Only over-budget hosts go
+    through the salted two-phase top-K: rank within (host, salt) shards
+    first, keep each shard's head, then run the exact window on the
+    <= salt_n*budget survivors. The per-host cap stays exact; the heavy
+    sort is spread over salt_n tasks.
     """
-    salted = frontier.withColumn(
+    # no broadcast hint: at 10^8 hosts the counts side is too big to ship;
+    # AQE broadcasts it automatically when it is small
+    counts = frontier.groupBy("host").agg(F.count("*").alias("_host_n"))
+    tagged = frontier.join(counts, on="host", how="left")
+
+    under = tagged.filter(F.col("_host_n") <= budget).drop("_host_n")
+    over = tagged.filter(F.col("_host_n") > budget).drop("_host_n")
+
+    salted = over.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_n))
     )
     w_salt = Window.partitionBy("host", "_salt").orderBy(*order_cols())
@@ -44,10 +61,10 @@ def schedule_wave(
     w_host = Window.partitionBy("host").orderBy(*order_cols())
     ranked = survivors.withColumn("_rn", F.row_number().over(w_host))
 
-    scheduled = ranked.filter(F.col("_rn") <= budget).drop("_salt", "_srn", "_rn")
+    scheduled_over = ranked.filter(F.col("_rn") <= budget).drop("_salt", "_srn", "_rn")
     deferred_a = ranked.filter(F.col("_rn") > budget).drop("_salt", "_srn", "_rn")
     deferred_b = pruned.filter(F.col("_srn") > budget).drop("_salt", "_srn")
-    return scheduled, deferred_a.unionByName(deferred_b)
+    return under.unionByName(scheduled_over), deferred_a.unionByName(deferred_b)
 
 
 def politeness_budget(rps: float, wave_seconds: int) -> int:

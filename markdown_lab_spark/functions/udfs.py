@@ -73,14 +73,16 @@ def convert_html_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
             continue
         try:
             # compute the full row BEFORE appending anything so a failure
-            # mid-row can't leave the output columns ragged
-            doc = oracle_md.parse_html_to_document(text, base)
+            # mid-row can't leave the output columns ragged; ONE parse per
+            # page is shared by conversion and link extraction
+            tree = oracle_html.parse_document(text)
+            doc = oracle_md.parse_tree_to_document(tree, base)
             row = (
                 doc.title,
                 oracle_md.document_to_markdown(doc),
                 oracle_md.document_to_json(doc),
                 oracle_md.document_to_xml(doc),
-                oracle_html.extract_links(text, base),
+                oracle_html.extract_links_parsed(tree, base),
                 "ok",
                 None,
             )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import List
 
-from .htmldom import Element, HtmlDocument, Selector, parse_document
+from .htmldom import Element, HtmlDocument, Selector, parse_document  # noqa: F401 (parse_document re-exported for UDF hot path)
 from .url_utils import url_join
 
 # src/html_parser.rs:26 — content container selectors
@@ -40,7 +40,16 @@ def extract_main_content(html: str) -> HtmlDocument:
 
 def clean_html(html: str) -> str:
     """Port of src/html_parser.rs:104-126 (string-replace removal quirk)."""
-    document = parse_document(html)
+    return clean_parsed(parse_document(html))
+
+
+def clean_parsed(document: HtmlDocument) -> str:
+    """clean_html on an already-parsed tree (src/html_parser.rs:143-164).
+
+    Semantically identical to ``clean_html(document.root_element().html())``
+    because the serializer/parser round-trip is stable (asserted in tests);
+    saves one full parse per document in the hot path.
+    """
     elements_to_remove: List[str] = [el.html() for el in document.select(SEL_UNWANTED)]
     cleaned_html = document.root_element().html()
     for element_html in elements_to_remove:
@@ -57,7 +66,11 @@ def extract_links(html: str, base_url: str) -> List[str]:
     this ordering defines the reference's per-page link-discovery order
     and therefore the engine's frontier ordering.
     """
-    document = parse_document(html)
+    return extract_links_parsed(parse_document(html), base_url)
+
+
+def extract_links_parsed(document: HtmlDocument, base_url: str) -> List[str]:
+    """extract_links on an already-parsed tree (hot-path variant)."""
     links: List[str] = []
     for element in document.select(SEL_LINKS):
         href = element.attr("href")

@@ -77,11 +77,20 @@ _SEL_BLOCKQUOTE = Selector("blockquote")
 def parse_html_to_document(html: str, base_url: str) -> Document:
     """Port of src/markdown_converter.rs:76-94.
 
-    parse (entities decoded) -> re-serialize -> clean -> re-parse -> extract.
+    parse (entities decoded) -> clean (serialize + string-replace) ->
+    re-parse -> extract. The reference serializes and re-parses between the
+    first two steps (src/markdown_converter.rs:82-86); ``clean_parsed`` is
+    equivalent because the serializer/parser round-trip is stable.
     """
-    document_html = parse_document(html)
-    parsed_html = document_html.root_element().html()
-    cleaned_html = clean_html(parsed_html)
+    return parse_tree_to_document(parse_document(html), base_url)
+
+
+def parse_tree_to_document(document_html, base_url: str) -> Document:
+    """Hot-path variant taking an already-parsed tree (shared with
+    link extraction in the Spark UDF: one parse per page)."""
+    from .html_parser import clean_parsed
+
+    cleaned_html = clean_parsed(document_html)
     cleaned = parse_document(cleaned_html)
 
     title = _extract_title(cleaned)
@@ -97,21 +106,38 @@ def _extract_title(document: HtmlDocument) -> str:
     return "No Title"
 
 
+_POPULATE_TAGS = frozenset(
+    ["h1", "h2", "h3", "h4", "h5", "h6", "p", "a", "img", "ul", "ol",
+     "pre", "code", "blockquote"]
+)
+
+
 def _populate(doc: Document, document_html: HtmlDocument, base_url: str) -> None:
-    """Port of src/markdown_converter.rs:124-279 (struct order)."""
+    """Port of src/markdown_converter.rs:124-279 (struct order).
+
+    One pre-order traversal builds a tag index; per-tag iteration then
+    preserves document order exactly as repeated ``select`` calls would
+    (selectors here are all tag-shaped), without 13 full-tree scans.
+    """
+    by_tag: dict = {t: [] for t in _POPULATE_TAGS}
+    root = document_html.root_element()  # always the implied <html>
+    for el in root.iter_elements():
+        if el.tag in _POPULATE_TAGS:
+            by_tag[el.tag].append(el)
+
     # headings h1..h6 — grouped by LEVEL, not document position
-    for level, sel in enumerate(_SEL_HEADINGS, start=1):
-        for el in document_html.select(sel):
+    for level in range(1, 7):
+        for el in by_tag[f"h{level}"]:
             text = el.text().strip()
             if text:
                 doc.headings.append(Heading(level=level, text=text))
 
-    for el in document_html.select(_SEL_P):
+    for el in by_tag["p"]:
         text = el.text().strip()
         if text:
             doc.paragraphs.append(text)
 
-    for el in document_html.select(_SEL_A):
+    for el in by_tag["a"]:
         href = el.attr("href")
         if href is None:
             continue
@@ -121,7 +147,7 @@ def _populate(doc: Document, document_html: HtmlDocument, base_url: str) -> None
             if absolute is not None:
                 doc.links.append(Link(text=text, url=absolute))
 
-    for el in document_html.select(_SEL_IMG):
+    for el in by_tag["img"]:
         src = el.attr("src")
         if src is None:
             continue
@@ -132,20 +158,21 @@ def _populate(doc: Document, document_html: HtmlDocument, base_url: str) -> None
             doc.images.append(Image(alt=alt, src=absolute))
 
     # unordered lists, then ordered lists (src/markdown_converter.rs:219-242)
-    for el in document_html.select(_SEL_UL):
+    for el in by_tag["ul"]:
         items = [li.text().strip() for li in el.select(_SEL_LI)]
         items = [i for i in items if i]
         if items:
             doc.lists.append(ListBlock(ordered=False, items=items))
-    for el in document_html.select(_SEL_OL):
+    for el in by_tag["ol"]:
         items = [li.text().strip() for li in el.select(_SEL_LI)]
         items = [i for i in items if i]
         if items:
             doc.lists.append(ListBlock(ordered=True, items=items))
 
-    # "pre, code" — a code inside pre matches BOTH and is emitted twice;
-    # intentional parity with src/markdown_converter.rs:245-266
-    for el in document_html.select(_SEL_PRE_CODE):
+    # "pre, code" — document-order merge of both tags; a code inside pre
+    # matches BOTH and is emitted twice (parity,
+    # src/markdown_converter.rs:245-266)
+    for el in _iter_pre_code(document_html):
         text = el.text().strip()
         if text:
             lang = ""
@@ -155,10 +182,20 @@ def _populate(doc: Document, document_html: HtmlDocument, base_url: str) -> None
                     break
             doc.code_blocks.append(CodeBlock(language=lang, code=text))
 
-    for el in document_html.select(_SEL_BLOCKQUOTE):
+    for el in by_tag["blockquote"]:
         text = el.text().strip()
         if text:
             doc.blockquotes.append(text)
+
+
+def _iter_pre_code(document_html: HtmlDocument):
+    """'pre, code' in document order (one traversal)."""
+    root = document_html.root_element()
+    if root.tag in ("pre", "code"):
+        yield root
+    for el in root.iter_elements():
+        if el.tag in ("pre", "code"):
+            yield el
 
 
 def document_to_markdown(document: Document) -> str:
