@@ -434,6 +434,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q24_lsh_ann"] = q24_lsh_ann
 
     # ---- training-pipeline: text analysis ----------------------------------------------
+    def q34_embedding_neardup(spark, sf):
+        # synthesize near-dup groups: vec_id % 7 in {0,1} share the group
+        # leader's vector, so exact-duplicate pairs exist at cos=1.0
+        emb = _t(spark, sf, "embeddings")
+        leaders = emb.select(
+            F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec")
+        )
+        synth = (
+            emb.withColumn("lid", F.col("vec_id") - (F.col("vec_id") % 7))
+            .join(leaders, on="lid", how="left")
+            .select(
+                "vec_id",
+                F.when((F.col("vec_id") % 7) < 2, F.col("lvec"))
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+        return D.embedding_neardup_pairs(synth, "vec_id", "embedding", 0.99, 8)
+
+    q["q34_embedding_neardup"] = q34_embedding_neardup
+
     def q25_lang_id(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", X.predicted_lang(F.col("text")).alias("pred_lang")
@@ -858,6 +879,34 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
           FROM cands
         ) WHERE rank <= 5
+    """
+
+    neardup_bucket = " || ".join(
+        f"CASE WHEN e.embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in range(8)
+    )
+    _COS_LR = """
+        round(
+          list_aggregate(list_transform(generate_series(1, len(l.embedding)),
+            i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), 'sum')
+          / (sqrt(list_aggregate(list_transform(generate_series(1, len(l.embedding)),
+               i -> l.embedding[i]::DOUBLE * l.embedding[i]::DOUBLE), 'sum'))
+             * sqrt(list_aggregate(list_transform(generate_series(1, len(r.embedding)),
+               i -> r.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), 'sum'))), 4)
+    """
+    o["q34_embedding_neardup"] = f"""
+        WITH synth AS (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 7 < 2 THEN l.embedding ELSE e.embedding END AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings l ON l.vec_id = e.vec_id - (e.vec_id % 7)
+        ),
+        b AS (
+          SELECT e.vec_id, e.embedding, {neardup_bucket.replace("e.embedding", "e.embedding")} AS bucket
+          FROM synth e
+        )
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_LR} AS cos_sim
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {_COS_LR} >= 0.99
     """
 
     def _lang_score(words: list[str]) -> str:

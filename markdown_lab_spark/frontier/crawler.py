@@ -58,6 +58,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("priority", T.DoubleType()),
+        T.StructField("attempt", T.IntegerType()),
     ]
 )
 
@@ -73,6 +74,11 @@ class CrawlConfig:
     salt_n: int = 16
     chunk_size: int = 1000
     chunk_overlap: int = 200
+    # P2 retry semantics (markdown_lab/core/client.py:160-217): a failed
+    # fetch re-enters the next wave with attempt+1 instead of sleeping
+    # 2**attempt — wave cadence IS the backoff. attempts = max_retries + 1
+    # like the client (the errors.py helper's off-by-one is not replicated).
+    max_retries: int = 0
 
     @property
     def budget(self) -> int:
@@ -124,7 +130,7 @@ def robots_filter(
                 F.struct(F.col("rule_len"), F.col("is_allow")),
             ),
         )
-        .groupBy("canon_url", "host", "depth", "priority")
+        .groupBy("canon_url", "host", "depth", "priority", "attempt")
         .agg(F.max("_hit").alias("_best"))
         .withColumn(
             "_allowed", F.coalesce(F.col("_best.is_allow"), F.lit(True))
@@ -213,7 +219,8 @@ class CrawlEngine:
             .withColumn("host", domain_col(F.col("canon_url")))
             .withColumn("depth", F.lit(0))
             .withColumn("priority", F.lit(1.0))
-            .select("canon_url", "host", "depth", "priority")
+            .withColumn("attempt", F.lit(0))
+            .select("canon_url", "host", "depth", "priority", "attempt")
             .dropDuplicates(["canon_url"])
         )
 
@@ -323,6 +330,10 @@ class CrawlEngine:
                 F.broadcast(scheduled), on="canon_url", how="inner"
             )
             missed = scheduled.join(pages_slim, on="canon_url", how="left_anti")
+            # P2 retry split: a miss with attempts left re-enters the next
+            # wave (attempt+1); an exhausted miss is final (seen)
+            retry = missed.filter(F.col("attempt") < cfg.max_retries)
+            missed_final = missed.filter(F.col("attempt") >= cfg.max_retries)
 
             # 5. convert + chunk (Arrow-vectorized)
             docs = (
@@ -366,12 +377,14 @@ class CrawlEngine:
                 .agg(
                     (F.min("parent_depth") + 1).alias("depth"),
                     F.lit(0.5).alias("priority"),
+                    F.lit(0).alias("attempt"),
                 )
             )
 
-            # 7. bookkeeping
+            # 7. bookkeeping — retrying rows are NOT seen yet
             seen_delta = (
-                scheduled.select("canon_url", "host", "depth")
+                scheduled.join(retry, on="canon_url", how="left_anti")
+                .select("canon_url", "host", "depth")
                 .withColumn("status_wave", F.lit(wave))
                 .unionByName(
                     denied.select("canon_url", "host", "depth").withColumn(
@@ -386,9 +399,14 @@ class CrawlEngine:
                     F.col("status").alias("status"),
                 )
                 .unionByName(
-                    missed.select("canon_url", "host", "depth")
+                    missed_final.select("canon_url", "host", "depth")
                     .withColumn("wave", F.lit(wave))
                     .withColumn("status", F.lit("fetch_miss"))
+                )
+                .unionByName(
+                    retry.select("canon_url", "host", "depth")
+                    .withColumn("wave", F.lit(wave))
+                    .withColumn("status", F.lit("retry"))
                 )
                 .unionByName(
                     denied.select("canon_url", "host", "depth")
@@ -419,14 +437,25 @@ class CrawlEngine:
                 else seen_delta
             ).dropDuplicates(["canon_url"])
 
+            requeued = retry.select(
+                "canon_url", "host", "depth", "priority",
+                (F.col("attempt") + 1).alias("attempt"),
+            )
             new_frontier = (
-                deferred.unionByName(
+                deferred.select("canon_url", "host", "depth", "priority", "attempt")
+                .unionByName(requeued)
+                .unionByName(
                     discovered.join(seen_next, on="canon_url", how="left_anti")
                     .join(deferred, on="canon_url", how="left_anti")
-                    .select("canon_url", "host", "depth", "priority")
+                    .join(requeued, on="canon_url", how="left_anti")
+                    .select("canon_url", "host", "depth", "priority", "attempt")
                 )
                 .groupBy("canon_url", "host")
-                .agg(F.min("depth").alias("depth"), F.max("priority").alias("priority"))
+                .agg(
+                    F.min("depth").alias("depth"),
+                    F.max("priority").alias("priority"),
+                    F.max("attempt").alias("attempt"),
+                )
             )
 
             _t = _tick(f"w{wave} plan build", _t)

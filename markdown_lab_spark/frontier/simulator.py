@@ -68,17 +68,18 @@ def simulate_crawl(
     wave_seconds: int = 10,
     max_waves: int = 100,
     robots: Optional[Dict[str, RobotsRules]] = None,
+    max_retries: int = 0,
 ) -> SimResult:
     if robots is None:
         robots = load_robots(pages)
     budget = max(1, int(max(0.1, rps) * wave_seconds))
 
-    # frontier entries: canon_url -> (depth, priority)
-    frontier: Dict[str, Tuple[int, float]] = {}
+    # frontier entries: canon_url -> (depth, priority, attempt)
+    frontier: Dict[str, Tuple[int, float, int]] = {}
     for s in seeds:
         c = normalize_url(s)
         if c not in frontier:
-            frontier[c] = (0, 1.0)
+            frontier[c] = (0, 1.0, 0)
 
     seen: Set[str] = set()
     records: List[CrawlRecord] = []
@@ -87,8 +88,8 @@ def simulate_crawl(
         if not frontier:
             break
         # robots filter
-        allowed: Dict[str, Tuple[int, float]] = {}
-        for url, (depth, prio) in frontier.items():
+        allowed: Dict[str, Tuple[int, float, int]] = {}
+        for url, (depth, prio, attempt) in frontier.items():
             host = get_domain_from_url(url)
             rr = robots.get(host)
             if rr is not None and not rr.is_allowed(_path_of(url)):
@@ -97,34 +98,42 @@ def simulate_crawl(
                     CrawlRecord(url, wave, depth, host, False, "robots_denied")
                 )
             else:
-                allowed[url] = (depth, prio)
+                allowed[url] = (depth, prio, attempt)
 
         # per-host politeness: (depth ASC, priority DESC, url ASC), head=budget
-        by_host: Dict[str, List[Tuple[int, float, str]]] = {}
-        for url, (depth, prio) in allowed.items():
+        by_host: Dict[str, List[Tuple[int, float, str, int]]] = {}
+        for url, (depth, prio, attempt) in allowed.items():
             by_host.setdefault(get_domain_from_url(url), []).append(
-                (depth, prio, url)
+                (depth, prio, url, attempt)
             )
-        scheduled: List[Tuple[str, int, float]] = []
-        deferred: Dict[str, Tuple[int, float]] = {}
+        scheduled: List[Tuple[str, int, float, int]] = []
+        deferred: Dict[str, Tuple[int, float, int]] = {}
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (e[0], -e[1], e[2]))
-            for depth, prio, url in entries[:budget]:
-                scheduled.append((url, depth, prio))
-            for depth, prio, url in entries[budget:]:
-                deferred[url] = (depth, prio)
+            for depth, prio, url, attempt in entries[:budget]:
+                scheduled.append((url, depth, prio, attempt))
+            for depth, prio, url, attempt in entries[budget:]:
+                deferred[url] = (depth, prio, attempt)
 
-        # fetch + convert + discover
-        discovered: Dict[str, Tuple[int, float]] = {}
-        for url, depth, _prio in scheduled:
+        # fetch + convert + discover; misses with attempts left requeue (P2)
+        discovered: Dict[str, Tuple[int, float, int]] = {}
+        requeued: Dict[str, Tuple[int, float, int]] = {}
+        for url, depth, prio, attempt in scheduled:
             host = get_domain_from_url(url)
-            seen.add(url)
             body = pages.get(url)
             if body is None:
-                records.append(
-                    CrawlRecord(url, wave, depth, host, False, "fetch_miss")
-                )
+                if attempt < max_retries:
+                    requeued[url] = (depth, prio, attempt + 1)
+                    records.append(
+                        CrawlRecord(url, wave, depth, host, False, "retry")
+                    )
+                else:
+                    seen.add(url)
+                    records.append(
+                        CrawlRecord(url, wave, depth, host, False, "fetch_miss")
+                    )
                 continue
+            seen.add(url)
             records.append(CrawlRecord(url, wave, depth, host, True, "ok"))
             if url.endswith(("/robots.txt", "/sitemap.xml")):
                 continue  # non-HTML rows don't contribute links
@@ -137,14 +146,16 @@ def simulate_crawl(
                 if c in discovered:
                     # multiple parents in one wave: keep the MIN depth
                     # (matches the engine's groupBy min(parent_depth)+1)
-                    discovered[c] = (min(discovered[c][0], depth + 1), 0.5)
+                    discovered[c] = (min(discovered[c][0], depth + 1), 0.5, 0)
                 else:
-                    discovered[c] = (depth + 1, 0.5)
+                    discovered[c] = (depth + 1, 0.5, 0)
 
         # scheduled urls may also appear in discovered via self-links
-        for url, _, _ in scheduled:
+        for url, _, _, _ in scheduled:
+            discovered.pop(url, None)
+        for url in requeued:
             discovered.pop(url, None)
 
-        frontier = {**deferred, **discovered}
+        frontier = {**deferred, **discovered, **requeued}
 
     return SimResult(records=records, seen=seen)

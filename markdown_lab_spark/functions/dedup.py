@@ -179,3 +179,43 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[F.when(F.col(f"v_{d}") > 0, F.lit("1")).otherwise(F.lit("0")) for d in range(16)]
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Sign-LSH bucketing (concatenated signs of the first ``bits`` dims)
+    restricts the self-join to same-bucket candidates — near-identical
+    vectors share the bucket with high probability — then exact cosine
+    filters at ``threshold``. At 100 TB the bucket column doubles as the
+    table's partition key so the self-join is co-located per bucket.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos rounded to 4dp.
+    """
+    from .similarity import cosine_similarity_col, sign_bucket_col
+
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), bits).alias("bucket")
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -98,3 +98,39 @@ def test_checkpoint_resume_identical(spark, corpus, pages_df, tmp_path):
     early = {t for t in full_trace if t[1] < 3}
     assert early | resumed_trace == full_trace
     assert resumed_seen == full_seen
+
+
+def test_retry_requeue_matches_simulator(spark, corpus, pages_df):
+    """P2: dead links retry (attempt+1 per wave) before going fetch_miss;
+    trace parity with the simulator holds with retries on."""
+    cfg = dict(rps=1.0, wave_seconds=5, max_waves=6)
+    sim = simulate_crawl(
+        corpus.pages_dict(), corpus.seeds, rps=cfg["rps"],
+        wave_seconds=cfg["wave_seconds"], max_waves=cfg["max_waves"],
+        max_retries=2,
+    )
+    sim_statuses = {r.status for r in sim.records}
+    assert "retry" in sim_statuses  # dead links exist in the corpus
+
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(**cfg, max_retries=2))
+    out = engine.crawl(corpus.seeds)
+    trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in out["trace"].collect()
+    }
+    assert trace == sim.trace()
+    seen = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
+    assert seen == sim.seen
+    # a retried URL appears in multiple waves, final status fetch_miss
+    by_url = {}
+    for u, w, d, s in trace:
+        by_url.setdefault(u, []).append((w, s))
+    retried = {u: v for u, v in by_url.items() if any(s == "retry" for _, s in v)}
+    assert retried
+    for u, events in retried.items():
+        events.sort()
+        last_wave, last_status = events[-1]
+        # resolved, or still mid-retry only because max_waves cut the crawl
+        assert last_status in ("fetch_miss", "ok") or last_wave >= cfg["max_waves"] - 2

@@ -172,3 +172,47 @@ def test_crawl_fetch_join_is_broadcast(spark, pages_df):
         F.broadcast(sched), on="canon_url", how="inner"
     )
     assert_in_plan(fetched, "BroadcastHashJoin")
+
+
+def test_stateful_first_seen_filter(spark, tmp_path):
+    """applyInPandasWithState: streaming per-host URL-seen dedup keeps
+    state across micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from markdown_lab_spark.streaming.stateful import first_seen_filter
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        table = pa.table(
+            {"host": [r[0] for r in rows], "canon_url": [r[1] for r in rows]}
+        )
+        pq.write_table(table, str(in_dir / name))
+
+    write_batch("b1.parquet", [("h1", "u1"), ("h1", "u2"), ("h2", "u1")])
+    write_batch("b2.parquet", [("h1", "u1"), ("h1", "u3"), ("h2", "u1")])
+
+    schema = "host string, canon_url string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        first_seen_filter(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["host"], r["canon_url"])
+        for r in spark.sql("select * from first_seen").collect()
+    }
+    # u1 emitted once per host despite appearing in both batches
+    assert rows == {("h1", "u1"), ("h1", "u2"), ("h1", "u3"), ("h2", "u1")}
