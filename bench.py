@@ -71,7 +71,9 @@ def make_spark(cpus: int):
     )
 
 
-def _crawl_leg_subprocess(cpus: int, corpus_path: str) -> tuple[float, int]:
+def _crawl_leg_subprocess(
+    cpus: int, corpus_path: str, attempts: int = 1
+) -> tuple[float, int]:
     """Run one crawl leg in a fresh subprocess pinned to ``cpus`` cores.
 
     Models an n-core machine: the JVM and every python worker it forks
@@ -87,7 +89,7 @@ def _crawl_leg_subprocess(cpus: int, corpus_path: str) -> tuple[float, int]:
     ]
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     best: tuple[float, int] | None = None
-    for _attempt in range(2):  # best-of-2: local runs are noisy
+    for _attempt in range(attempts):  # best-of-N: local runs are noisy
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=3000
         )
@@ -182,7 +184,9 @@ def main() -> None:
         "cpus": CPUS,
     }
 
-    crawl_sec, n_urls = _crawl_leg_subprocess(CPUS, corpus_path)
+    crawl_sec, n_urls = _crawl_leg_subprocess(
+        CPUS, corpus_path, attempts=2 if scaling_mode else 1
+    )
 
     spark = make_spark(CPUS)
     qtimes = run_queries(spark, SF_DIR)
@@ -195,7 +199,7 @@ def main() -> None:
 
     if scaling_mode:
         low = max(1, CPUS // 4)
-        crawl_low_sec, n_low = _crawl_leg_subprocess(low, corpus_path)
+        crawl_low_sec, n_low = _crawl_leg_subprocess(low, corpus_path, attempts=2)
         tput_hi = n_urls / crawl_sec
         tput_lo = n_low / crawl_low_sec
         eff = (tput_hi / tput_lo) / (CPUS / low)
