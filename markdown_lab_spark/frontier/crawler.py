@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from ..functions.udfs import (
     chunk_markdown_udf,
-    convert_html_udf,
+    convert_markdown_udf,
     normalize_url_col,
     domain_col,
 )
@@ -338,7 +338,9 @@ class CrawlEngine:
             # 5. convert + chunk (Arrow-vectorized)
             docs = (
                 fetched.withColumn(
-                    "doc", convert_html_udf(F.col("html"), F.col("url"))
+                    # markdown-only variant: the crawl consumes markdown +
+                    # links; json/xml serialization is skipped in this path
+                    "doc", convert_markdown_udf(F.col("html"), F.col("url"))
                 )
                 .select(
                     "canon_url",

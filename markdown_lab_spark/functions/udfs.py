@@ -51,62 +51,70 @@ def _decode_html(raw) -> Optional[str]:
     return str(raw)
 
 
-@pandas_udf(CONVERT_SCHEMA)
-def convert_html_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    titles: List[Optional[str]] = []
-    markdowns: List[Optional[str]] = []
-    jsons: List[Optional[str]] = []
-    xmls: List[Optional[str]] = []
-    links: List[Optional[List[str]]] = []
-    statuses: List[str] = []
-    errors: List[Optional[str]] = []
-    for raw, base in zip(html, url):
-        text = _decode_html(raw)
-        if text is None:
-            titles.append(None)
-            markdowns.append(None)
-            jsons.append(None)
-            xmls.append(None)
-            links.append(None)
-            statuses.append("fetch_miss")
-            errors.append(None)
-            continue
-        try:
-            # compute the full row BEFORE appending anything so a failure
-            # mid-row can't leave the output columns ragged; ONE parse per
-            # page is shared by conversion and link extraction
-            tree = oracle_html.parse_document(text)
-            doc = oracle_md.parse_tree_to_document(tree, base)
-            row = (
-                doc.title,
-                oracle_md.document_to_markdown(doc),
-                oracle_md.document_to_json(doc),
-                oracle_md.document_to_xml(doc),
-                oracle_html.extract_links_parsed(tree, base),
-                "ok",
-                None,
-            )
-        except Exception as exc:  # per-row capture, never fail the batch
-            row = (None, None, None, None, None, "error",
-                   f"{type(exc).__name__}: {exc}"[:500])
-        titles.append(row[0])
-        markdowns.append(row[1])
-        jsons.append(row[2])
-        xmls.append(row[3])
-        links.append(row[4])
-        statuses.append(row[5])
-        errors.append(row[6])
-    return pd.DataFrame(
-        {
-            "title": titles,
-            "markdown": markdowns,
-            "json": jsons,
-            "xml": xmls,
-            "links": links,
-            "status": statuses,
-            "error": errors,
-        }
-    )
+def make_convert_udf(formats: tuple = ("markdown", "json", "xml")):
+    """Convert UDF computing only the requested serializations.
+
+    The crawl pipeline consumes markdown+links only; skipping the json/xml
+    serializations there cuts ~20% of per-page Python time. Columns not
+    requested come back null (schema is stable for all variants).
+    """
+    want_json = "json" in formats
+    want_xml = "xml" in formats
+
+    @pandas_udf(CONVERT_SCHEMA)
+    def convert_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        titles: List[Optional[str]] = []
+        markdowns: List[Optional[str]] = []
+        jsons: List[Optional[str]] = []
+        xmls: List[Optional[str]] = []
+        links: List[Optional[List[str]]] = []
+        statuses: List[str] = []
+        errors: List[Optional[str]] = []
+        for raw, base in zip(html, url):
+            text = _decode_html(raw)
+            if text is None:
+                row = (None, None, None, None, None, "fetch_miss", None)
+            else:
+                try:
+                    tree = oracle_html.parse_document(text)
+                    doc = oracle_md.parse_tree_to_document(tree, base)
+                    row = (
+                        doc.title,
+                        oracle_md.document_to_markdown(doc),
+                        oracle_md.document_to_json(doc) if want_json else None,
+                        oracle_md.document_to_xml(doc) if want_xml else None,
+                        oracle_html.extract_links_parsed(tree, base),
+                        "ok",
+                        None,
+                    )
+                except Exception as exc:
+                    row = (None, None, None, None, None, "error",
+                           f"{type(exc).__name__}: {exc}"[:500])
+            titles.append(row[0])
+            markdowns.append(row[1])
+            jsons.append(row[2])
+            xmls.append(row[3])
+            links.append(row[4])
+            statuses.append(row[5])
+            errors.append(row[6])
+        return pd.DataFrame(
+            {
+                "title": titles,
+                "markdown": markdowns,
+                "json": jsons,
+                "xml": xmls,
+                "links": links,
+                "status": statuses,
+                "error": errors,
+            }
+        )
+
+    return convert_udf
+
+
+# full-format variant (all serializations) and the crawl hot-path variant
+convert_html_udf = make_convert_udf(("markdown", "json", "xml"))
+convert_markdown_udf = make_convert_udf(("markdown",))
 
 
 # ---------------------------------------------------------------------------

@@ -175,6 +175,9 @@ class HtmlDocument:
 
 
 def _escape_text(text: str) -> str:
+    if ("&" not in text and "<" not in text and ">" not in text
+            and "\xa0" not in text):
+        return text  # hot path: most text nodes need no escaping
     return (
         text.replace("&", "&amp;")
         .replace("\xa0", "&nbsp;")
@@ -184,6 +187,8 @@ def _escape_text(text: str) -> str:
 
 
 def _escape_attr(text: str) -> str:
+    if "&" not in text and '"' not in text and "\xa0" not in text:
+        return text
     return (
         text.replace("&", "&amp;").replace("\xa0", "&nbsp;").replace('"', "&quot;")
     )
