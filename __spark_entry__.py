@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from markdown_lab_spark.functions import dedup as D
 from markdown_lab_spark.functions import similarity as S
 from markdown_lab_spark.functions import text as X
+from markdown_lab_spark.functions.topk import ranked_topk
 from markdown_lab_spark.functions.udfs import (
     chunk_semantic_udf,
     convert_html_udf,
@@ -199,12 +200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q07_regex_filters"] = q07_regex_filters
 
     def q08_limit_ordered(spark, sf):
-        w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        return (
-            _t(spark, sf, "documents")
-            .withColumn("rn", F.row_number().over(w).cast("long"))
-            .filter(F.col("rn") <= 100)
-            .select("doc_id", "n_chars", "rn")
+        # distributed top-k (TakeOrderedAndProject) + window-free rank of
+        # the 100 survivors — no partition-less WindowExec (functions/topk.py)
+        return ranked_topk(
+            _t(spark, sf, "documents").select("doc_id", "n_chars"),
+            100,
+            [(F.col("n_chars"), True), (F.col("doc_id"), False)],
+            rank_col="rn",
         )
 
     q["q08_limit_ordered"] = q08_limit_ordered
@@ -400,11 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 S.cosine_similarity_col(F.col("embedding"), F.col("qv")), 4
             ).alias("cos_sim"),
         )
-        w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        return (
-            scored.filter(F.col("vec_id") != 0)
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
+        return ranked_topk(
+            scored.filter(F.col("vec_id") != 0),
+            10,
+            [(F.col("cos_sim"), True), (F.col("vec_id"), False)],
         )
 
     q["q23_cosine_topk"] = q23_cosine_topk
@@ -419,16 +420,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cands = emb.crossJoin(F.broadcast(qb)).filter(
             (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
         )
-        w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        return (
+        return ranked_topk(
             cands.select(
                 "vec_id",
                 F.round(
                     S.cosine_similarity_col(F.col("embedding"), F.col("qv")), 4
                 ).alias("cos_sim"),
-            )
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 5)
+            ),
+            5,
+            [(F.col("cos_sim"), True), (F.col("vec_id"), False)],
         )
 
     q["q24_lsh_ann"] = q24_lsh_ann
@@ -996,7 +996,103 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # q32 (stateful Rust chunker) and q33 partially: q33's single-section
+    # q32: the Rust-semantics chunker (src/chunker.rs:62-154) on the
+    # closed-form corpus markdown. The markdown is exactly 7 lines
+    # ('# Doc N', '', '## Part M', '', text, '', '[next doc](...)'), the
+    # corpus text is single-line pure ASCII (byte offset == char offset)
+    # with no [.!?] and no whitespace runs, so the chunker's line-fold
+    # unrolls into closed-form SQL:
+    #   - '## Part M' flushes '# Doc N\n' as chunk 0 (heading flush,
+    #     chunker.rs:104-117);
+    #   - the section then sees three non-heading appends (text, '', link),
+    #     each followed by AT MOST ONE split when len > chunk_size
+    #     (chunker.rs:119-136: the split check runs once per appended line,
+    #     not in a loop);
+    #   - each split point is find_good_split_point(bytes, size-overlap)
+    #     (chunker.rs:185-215), the paragraph/sentence/newline/whitespace
+    #     cascade below (Python re.search(p).end() == length of RE2 group 0
+    #     of '(?s)^.*?p': leftmost start, then p's own greedy semantics).
+    _CHUNK_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+    def _fgsp(s: str) -> str:
+        """find_good_split_point(s, 160) — only evaluated when len(s) > 200."""
+        t = f"substr({s}, 161)"
+        para = f"regexp_extract({t}, '(?s)^.*?\\n[ \\t\\n\\r\\x0B\\x0C]*\\n', 0)"
+        sent = f"regexp_extract({t}, '(?s)^.*?[.!?][ \\t\\n\\r\\x0B\\x0C]+', 0)"
+        ws = f"regexp_extract({t}, '(?s)^.*?[ \\t\\n\\r\\x0B\\x0C]', 0)"
+        return f"""160 + (CASE
+              WHEN {para} <> '' THEN length({para})
+              WHEN {sent} <> '' THEN length({sent})
+              WHEN strpos({t}, chr(10)) > 0 THEN strpos({t}, chr(10))
+              WHEN {ws} <> '' THEN length({ws})
+              ELSE 0 END)"""
+
+    o["q32_chunk_markdown"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) AS c0,
+                 '## Part ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10)
+                   || trim(text) AS s1,
+                 '[next doc](https://' || source || '.example.com/next/doc-'
+                   || CAST(doc_id + 1 AS VARCHAR) || ')' AS link
+          FROM documents
+        ),
+        a AS (
+          SELECT *, CASE WHEN length(s1) > 200 THEN {_fgsp("s1")} END AS spa
+          FROM base
+        ),
+        a2 AS (
+          SELECT doc_id, link, c0,
+                 CASE WHEN spa IS NOT NULL THEN substr(s1, 1, spa) END AS ca,
+                 CASE WHEN spa IS NOT NULL
+                      THEN trim(substr(s1, spa + 1), {_CHUNK_WS})
+                      ELSE s1 END AS cur1
+          FROM a
+        ),
+        b0 AS (
+          SELECT *, CASE WHEN cur1 = '' THEN '' ELSE cur1 || chr(10) END AS s2
+          FROM a2
+        ),
+        b AS (
+          SELECT *, CASE WHEN length(s2) > 200 THEN {_fgsp("s2")} END AS spb
+          FROM b0
+        ),
+        b2 AS (
+          SELECT doc_id, link, c0, ca,
+                 CASE WHEN spb IS NOT NULL THEN substr(s2, 1, spb) END AS cb,
+                 CASE WHEN spb IS NOT NULL
+                      THEN trim(substr(s2, spb + 1), {_CHUNK_WS})
+                      ELSE s2 END AS cur2
+          FROM b
+        ),
+        cc0 AS (
+          SELECT *, CASE WHEN cur2 = '' THEN link
+                         ELSE cur2 || chr(10) || link END AS s3
+          FROM b2
+        ),
+        cc1 AS (
+          SELECT *, CASE WHEN length(s3) > 200 THEN {_fgsp("s3")} END AS spc
+          FROM cc0
+        ),
+        cc2 AS (
+          SELECT doc_id, c0, ca, cb,
+                 CASE WHEN spc IS NOT NULL THEN substr(s3, 1, spc) END AS cc,
+                 CASE WHEN spc IS NOT NULL
+                      THEN trim(substr(s3, spc + 1), {_CHUNK_WS})
+                      ELSE s3 END AS cur3
+          FROM cc1
+        ),
+        lists AS (
+          SELECT doc_id,
+                 list_filter([c0, ca, cb, cc, NULLIF(cur3, '')],
+                             x -> x IS NOT NULL) AS l
+          FROM cc2
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS content
+        FROM lists, unnest(generate_series(1, len(l))) AS t(i)
+    """
+
+    # q33 partially: q33's single-section
     # semantic chunk IS expressible (all docs fit one section at this scale)
     o["q33_chunk_semantic"] = f"""
         WITH m AS (

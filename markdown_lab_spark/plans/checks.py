@@ -42,6 +42,30 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert_in_plan(df, "BroadcastHashJoin")
 
 
+def _iter_logical(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_logical(node.children().apply(i))
+
+
+def assert_no_partitionless_window(df: DataFrame) -> None:
+    """No Window node with an empty partition spec.
+
+    A partition-less window moves EVERY row to one task (Spark's
+    'WindowExec: No Partition Defined' warning) — a full single-node sort
+    at 100 TB. Top-k must be orderBy().limit() (TakeOrderedAndProject);
+    ranking may window only over an already-bounded input with a
+    partition spec.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
+    for node in _iter_logical(plan):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            raise AssertionError(
+                "partition-less Window in plan (single-partition sort):\n"
+                + node.toString()
+            )
+
+
 def scan_read_schema(df: DataFrame) -> str:
     """ReadSchema of the first scan (column-pruning check)."""
     plan = formatted_plan(df)
