@@ -37,7 +37,7 @@ from ..functions.udfs import (
     normalize_url_col,
     domain_col,
 )
-from ..oracle.sitemap import RobotsRules, parse_robots
+from ..oracle.sitemap import RobotsRules
 from .bloom import ShardedBloom
 from .politeness import politeness_budget, schedule_wave
 
@@ -85,59 +85,94 @@ class CrawlConfig:
         return politeness_budget(self.rps, self.wave_seconds)
 
 
-def load_robots_rules(pages: DataFrame) -> Dict[str, RobotsRules]:
-    """Parse every robots.txt row of the corpus (one small job)."""
-    rows = (
-        pages.filter(F.col("url").endswith("/robots.txt"))
-        .select("url", F.col("html").cast("string").alias("body"))
-        .collect()
-    )
-    out: Dict[str, RobotsRules] = {}
-    for r in rows:
-        host = r["url"].split("://", 1)[-1].split("/", 1)[0]
-        out[host] = parse_robots(r["body"] or "")
-    return out
+ROBOTS_RULES_SCHEMA = "host string, prefix string, is_allow boolean, rule_len int"
 
 
-def robots_filter(
-    df: DataFrame, robots: Dict[str, RobotsRules], spark: SparkSession
-) -> Tuple[DataFrame, DataFrame]:
-    """Split (allowed, denied) using a broadcast prefix-rule table.
+def robots_rules_df(pages: DataFrame) -> DataFrame:
+    """(host, prefix, is_allow, rule_len) parsed DISTRIBUTIVELY.
 
-    Rules are exploded to (host, prefix, is_allow, rule_len) and joined
-    broadcast; longest matching prefix wins, Allow wins ties, no rule =>
-    allowed. This is a pure JVM plan (no Python in the path).
+    Round-1 verdict: collecting every robots.txt body to the driver is an
+    OOM at 10^8 hosts. Here each executor parses its own partition's
+    robots pages (Arrow-batched mapInPandas over oracle.sitemap's
+    reference-faithful parser) and only the exploded rule rows flow on.
     """
+    robots_pages = pages.filter(F.col("url").endswith("/robots.txt")).select(
+        "url", F.col("html").cast("string").alias("body")
+    )
+
+    def parse_batches(iterator):
+        from ..oracle.sitemap import parse_robots as _parse  # noqa: PLC0415
+
+        for pdf in iterator:
+            hosts: List[str] = []
+            prefixes: List[str] = []
+            allows: List[bool] = []
+            lens_: List[int] = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                host = (url or "").split("://", 1)[-1].split("/", 1)[0]
+                for prefix, is_allow in _parse(body or "").rules:
+                    hosts.append(host)
+                    prefixes.append(prefix)
+                    allows.append(is_allow)
+                    lens_.append(len(prefix))
+            if hosts:
+                yield pd.DataFrame(
+                    {
+                        "host": hosts,
+                        "prefix": prefixes,
+                        "is_allow": allows,
+                        "rule_len": lens_,
+                    }
+                )
+
+    return robots_pages.mapInPandas(parse_batches, ROBOTS_RULES_SCHEMA)
+
+
+def robots_host_rules(rules: DataFrame) -> DataFrame:
+    """One row per host with its rules as an array (bounded: a robots.txt
+    has dozens of rules, not millions) — lets the frontier filter be a
+    plain equi-join + JVM array expression with NO post-join aggregation."""
+    return rules.groupBy("host").agg(
+        F.collect_list(F.struct("rule_len", "is_allow", "prefix")).alias("_rules")
+    )
+
+
+def host_rules_from_dict(
+    spark: SparkSession, robots: Dict[str, RobotsRules]
+) -> DataFrame:
+    """Seed-scale path: a driver-side dict (e.g. from hand-parsed fixtures)
+    lifted to the same (host, _rules) shape."""
     rule_rows = [
         (host, prefix, is_allow, len(prefix))
         for host, rr in robots.items()
         for prefix, is_allow in rr.rules
     ]
-    if not rule_rows:
-        return df, df.limit(0)
-    rules_df = spark.createDataFrame(
-        rule_rows, "host string, prefix string, is_allow boolean, rule_len int"
+    rules = spark.createDataFrame(
+        rule_rows or spark.sparkContext.emptyRDD(), ROBOTS_RULES_SCHEMA
     )
+    return robots_host_rules(rules)
+
+
+def robots_filter(
+    df: DataFrame, host_rules: DataFrame
+) -> Tuple[DataFrame, DataFrame]:
+    """Split (allowed, denied): equi-join per-host rule arrays, then pick
+    the longest matching prefix (Allow wins ties) as a pure JVM array
+    expression — one join, zero shuffles beyond it (AQE broadcasts the
+    rules side when it is small; at 10^8 hosts it stays a shuffle join
+    keyed on host, which is the right plan). No rule => allowed
+    (markdown_lab has no fetch-time robots check; north_rule adds it)."""
     path = F.regexp_extract(F.col("canon_url"), r"^[a-z]+://[^/]*(/.*)?$", 1)
-    matched = (
-        df.withColumn("_path", F.coalesce(path, F.lit("/")))
-        .join(F.broadcast(rules_df), on="host", how="left")
-        .withColumn(
-            "_hit",
-            F.when(
-                F.col("prefix").isNotNull()
-                & F.col("_path").startswith(F.col("prefix")),
-                F.struct(F.col("rule_len"), F.col("is_allow")),
-            ),
-        )
-        .groupBy("canon_url", "host", "depth", "priority", "attempt")
-        .agg(F.max("_hit").alias("_best"))
-        .withColumn(
-            "_allowed", F.coalesce(F.col("_best.is_allow"), F.lit(True))
-        )
+    best = F.array_max(
+        F.filter(F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"]))
     )
-    allowed = matched.filter(F.col("_allowed")).drop("_best", "_allowed")
-    denied = matched.filter(~F.col("_allowed")).drop("_best", "_allowed")
+    flagged = (
+        df.withColumn("_path", F.coalesce(path, F.lit("/")))
+        .join(host_rules, on="host", how="left")
+        .withColumn("_allowed", F.coalesce(best["is_allow"], F.lit(True)))
+    )
+    allowed = flagged.filter(F.col("_allowed")).drop("_path", "_rules", "_allowed")
+    denied = flagged.filter(~F.col("_allowed")).drop("_path", "_rules", "_allowed")
     return allowed, denied
 
 
@@ -204,7 +239,8 @@ class CrawlEngine:
         # canonicalize the corpus once; keep html out of any shuffle by
         # projecting it only at the join
         self.pages = pages.withColumn("canon_url", normalize_url_col(F.col("url")))
-        self.robots = load_robots_rules(pages)
+        # static across waves; cached so the mapInPandas parse runs once
+        self.host_rules = robots_host_rules(robots_rules_df(pages)).cache()
 
     # -- state ----------------------------------------------------------------
     def _frontier_from_seeds(self, seeds) -> DataFrame:
@@ -309,7 +345,7 @@ class CrawlEngine:
             # 2. robots allow/deny — cache both branches: each is consumed by
             # multiple downstream plans and would otherwise re-run the whole
             # frontier lineage (corpus scan + robots join + windows) per use
-            allowed, denied = robots_filter(candidates, self.robots, self.spark)
+            allowed, denied = robots_filter(candidates, self.host_rules)
             allowed = allowed.cache()
             denied = denied.cache()
 
