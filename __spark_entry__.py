@@ -81,6 +81,11 @@ def _webdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_FILLER = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+)
+
 _MD_SQL = (
     "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
     "'## Part ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10) || "
@@ -360,6 +365,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.col("text")),
         )
 
+    def _simdocs(spark, sf):
+        # near-dup groups for SimHash: docs in a group share a long token
+        # block and differ in exactly one trailing token, so within-group
+        # Hamming distances are small but (mostly) nonzero
+        return (
+            _t(spark, sf, "documents")
+            .filter((F.col("doc_id") % 10) < 3)
+            .withColumn(
+                "content",
+                F.concat(
+                    F.lit("shared simhash block "),
+                    F.floor(F.col("doc_id") / 30).cast("string"),
+                    F.lit(" " + _SIM_FILLER + " tok"),
+                    (F.col("doc_id") % 3).cast("string"),
+                ),
+            )
+        )
+
     def q18_dedup_exact(spark, sf):
         return D.exact_dedup(_dupdocs(spark, sf), "doc_id", "content")
 
@@ -389,6 +412,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash16(docs, "doc_id", "text")
 
     q["q22_simhash"] = q22_simhash
+
+    def q36_simhash64(spark, sf):
+        docs = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
+        return D.simhash64(docs, "doc_id", "text")
+
+    q["q36_simhash64"] = q36_simhash64
+
+    def q37_simhash_hamming(spark, sf):
+        fps = D.simhash64(_simdocs(spark, sf), "doc_id", "content")
+        return D.simhash_hamming_pairs(
+            fps, id_col="doc_id", bands=8, max_hamming=7
+        )
+
+    q["q37_simhash_hamming"] = q37_simhash_hamming
 
     # ---- training-pipeline: similarity search ----------------------------------------
     def q23_cosine_topk(spark, sf):
@@ -454,6 +491,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.embedding_neardup_pairs(synth, "vec_id", "embedding", 0.99, 8)
 
     q["q34_embedding_neardup"] = q34_embedding_neardup
+
+    def _synth_neardup_embeddings(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        leaders = emb.select(
+            F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec")
+        )
+        return (
+            emb.withColumn("lid", F.col("vec_id") - (F.col("vec_id") % 7))
+            .join(leaders, on="lid", how="left")
+            .select(
+                "vec_id",
+                F.when((F.col("vec_id") % 7) < 2, F.col("lvec"))
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+
+    def q35_embedding_neardup_lsh(spark, sf):
+        # scale-safe variant: Rademacher hyperplanes + banding (16 bits /
+        # 4 bands here for oracle tractability; 64/8 at corpus scale)
+        return D.embedding_neardup_pairs_banded(
+            _synth_neardup_embeddings(spark, sf),
+            "vec_id",
+            "embedding",
+            threshold=0.99,
+            nbits=16,
+            bands=4,
+            dim=64,
+        )
+
+    q["q35_embedding_neardup_lsh"] = q35_embedding_neardup_lsh
 
     def q25_lang_id(spark, sf):
         return _t(spark, sf, "documents").select(
@@ -837,6 +905,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {fp_concat} AS simhash FROM agg
     """
 
+    # ---- simhash64 (q36/q37): bit d of md5(tok) = bit (3-d%4) of hex
+    # digit d//4; vote sum per bit, fingerprint = sign ------------------------
+    def _charv(c: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {c + 1}, 1)) - 1)"
+
+    votes64 = ",\n               ".join(
+        f"sum(CASE WHEN ({_charv(d // 4)} & {1 << (3 - d % 4)}) != 0 "
+        f"THEN 1 ELSE -1 END) AS v_{d}"
+        for d in range(64)
+    )
+    fp64 = " || ".join(
+        f"CASE WHEN v_{d} > 0 THEN '1' ELSE '0' END" for d in range(64)
+    )
+    o["q36_simhash64"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        toks AS (
+          SELECT doc_id, md5(tok) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d)
+        ),
+        agg AS (
+          SELECT doc_id,
+               {votes64}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {fp64} AS simhash FROM agg
+    """
+
+    # q37: banded candidate generation is exhaustive for hamming <= 7 with
+    # 8 bands (pigeonhole), so the oracle can brute-force all pairs and get
+    # the identical result set
+    _SIMDOCS = f"""
+        SELECT doc_id,
+               'shared simhash block ' ||
+               CAST(CAST(floor(doc_id / 30) AS BIGINT) AS VARCHAR) ||
+               ' {_SIM_FILLER} tok' || CAST(doc_id % 3 AS VARCHAR) AS content
+        FROM documents WHERE doc_id % 10 < 3
+    """
+    o["q37_simhash_hamming"] = f"""
+        WITH d AS ({_SIMDOCS}),
+        toks AS (
+          SELECT doc_id, md5(tok) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS tok FROM d)
+        ),
+        agg AS (
+          SELECT doc_id,
+               {votes64}
+          FROM toks GROUP BY doc_id
+        ),
+        fps AS (SELECT doc_id, {fp64} AS simhash FROM agg)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(CAST(l.simhash AS BIT), CAST(r.simhash AS BIT)))::BIGINT AS hamming
+        FROM fps l JOIN fps r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(CAST(l.simhash AS BIT), CAST(r.simhash AS BIT))) <= 7
+    """
+
     _COS = """
         round(
           list_aggregate(list_transform(generate_series(1, len(e.embedding)),
@@ -906,6 +1029,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_LR} AS cos_sim
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {_COS_LR} >= 0.99
+    """
+
+    # q35: same Rademacher hyperplanes as dedup.embedding_neardup_pairs_banded
+    # (w = +-1 from md5(f"{p}:{j}")), dot realized as the same left-assoc
+    # fold so the sign bit is IEEE-identical in both engines
+    from markdown_lab_spark.functions.dedup import rademacher_hyperplanes
+
+    _planes = rademacher_hyperplanes(16, 64)
+
+    def _rad_bit(p: int) -> str:
+        terms = "".join(
+            f" {'+' if w > 0 else '-'} (e.embedding[{j + 1}]::DOUBLE)"
+            for j, w in enumerate(_planes[p])
+        )
+        return f"CASE WHEN (0.0{terms}) >= 0 THEN '1' ELSE '0' END"
+
+    _sig16 = " || ".join(_rad_bit(p) for p in range(16))
+    _band_list = ", ".join(
+        f"'{b}:' || substr(sig, {b * 4 + 1}, 4)" for b in range(4)
+    )
+    o["q35_embedding_neardup_lsh"] = f"""
+        WITH synth AS (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 7 < 2 THEN l.embedding ELSE e.embedding END AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings l ON l.vec_id = e.vec_id - (e.vec_id % 7)
+        ),
+        sigs AS (
+          SELECT e.vec_id, e.embedding, {_sig16} AS sig
+          FROM synth e
+        ),
+        bands AS (
+          SELECT vec_id, embedding, unnest([{_band_list}]) AS bucket
+          FROM sigs
+        )
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_LR} AS cos_sim
+        FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE {_COS_LR} >= 0.99
     """
 

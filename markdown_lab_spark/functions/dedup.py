@@ -181,6 +181,197 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash (the production width; simhash16 is the demo cut).
+
+    Bit d of md5(token) = bit (3 - d%4) of hex digit d//4; per-doc vote
+    sum per bit (token frequency = weight), fingerprint bit = sign.
+    Emitted as a 64-char '0'/'1' string — portable to the DuckDB oracle
+    and splittable into two 32-bit halves for JVM-side Hamming (bit_count
+    of xor). One explode + ONE groupBy (single shuffle) for all 64 lanes.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # hex-digit value of char d//4, tested against bit (3 - d%4)
+    charval = [
+        F.conv(F.substring(F.col("h"), c + 1, 1), 16, 10).cast("int")
+        for c in range(16)
+    ]
+    votes = [
+        F.sum(
+            F.when(
+                charval[d // 4].bitwiseAND(F.lit(1 << (3 - d % 4))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v_{d}")
+        for d in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"v_{d}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(64)
+        ]
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Banded candidate generation is EXACT here by pigeonhole: a pair with
+    <= max_hamming differing bits differs in at most max_hamming bands, so
+    with bands >= max_hamming + 1 it shares at least one identical band
+    and is guaranteed to surface. Random pairs collide on an 8-bit band
+    w.p. ~1/256 per band, so candidates stay ~O(true near-dups) instead of
+    O(n^2) — the same banding economics as MinHash LSH. Hamming itself is
+    JVM-side: bit_count(xor) over the fingerprint's two 32-bit halves.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    nbits, rb = 64, 64 // bands
+    assert bands >= max_hamming + 1, "banding not exhaustive for this radius"
+    banded = fps.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"), F.substring(F.col(sim_col), b * rb + 1, rb)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    def _half(c, start):
+        return F.conv(F.substring(c, start, 32), 2, 10).cast("long")
+
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{sim_col}").alias("_sa"),
+            F.col(f"r.{sim_col}").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(_half(F.col("_sa"), 1).bitwiseXOR(_half(F.col("_sb"), 1)))
+                + F.bit_count(
+                    _half(F.col("_sa"), 33).bitwiseXOR(_half(F.col("_sb"), 33))
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def rademacher_hyperplanes(nbits: int, dim: int) -> List[List[int]]:
+    """Deterministic +-1 hyperplanes: w[p][j] = +1 iff md5(f"{p}:{j}")
+    starts with a hex digit >= '8'. Data-independent and reproducible in
+    any engine (the DuckDB oracle bakes the same literals), unlike
+    axis-aligned sign buckets whose balance depends on the embedding
+    distribution being zero-centered per dimension."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0] >= "8" else -1
+            for j in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def embedding_neardup_pairs_banded(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    nbits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-safe embedding near-dup: random-hyperplane LSH with banding.
+
+    Round-1's 8-bit axis-aligned bucket leaves ~10^8 vectors per bucket at
+    10^10 rows (quadratic within-bucket join). Here each of ``nbits``
+    Rademacher hyperplanes contributes one unbiased sign bit regardless of
+    the embedding distribution, and banding (``bands`` bands of
+    nbits/bands bits) turns the self-join into per-(band, bits) buckets:
+    expected bucket size n / 2^(nbits/bands) per band — tune nbits/bands
+    up (e.g. 64/8) to bound candidates at corpus scale, while
+    near-identical vectors still agree on every bit and meet in all
+    bands. Exact cosine >= threshold verifies candidates.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos rounded to 4dp.
+    """
+    from .similarity import cosine_similarity_col  # noqa: PLC0415
+
+    planes = rademacher_hyperplanes(nbits, dim)
+    rb = nbits // bands
+
+    def _bit(p: int):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[_bit(p) for p in range(nbits)])
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{band}:"),
+                        F.substring(sig, band * rb + 1, rb),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

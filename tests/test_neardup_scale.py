@@ -1,0 +1,140 @@
+"""Scale drills for the banded near-dup operators (round-2 additions).
+
+Two properties matter at 10^10 rows:
+1. exactness — banded candidate generation must not lose true pairs
+   (pigeonhole guarantee for SimHash-Hamming; empirical-complete for
+   hyperplane-LSH at the 0.99 cosine bar);
+2. pruning — candidates must stay far below n^2/2, otherwise the
+   within-bucket join is the round-1 scale-killer the verdict flagged.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from markdown_lab_spark.functions import dedup as D
+from markdown_lab_spark.functions.similarity import cosine_similarity_col
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _synth_neardups(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    leaders = emb.select(
+        F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec")
+    )
+    return (
+        emb.withColumn("lid", F.col("vec_id") - (F.col("vec_id") % 7))
+        .join(leaders, on="lid", how="left")
+        .select(
+            "vec_id",
+            F.when((F.col("vec_id") % 7) < 2, F.col("lvec"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+
+
+def _brute_force_pairs(df, threshold):
+    left, right = df.alias("l"), df.alias("r")
+    return (
+        left.join(right, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(
+                cosine_similarity_col(F.col("l.embedding"), F.col("r.embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def test_banded_embedding_neardup_complete_vs_bruteforce(spark):
+    synth = _synth_neardups(spark).cache()
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_pairs_banded(
+            synth, threshold=0.99, nbits=16, bands=4, dim=64
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in _brute_force_pairs(synth, 0.99).collect()
+    }
+    synth.unpersist()
+    assert banded == brute
+    assert banded, "drill corpus must contain near-dup pairs"
+
+
+def test_banded_candidates_prune_quadratic(spark):
+    """Candidate pairs (pre-cosine) << n^2/2 — the whole point of banding."""
+    synth = _synth_neardups(spark)
+    n = synth.count()
+    cand = D.embedding_neardup_pairs_banded(
+        synth, threshold=-1.0, nbits=16, bands=4, dim=64
+    ).count()  # threshold=-1 keeps every candidate pair
+    all_pairs = n * (n - 1) // 2
+    # 4 bands of 4 unbiased bits: expected collision rate ~4/16 = 25%
+    # plus the injected duplicate groups; anything close to all_pairs
+    # means the hyperplanes degenerated (round-1's axis-bucket failure)
+    assert cand < 0.5 * all_pairs, (cand, all_pairs)
+
+
+def test_simhash_hamming_banding_is_exhaustive(spark):
+    """Pigeonhole: bands=8 must find EVERY pair at hamming <= 7."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter((F.col("doc_id") % 10) < 3)
+        .limit(60)
+        .withColumn(
+            "content",
+            F.concat(
+                F.lit("shared block "),
+                F.floor(F.col("doc_id") / 30).cast("string"),
+                F.lit(" lorem ipsum dolor sit amet consectetur adipiscing tok"),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+    )
+    fps = D.simhash64(docs, "doc_id", "content").cache()
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_hamming_pairs(fps, bands=8, max_hamming=7).collect()
+    }
+    left, right = fps.alias("l"), fps.alias("r")
+
+    def _half(c, start):
+        return F.conv(F.substring(c, start, 32), 2, 10).cast("long")
+
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in (
+            left.join(right, F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"),
+                (
+                    F.bit_count(
+                        _half(F.col("l.simhash"), 1).bitwiseXOR(
+                            _half(F.col("r.simhash"), 1)
+                        )
+                    )
+                    + F.bit_count(
+                        _half(F.col("l.simhash"), 33).bitwiseXOR(
+                            _half(F.col("r.simhash"), 33)
+                        )
+                    )
+                ).cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 7)
+        ).collect()
+    }
+    fps.unpersist()
+    assert banded == brute
+    assert banded, "drill corpus must contain close fingerprints"
