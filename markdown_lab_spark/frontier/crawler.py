@@ -79,6 +79,13 @@ class CrawlConfig:
     # 2**attempt — wave cadence IS the backoff. attempts = max_retries + 1
     # like the client (the errors.py helper's off-by-one is not replicated).
     max_retries: int = 0
+    # P3 TTL/re-crawl (markdown_lab/core/cache.py:60-141: entries expire
+    # after ttl seconds, mtime-based): a URL seen at wave w blocks
+    # re-fetch while wave - w < ttl_waves, then becomes eligible again.
+    # The seen prefilter switches from bloom (append-only) to the cuckoo
+    # filter, whose deletion support exists precisely for this mode.
+    ttl_waves: Optional[int] = None
+    cuckoo_capacity: int = 1 << 18
 
     @property
     def budget(self) -> int:
@@ -225,6 +232,55 @@ def bloom_antijoin(
     return definite_new.unionByName(verified_new)
 
 
+def cuckoo_antijoin(
+    candidates: DataFrame,
+    fresh_seen: Optional[DataFrame],
+    cuckoo,
+    spark: SparkSession,
+) -> DataFrame:
+    """TTL-mode twin of bloom_antijoin: the prefilter is the deletable
+    cuckoo filter (expired keys are removed, so they read as new without
+    a rebuild). Same exactness guard: the cuckoo only prunes; the exact
+    ``left_anti`` against the FRESH seen rows decides."""
+    if fresh_seen is None:
+        return candidates
+    if cuckoo is None or cuckoo.count == 0:
+        return candidates.join(fresh_seen, on="canon_url", how="left_anti")
+
+    bc = spark.sparkContext.broadcast((cuckoo.nbuckets, cuckoo.table.tobytes()))
+
+    from pyspark.sql.pandas.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf(T.BooleanType())
+    def maybe_seen(url: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        from .cuckoo import CuckooFilter  # noqa: PLC0415
+
+        nbuckets, raw = bc.value
+        cf = CuckooFilter.__new__(CuckooFilter)
+        cf.nbuckets = nbuckets
+        cf.mask = np.uint64(nbuckets - 1)
+        cf.table = np.frombuffer(raw, dtype=np.uint16).reshape(nbuckets, -1)
+        return pd.Series(cf.contains(url.fillna("").tolist()))
+
+    flagged = candidates.withColumn("_maybe", maybe_seen("canon_url"))
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = needs_check.join(fresh_seen, on="canon_url", how="left_anti")
+    return definite_new.unionByName(verified_new)
+
+
+def _compact_seen(df: DataFrame) -> DataFrame:
+    """One row per canon_url keeping the LATEST status_wave (re-crawl
+    refreshes the TTL clock) — deterministic, unlike dropDuplicates."""
+    return df.groupBy("canon_url").agg(
+        F.max("host").alias("host"),
+        F.min("depth").alias("depth"),
+        F.max("status_wave").alias("status_wave"),
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -302,9 +358,11 @@ class CrawlEngine:
             return None, None, 0
         last = waves[-1]
         frontier = self.spark.read.parquet(self._ckpt_path(last, "frontier_next"))
-        seen = self.spark.read.parquet(
-            *[self._ckpt_path(w, "seen_delta") for w in waves]
-        ).dropDuplicates(["canon_url"])
+        seen = _compact_seen(
+            self.spark.read.parquet(
+                *[self._ckpt_path(w, "seen_delta") for w in waves]
+            )
+        )
         return frontier, seen, last + 1
 
     # -- the loop ---------------------------------------------------------------
@@ -321,8 +379,19 @@ class CrawlEngine:
             frontier = self._frontier_from_seeds(seeds)
             seen = None
 
+        use_ttl = cfg.ttl_waves is not None
         bloom: Optional[ShardedBloom] = None
-        if seen is not None:
+        cuckoo = None
+        if use_ttl:
+            from .cuckoo import CuckooFilter  # noqa: PLC0415
+
+            cuckoo = CuckooFilter(cfg.cuckoo_capacity)
+            if seen is not None:  # resume: re-seed with still-fresh keys
+                fresh = seen.filter(
+                    F.col("status_wave") > start_wave - cfg.ttl_waves
+                )
+                cuckoo.add([r["canon_url"] for r in fresh.select("canon_url").collect()])
+        elif seen is not None:
             bloom = self._build_bloom(seen)  # full build only on resume
 
         all_records: List[DataFrame] = []
@@ -339,8 +408,24 @@ class CrawlEngine:
                 break
             _t = _tick(f"w{wave} isEmpty", _t)
 
-            # 1. seen anti-join (bloom prefilter + exact)
-            candidates = bloom_antijoin(frontier, seen, bloom, self.spark)
+            # 1. seen anti-join (bloom prefilter + exact); in TTL mode the
+            # deletable cuckoo prefilter + anti-join against FRESH rows only
+            if use_ttl:
+                fresh_seen = None
+                if seen is not None:
+                    if wave - cfg.ttl_waves >= 0 and cuckoo is not None:
+                        expiring = seen.filter(
+                            F.col("status_wave") == wave - cfg.ttl_waves
+                        )
+                        cuckoo.delete(
+                            [r["canon_url"] for r in expiring.select("canon_url").collect()]
+                        )
+                    fresh_seen = seen.filter(
+                        F.col("status_wave") > wave - cfg.ttl_waves
+                    )
+                candidates = cuckoo_antijoin(frontier, fresh_seen, cuckoo, self.spark)
+            else:
+                candidates = bloom_antijoin(frontier, seen, bloom, self.spark)
 
             # 2. robots allow/deny — cache both branches: each is consumed by
             # multiple downstream plans and would otherwise re-run the whole
@@ -469,11 +554,20 @@ class CrawlEngine:
             )
 
             # next-wave state (materialize BEFORE mutating seen)
-            seen_next = (
+            seen_next = _compact_seen(
                 seen.unionByName(seen_delta.select(seen.columns))
                 if seen is not None
                 else seen_delta
-            ).dropDuplicates(["canon_url"])
+            )
+            # frontier-bloat guard: drop rediscovered URLs that will STILL
+            # be fresh when the next wave runs (TTL mode re-admits expired)
+            dedup_seen = (
+                seen_next.filter(
+                    F.col("status_wave") > (wave + 1) - cfg.ttl_waves
+                )
+                if use_ttl
+                else seen_next
+            )
 
             requeued = retry.select(
                 "canon_url", "host", "depth", "priority",
@@ -483,7 +577,7 @@ class CrawlEngine:
                 deferred.select("canon_url", "host", "depth", "priority", "attempt")
                 .unionByName(requeued)
                 .unionByName(
-                    discovered.join(seen_next, on="canon_url", how="left_anti")
+                    discovered.join(dedup_seen, on="canon_url", how="left_anti")
                     .join(deferred, on="canon_url", how="left_anti")
                     .join(requeued, on="canon_url", how="left_anti")
                     .select("canon_url", "host", "depth", "priority", "attempt")
@@ -508,11 +602,11 @@ class CrawlEngine:
                 seen_delta_r = self.spark.read.parquet(
                     self._ckpt_path(wave, "seen_delta")
                 )
-                seen = (
+                seen = _compact_seen(
                     seen.unionByName(seen_delta_r)
                     if seen is not None
                     else seen_delta_r
-                ).dropDuplicates(["canon_url"])
+                )
                 delta_for_bloom = seen_delta_r
             else:
                 frontier = new_frontier.localCheckpoint(eager=True)
@@ -522,8 +616,17 @@ class CrawlEngine:
                 delta_for_bloom = seen_delta
 
             # incremental bloom: OR only this wave's delta into the shards
-            # (full-seen rebuild would rescan 10^10 keys every wave)
-            bloom = self._build_bloom(delta_for_bloom, into=bloom)
+            # (full-seen rebuild would rescan 10^10 keys every wave).
+            # TTL mode inserts the delta's keys into the cuckoo instead —
+            # one wave's schedule, bounded by hosts*budget (at warehouse
+            # scale the cuckoo shards like the bloom; windowed state is
+            # bounded by ttl_waves * budget regardless).
+            if use_ttl:
+                cuckoo.add(
+                    [r["canon_url"] for r in delta_for_bloom.select("canon_url").collect()]
+                )
+            else:
+                bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
             for df in (scheduled, docs, allowed, denied, deferred):
                 df.unpersist()
