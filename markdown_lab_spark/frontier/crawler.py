@@ -427,24 +427,22 @@ class CrawlEngine:
             else:
                 candidates = bloom_antijoin(frontier, seen, bloom, self.spark)
 
-            # 2. robots allow/deny — cache both branches: each is consumed by
-            # multiple downstream plans and would otherwise re-run the whole
-            # frontier lineage (corpus scan + robots join + windows) per use
+            # 2+3. robots allow/deny + politeness budget, routed in ONE
+            # materialized pass: round 1 cached four branch DataFrames and
+            # filled them with three sequential count() jobs; tagging every
+            # candidate with its route and localCheckpointing once gives
+            # the same recompute-safety for a single job's fixed cost.
             allowed, denied = robots_filter(candidates, self.host_rules)
-            allowed = allowed.cache()
-            denied = denied.cache()
-
-            # 3. politeness budget per host
             scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
-            scheduled = scheduled.cache()
-            deferred = deferred.cache()
-            # fill the shared caches SEQUENTIALLY: a single downstream job
-            # evaluates these branches in parallel tasks that would all miss
-            # the cold cache at once and recompute the frontier lineage
-            # concurrently (cache population is not coordinated mid-job)
-            scheduled.count()  # fills allowed + scheduled
-            denied.count()
-            deferred.count()
+            routed = (
+                scheduled.withColumn("_route", F.lit("scheduled"))
+                .unionByName(deferred.withColumn("_route", F.lit("deferred")))
+                .unionByName(denied.withColumn("_route", F.lit("denied")))
+            ).localCheckpoint(eager=True)
+            _t = _tick(f"w{wave} route lc", _t)
+            scheduled = routed.filter(F.col("_route") == "scheduled").drop("_route")
+            deferred = routed.filter(F.col("_route") == "deferred").drop("_route")
+            denied = routed.filter(F.col("_route") == "denied").drop("_route")
 
             # 4. fetch = broadcast join against the corpus
             fetched = pages_slim.join(
@@ -475,8 +473,13 @@ class CrawlEngine:
                     F.col("doc.status").alias("status"),
                     F.col("doc.error").alias("error"),
                 )
-                .cache()
+                # the wave's ONE heavy job: fetch join + convert UDF,
+                # materialized here so chunks/records/links/metrics all
+                # derive lazily without re-running the UDF (round 1 paid
+                # two extra jobs checkpointing records and chunks)
+                .localCheckpoint(eager=True)
             )
+            _t = _tick(f"w{wave} docs lc", _t)
             chunks = docs.filter(F.col("status") == "ok").select(
                 "canon_url",
                 "wave",
@@ -537,12 +540,9 @@ class CrawlEngine:
                     .withColumn("status", F.lit("robots_denied"))
                 )
             )
-            # materialize NOW from the cached docs — consuming these after
-            # docs.unpersist() would re-run the convert UDF over the corpus
-            records = records.localCheckpoint(eager=True)
-            _t = _tick(f"w{wave} records lc", _t)
-            chunks = chunks.localCheckpoint(eager=True)
-            _t = _tick(f"w{wave} chunks lc", _t)
+            # records/chunks stay LAZY: their lineage roots at the routed
+            # and docs local checkpoints, so consuming them later replays
+            # cheap filters/unions, never the convert UDF or corpus scan
             all_records.append(records)
             all_chunks.append(chunks)
 
@@ -609,10 +609,24 @@ class CrawlEngine:
                 )
                 delta_for_bloom = seen_delta_r
             else:
-                frontier = new_frontier.localCheckpoint(eager=True)
-                _t = _tick(f"w{wave} frontier lc", _t)
-                seen = seen_next.localCheckpoint(eager=True)
-                _t = _tick(f"w{wave} seen lc", _t)
+                # fuse next-wave frontier + seen into ONE materialization:
+                # harmonize schemas, tag, localCheckpoint once, split back
+                state = (
+                    new_frontier.withColumn(
+                        "status_wave", F.lit(None).cast("int")
+                    ).withColumn("_tag", F.lit("f"))
+                ).unionByName(
+                    seen_next.withColumn("priority", F.lit(None).cast("double"))
+                    .withColumn("attempt", F.lit(None).cast("int"))
+                    .withColumn("_tag", F.lit("s"))
+                ).localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} state lc", _t)
+                frontier = state.filter(F.col("_tag") == "f").select(
+                    "canon_url", "host", "depth", "priority", "attempt"
+                )
+                seen = state.filter(F.col("_tag") == "s").select(
+                    "canon_url", "host", "depth", "status_wave"
+                )
                 delta_for_bloom = seen_delta
 
             # incremental bloom: OR only this wave's delta into the shards
@@ -628,8 +642,6 @@ class CrawlEngine:
             else:
                 bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
-            for df in (scheduled, docs, allowed, denied, deferred):
-                df.unpersist()
 
         pages_slim.unpersist()
         if all_records:

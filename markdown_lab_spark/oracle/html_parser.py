@@ -57,6 +57,58 @@ def clean_parsed(document: HtmlDocument) -> str:
     return cleaned_html
 
 
+def clean_parsed_detached(document: HtmlDocument):
+    """Tree-level clean, VERIFIED against the string-replace contract.
+
+    Returns ``(cleaned_html, ok, restore)``: the string-replace result
+    (always authoritative), whether the mutated tree is byte-equivalent
+    to re-parsing it, and a function that reattaches the detached
+    elements (callers share the tree with link extraction, which must see
+    the original document).
+
+    ``ok`` is True only when serialize(tree-after-removal) equals the
+    string-replace output AND no raw-text elements remain (the one
+    serializer round-trip hazard) — then ``parse(cleaned_html)`` is
+    provably the mutated tree itself and the caller skips the second
+    parse, the conversion hot path's single biggest cost. Duplicated
+    substrings (the reference's removal quirk, src/html_parser.rs:110-121)
+    make the serializations diverge and fall back to the re-parse.
+    """
+    from .htmldom import RAW_TEXT_ELEMENTS  # noqa: PLC0415
+
+    root = document.root_element()
+    matched = list(document.select(SEL_UNWANTED))
+    elements_to_remove = [el.html() for el in matched]
+    cleaned_html = root.html()
+    for element_html in elements_to_remove:
+        cleaned_html = cleaned_html.replace(element_html, "")
+
+    slots = []
+    ok = True
+    for el in matched:
+        parent = el.parent
+        if parent is None:
+            ok = False
+            break
+        try:
+            idx = parent.children.index(el)
+        except ValueError:
+            ok = False
+            break
+        slots.append((parent, idx, el))
+        parent.children.pop(idx)
+
+    def restore() -> None:
+        for parent, idx, el in reversed(slots):
+            parent.children.insert(idx, el)
+
+    if ok:
+        ok = all(el.tag not in RAW_TEXT_ELEMENTS for el in root.iter_elements())
+    if ok:
+        ok = root.html() == cleaned_html
+    return cleaned_html, ok, restore
+
+
 def extract_links(html: str, base_url: str) -> List[str]:
     """Port of src/html_parser.rs:214-252.
 

@@ -432,6 +432,40 @@ class _SimpleSelector:
 class Selector:
     def __init__(self, spec: str):
         self.parts = [_SimpleSelector(p) for p in spec.split(",") if p.strip()]
+        # fast-path partition: simple alternatives collapse to set probes
+        # (matching is a boolean OR, so evaluation order is free); only
+        # compound parts fall through to the per-part loop
+        self._tag_only = frozenset(
+            p.tag for p in self.parts
+            if p.tag is not None and p.sel_id is None and not p.classes and not p.attrs
+        )
+        self._id_only = frozenset(
+            p.sel_id for p in self.parts
+            if p.sel_id is not None and p.tag is None and not p.classes and not p.attrs
+        )
+        self._class_only = frozenset(
+            p.classes[0] for p in self.parts
+            if len(p.classes) == 1 and p.tag is None and p.sel_id is None and not p.attrs
+        )
+        simple = len(self._tag_only) + len(self._id_only) + len(self._class_only)
+        self._rest = (
+            [] if simple == len(self.parts)
+            else [
+                p for p in self.parts
+                if not (
+                    (p.tag in self._tag_only and p.sel_id is None and not p.classes and not p.attrs)
+                    or (p.sel_id in self._id_only and p.tag is None and not p.classes and not p.attrs)
+                    or (len(p.classes) == 1 and p.classes[0] in self._class_only
+                        and p.tag is None and p.sel_id is None and not p.attrs)
+                )
+            ]
+        )
 
     def matches(self, el: Element) -> bool:
-        return any(p.matches(el) for p in self.parts)
+        if el.tag in self._tag_only:
+            return True
+        if self._id_only and el.attr("id") in self._id_only:
+            return True
+        if self._class_only and not self._class_only.isdisjoint(el.classes()):
+            return True
+        return any(p.matches(el) for p in self._rest)

@@ -87,12 +87,44 @@ def parse_html_to_document(html: str, base_url: str) -> Document:
 
 def parse_tree_to_document(document_html, base_url: str) -> Document:
     """Hot-path variant taking an already-parsed tree (shared with
-    link extraction in the Spark UDF: one parse per page)."""
-    from .html_parser import clean_parsed
+    link extraction in the Spark UDF: one parse per page).
 
-    cleaned_html = clean_parsed(document_html)
-    cleaned = parse_document(cleaned_html)
+    Fast path: when nothing matches the unwanted-element selectors,
+    clean_html reduces to the serializer/parser round-trip, which is
+    identity on a tree holding no raw-text elements (stability asserted
+    in tests) — so the serialize + re-parse is skipped entirely. Any
+    unwanted match or raw-text element (script/style/iframe/... serialize
+    unescaped and are the one round-trip hazard) takes the reference's
+    full clean path."""
+    from .html_parser import SEL_UNWANTED, clean_parsed_detached
+    from .htmldom import RAW_TEXT_ELEMENTS
 
+    root = document_html.root_element()
+    needs_clean = SEL_UNWANTED.matches(root)
+    if not needs_clean:
+        for el in root.iter_elements():
+            if el.tag in RAW_TEXT_ELEMENTS or SEL_UNWANTED.matches(el):
+                needs_clean = True
+                break
+    if not needs_clean:
+        return _extract(document_html, base_url)
+
+    # slow path: something to remove. clean_parsed_detached verifies that
+    # tree-level removal is byte-equivalent to the string-replace contract
+    # — when it is, the second parse (the hot path's biggest cost) is
+    # skipped and extraction runs on the mutated tree, restored afterwards
+    # (the caller shares this tree with link extraction).
+    cleaned_html, tree_ok, restore = clean_parsed_detached(document_html)
+    if tree_ok:
+        try:
+            return _extract(document_html, base_url)
+        finally:
+            restore()
+    restore()
+    return _extract(parse_document(cleaned_html), base_url)
+
+
+def _extract(cleaned, base_url: str) -> Document:
     title = _extract_title(cleaned)
     doc = Document(title=title, base_url=base_url)
     _populate(doc, cleaned, base_url)
