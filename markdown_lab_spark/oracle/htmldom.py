@@ -49,6 +49,19 @@ P_CLOSERS = frozenset(
     "menu nav ol p pre section summary table ul".split()
 )
 
+HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+# tree-construction "in table" machinery (html5ever gives the reference
+# this via the spec, src/markdown_converter.rs:78-86): while one of these
+# is the current node, disallowed content is FOSTER-PARENTED before the
+# table instead of nesting inside it
+TABLE_CONTEXT = frozenset("table tbody thead tfoot tr".split())
+TABLE_STRUCTURAL = frozenset(
+    "caption colgroup col tbody thead tfoot tr td th".split()
+)
+# non-structural start tags the in-table modes insert in place
+IN_TABLE_OK = frozenset("script style template form".split())
+
 
 class Node:
     __slots__ = ("parent",)
@@ -288,25 +301,98 @@ class _TreeBuilder(HTMLParser):
             self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
 
         # in body -----------------------------------------------------------
+        if tag in TABLE_STRUCTURAL:
+            ti = self._open_table_index()
+            if ti is None:
+                return  # parse error per spec: td/tr/... outside a table is ignored
+            self._pop_for_table_structural(tag, ti)
+            el = Element(tag, attrs)
+            self._current().append(el)
+            if tag not in VOID_ELEMENTS:  # col is void
+                self.stack.append(el)
+            return
         if tag in P_CLOSERS:
             self._close_if_open("p")
         if tag == "li":
             self._close_li()
+        if tag in HEADINGS and self._current().tag in HEADINGS:
+            self.stack.pop()  # spec: h_n start with a heading as current node pops it
+        if tag == "a":
+            self._close_open_a()  # nested <a> is illegal; adoption agency closes it
         el = Element(tag, attrs)
-        self._current().append(el)
+        cur = self._current()
+        if cur.tag in TABLE_CONTEXT and tag not in IN_TABLE_OK:
+            self._foster_insert(el)
+        else:
+            cur.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        attrs = [(k, v if v is not None else "") for k, v in attrs]
-        if self.mode in ("before_head", "in_head") and tag in HEAD_ELEMENTS:
-            self._ensure_head().append(Element(tag, attrs))
+        # HTML5: a self-closing slash on a non-void element is ignored —
+        # the tag is an ordinary start tag and stays OPEN (html5ever does
+        # the same); for void elements the paths are identical anyway
+        self.handle_starttag(tag, attrs)
+
+    # -- in-table helpers -----------------------------------------------------
+    def _open_table_index(self) -> Optional[int]:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                return i
+        return None
+
+    def _pop_for_table_structural(self, tag: str, ti: int) -> None:
+        """Close back to the right container, implying tbody/tr like the
+        spec ('in table' insertion modes) so <table><td>x ends up as
+        table>tbody>tr>td."""
+        if tag == "tr":
+            for i in range(len(self.stack) - 1, ti - 1, -1):
+                if self.stack[i].tag in ("tbody", "thead", "tfoot", "table"):
+                    del self.stack[i + 1 :]
+                    break
+            if self._current().tag == "table":
+                tb = Element("tbody", [])
+                self._current().append(tb)
+                self.stack.append(tb)
+        elif tag in ("td", "th"):
+            for i in range(len(self.stack) - 1, ti - 1, -1):
+                if self.stack[i].tag in ("tr", "tbody", "thead", "tfoot", "table"):
+                    del self.stack[i + 1 :]
+                    break
+            if self._current().tag == "table":
+                tb = Element("tbody", [])
+                self._current().append(tb)
+                self.stack.append(tb)
+            if self._current().tag in ("tbody", "thead", "tfoot"):
+                tr = Element("tr", [])
+                self._current().append(tr)
+                self.stack.append(tr)
+        else:  # caption/colgroup/col/tbody/thead/tfoot
+            del self.stack[ti + 1 :]
+
+    def _foster_insert(self, node: Node) -> None:
+        """Insert before the innermost open table (foster parenting)."""
+        ti = self._open_table_index()
+        assert ti is not None
+        table = self.stack[ti]
+        parent = table.parent or self.stack[ti - 1]
+        idx = parent.children.index(table)
+        if isinstance(node, TextNode) and idx > 0 and isinstance(
+            parent.children[idx - 1], TextNode
+        ):
+            parent.children[idx - 1].data += node.data
             return
-        if self.mode != "in_body":
-            self._ensure_body()
-            self.mode = "in_body"
-            self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
-        self._current().append(Element(tag, attrs))
+        node.parent = parent
+        parent.children.insert(idx, node)
+
+    def _close_open_a(self) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == "a":
+                del self.stack[i:]
+                return
+            if t in ("td", "th", "caption", "table", "body", "html"):
+                return
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -359,6 +445,13 @@ class _TreeBuilder(HTMLParser):
             self.mode = "in_body"
             self.stack = [self.html_el, self.body_el]  # type: ignore[list-item]
         cur = self._current()
+        if cur.tag in TABLE_CONTEXT and data.strip():
+            # in-table character tokens with non-whitespace content are
+            # foster-parented before the table (whitespace-only stays);
+            # per-event granularity approximates the spec's pending-token
+            # batch, which is exact for every corpus chunking seen
+            self._foster_insert(TextNode(data))
+            return
         # merge adjacent text nodes so serialization is stable
         if cur.children and isinstance(cur.children[-1], TextNode):
             cur.children[-1].data += data

@@ -95,15 +95,51 @@ def is_absolute_url(url: str) -> bool:
     return url.startswith(("http://", "https://"))
 
 
+# WHATWG percent-encode sets (url.spec.whatwg.org §1.3), as rust-url
+# applies them during serialization. '%' is never re-encoded (invalid
+# escapes pass through verbatim, same as rust-url's validation-error
+# behavior); non-ASCII is UTF-8 percent-encoded.
+_PATH_ENC_SET = frozenset(' "<>`?#{}')
+_QUERY_ENC_SET = frozenset(' "<>#\'')  # ' only for special schemes (ours are)
+_FRAGMENT_ENC_SET = frozenset(' "<>`')
+
+
+def _pct_encode(s: str, enc_set: frozenset) -> str:
+    if all(0x20 <= ord(c) <= 0x7E and c not in enc_set for c in s):
+        return s  # hot path
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if o <= 0x1F or o > 0x7E or ch in enc_set:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _idna_host(host: str) -> str:
+    """rust-url (idna feature) punycodes non-ASCII hosts; Python's idna
+    codec implements the overlapping IDNA2003 mapping — identical for the
+    common label shapes; exotic labels that the codec rejects are left
+    as-is (documented divergence)."""
+    if all(ord(c) < 128 for c in host):
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
 def url_serialize(url: str) -> str:
     """Serialize like rust-url ``Url::to_string``.
 
-    Lowercase scheme+host, strip default port, empty path -> "/" for
-    special schemes, percent-encode spaces in the path/query.
+    Lowercase scheme+host, IDNA host, strip default port, empty path ->
+    "/" for special schemes, WHATWG percent-encode sets applied to
+    path/query/fragment.
     """
     p = urlsplit(url)
     scheme = p.scheme.lower()
-    host = p.hostname or ""
+    host = _idna_host(p.hostname or "")
     netloc = host
     if p.port is not None and p.port != _SPECIAL_SCHEMES.get(scheme):
         netloc = f"{host}:{p.port}"
@@ -113,9 +149,25 @@ def url_serialize(url: str) -> str:
     path = p.path
     if scheme in _SPECIAL_SCHEMES and not path:
         path = "/"
-    path = path.replace(" ", "%20")
-    query = p.query.replace(" ", "%20")
-    return urlunsplit((scheme, netloc, path, query, p.fragment))
+    path = _pct_encode(path, _PATH_ENC_SET)
+    query = _pct_encode(p.query, _QUERY_ENC_SET)
+    fragment = _pct_encode(p.fragment, _FRAGMENT_ENC_SET)
+    return urlunsplit((scheme, netloc, path, query, fragment))
+
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
+
+
+def _backslashes_to_slashes(href: str) -> str:
+    """WHATWG: '\\' acts as '/' in special-scheme URLs (rust-url treats
+    '\\foo' as '/foo' and '\\\\host' as '//host'); backslashes in the
+    query/fragment are NOT separators and stay verbatim."""
+    cut = len(href)
+    for ch in ("?", "#"):
+        i = href.find(ch)
+        if i != -1:
+            cut = min(cut, i)
+    return href[:cut].replace("\\", "/") + href[cut:]
 
 
 def url_join(base: str, href: str) -> Optional[str]:
@@ -125,6 +177,13 @@ def url_join(base: str, href: str) -> Optional[str]:
     (mirrors the Err paths of src/markdown_converter.rs:295-301).
     """
     try:
+        if "\\" in href:
+            m = _SCHEME_RE.match(href)
+            target_scheme = (
+                m.group(1).lower() if m else urlsplit(base).scheme.lower()
+            )
+            if target_scheme in _SPECIAL_SCHEMES:
+                href = _backslashes_to_slashes(href)
         joined = urljoin(base, href)
         split = urlsplit(joined)
         if not split.scheme:

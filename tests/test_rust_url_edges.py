@@ -1,0 +1,62 @@
+"""rust-url edge-semantics fixtures (round-2, VERDICT item 10 / ROADMAP).
+
+The reference resolves links with rust-url's WHATWG parser
+(src/markdown_converter.rs:295-301 via url::Url::join + to_string).
+Expected values below are rust-url's documented WHATWG outcomes:
+backslash-as-slash in special schemes, path/query/fragment
+percent-encode sets, UTF-8 percent-encoding of non-ASCII, IDNA hosts,
+default-port stripping, dot-segment resolution.
+"""
+
+import pytest
+
+from markdown_lab_spark.oracle.url_utils import url_join
+
+B = "https://example.com/dir/page"
+
+CASES = [
+    # backslash-as-slash (special schemes)
+    (B, "\\foo", "https://example.com/foo"),
+    (B, "a\\b", "https://example.com/dir/a/b"),
+    (B, "\\\\other.com\\p", "https://other.com/p"),
+    # backslash NOT a separator in query/fragment
+    (B, "x?a\\b", "https://example.com/dir/x?a\\b"),
+    (B, "x#a\\b", "https://example.com/dir/x#a\\b"),
+    # path percent-encode set: space " < > ` { }
+    (B, "a b", "https://example.com/dir/a%20b"),
+    (B, "a<b>c", "https://example.com/dir/a%3Cb%3Ec"),
+    (B, "{x}", "https://example.com/dir/%7Bx%7D"),
+    (B, "a`b", "https://example.com/dir/a%60b"),
+    # existing escapes pass through untouched, stray % kept verbatim
+    (B, "a%20b", "https://example.com/dir/a%20b"),
+    (B, "100%", "https://example.com/dir/100%"),
+    # non-ASCII path -> UTF-8 percent-encoded
+    (B, "héllo", "https://example.com/dir/h%C3%A9llo"),
+    (B, "日本", "https://example.com/dir/%E6%97%A5%E6%9C%AC"),
+    # query/fragment encode sets
+    (B, "x?a b", "https://example.com/dir/x?a%20b"),
+    (B, 'x?a"b', "https://example.com/dir/x?a%22b"),
+    (B, "x#a b", "https://example.com/dir/x#a%20b"),
+    # IDNA host
+    ("https://e.com/", "https://münich.example/x",
+     "https://xn--mnich-kva.example/x"),
+    ("https://bücher.example/a/", "b",
+     "https://xn--bcher-kva.example/a/b"),
+    # default port stripped, scheme/host lowercased, empty path -> "/"
+    (B, "HTTPS://EXAMPLE.COM:443", "https://example.com/"),
+    (B, "http://Other.Example:80/P", "http://other.example/P"),
+    (B, "http://other.example:8080/", "http://other.example:8080/"),
+    # dot segments
+    (B, "../up", "https://example.com/up"),
+    (B, "./same", "https://example.com/dir/same"),
+    (B, "..\\up", "https://example.com/up"),  # backslash + dot segment
+    # protocol-relative
+    (B, "//cdn.example/x", "https://cdn.example/x"),
+    # non-special scheme passes through without special serialization
+    (B, "mailto:a@b.c", "mailto:a@b.c"),
+]
+
+
+@pytest.mark.parametrize("base,href,want", CASES, ids=[c[1][:24] for c in CASES])
+def test_url_join_rust_url_edges(base, href, want):
+    assert url_join(base, href) == want
