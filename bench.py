@@ -190,8 +190,11 @@ def main() -> None:
         "cpus": CPUS,
     }
 
+    # best-of-N: this shared VM shows 2-3x run-to-run noise from outside
+    # tenants (loadavg 6-9 with no local processes) — the minimum is the
+    # only statistic that approximates an idle machine
     crawl_sec, n_urls = _crawl_leg_subprocess(
-        CPUS, corpus_path, attempts=2 if scaling_mode else 1
+        CPUS, corpus_path, attempts=3 if scaling_mode else 1
     )
 
     spark = make_spark(CPUS)
@@ -205,7 +208,7 @@ def main() -> None:
 
     if scaling_mode:
         low = max(1, CPUS // 4)
-        crawl_low_sec, n_low = _crawl_leg_subprocess(low, corpus_path, attempts=2)
+        crawl_low_sec, n_low = _crawl_leg_subprocess(low, corpus_path, attempts=3)
         tput_hi = n_urls / crawl_sec
         tput_lo = n_low / crawl_low_sec
         eff = (tput_hi / tput_lo) / (CPUS / low)

@@ -376,7 +376,10 @@ class CrawlEngine:
         else:
             frontier, seen = None, None
         if frontier is None:
-            frontier = self._frontier_from_seeds(seeds)
+            # materialize: wave 0's routing fans out into three union
+            # branches that would each re-run the seeds lineage
+            # (normalize + dropDuplicates shuffle) otherwise
+            frontier = self._frontier_from_seeds(seeds).localCheckpoint(eager=True)
             seen = None
 
         use_ttl = cfg.ttl_waves is not None
@@ -444,15 +447,12 @@ class CrawlEngine:
             deferred = routed.filter(F.col("_route") == "deferred").drop("_route")
             denied = routed.filter(F.col("_route") == "denied").drop("_route")
 
-            # 4. fetch = broadcast join against the corpus
+            # 4. fetch = broadcast join against the corpus (stream side =
+            # corpus, build side = the small schedule: the corpus is never
+            # shuffled)
             fetched = pages_slim.join(
                 F.broadcast(scheduled), on="canon_url", how="inner"
             )
-            missed = scheduled.join(pages_slim, on="canon_url", how="left_anti")
-            # P2 retry split: a miss with attempts left re-enters the next
-            # wave (attempt+1); an exhausted miss is final (seen)
-            retry = missed.filter(F.col("attempt") < cfg.max_retries)
-            missed_final = missed.filter(F.col("attempt") >= cfg.max_retries)
 
             # 5. convert + chunk (Arrow-vectorized)
             docs = (
@@ -480,6 +480,18 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
             _t = _tick(f"w{wave} docs lc", _t)
+
+            # fetch misses: anti-join the schedule against the (small,
+            # just-materialized) fetched set — NOT against the corpus,
+            # which a left_anti would shuffle wholesale at 100 TB
+            missed = scheduled.join(
+                docs.select("canon_url"), on="canon_url", how="left_anti"
+            )
+            # P2 retry split: a miss with attempts left re-enters the next
+            # wave (attempt+1); an exhausted miss is final (seen)
+            retry = missed.filter(F.col("attempt") < cfg.max_retries)
+            missed_final = missed.filter(F.col("attempt") >= cfg.max_retries)
+
             chunks = docs.filter(F.col("status") == "ok").select(
                 "canon_url",
                 "wave",
@@ -573,6 +585,10 @@ class CrawlEngine:
                 "canon_url", "host", "depth", "priority",
                 (F.col("attempt") + 1).alias("attempt"),
             )
+            # a URL that is both deferred (or requeued) and rediscovered
+            # keeps its DEFERRED values (simulator parity: deferred wins
+            # over rediscovery), hence the anti-joins — cheap: both right
+            # sides are wave-bounded and AQE broadcasts them
             new_frontier = (
                 deferred.select("canon_url", "host", "depth", "priority", "attempt")
                 .unionByName(requeued)
