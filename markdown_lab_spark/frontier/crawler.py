@@ -86,6 +86,10 @@ class CrawlConfig:
     # filter, whose deletion support exists precisely for this mode.
     ttl_waves: Optional[int] = None
     cuckoo_capacity: int = 1 << 18
+    # oversized documents (reference max_file_size, core/config.py:44) are
+    # excluded AT THE SCAN — never shipped through Arrow to the convert
+    # UDF — and surface as fetch misses in the trace
+    max_file_size: int = 10_000_000
 
     @property
     def budget(self) -> int:
@@ -452,7 +456,7 @@ class CrawlEngine:
             # shuffled)
             fetched = pages_slim.join(
                 F.broadcast(scheduled), on="canon_url", how="inner"
-            )
+            ).filter(F.length("html") <= cfg.max_file_size)
 
             # 5. convert + chunk (Arrow-vectorized)
             docs = (

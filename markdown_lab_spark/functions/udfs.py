@@ -88,8 +88,10 @@ def make_convert_udf(formats: tuple = ("markdown", "json", "xml")):
                         None,
                     )
                 except Exception as exc:
+                    from ..errors import normalize_error  # noqa: PLC0415
+
                     row = (None, None, None, None, None, "error",
-                           f"{type(exc).__name__}: {exc}"[:500])
+                           normalize_error(exc))
             titles.append(row[0])
             markdowns.append(row[1])
             jsons.append(row[2])
