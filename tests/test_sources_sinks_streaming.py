@@ -216,3 +216,48 @@ def test_stateful_first_seen_filter(spark, tmp_path):
     }
     # u1 emitted once per host despite appearing in both batches
     assert rows == {("h1", "u1"), ("h1", "u2"), ("h1", "u3"), ("h2", "u1")}
+
+
+def test_stateful_first_seen_bloom(spark, tmp_path):
+    """Bloom-state variant: constant-size per-host state across batches;
+    at test load (far below capacity) behavior is identical to the exact
+    filter — duplicates dropped across AND within micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from markdown_lab_spark.streaming.stateful import first_seen_filter_bloom
+
+    in_dir = tmp_path / "stream_in_bloom"
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        table = pa.table(
+            {"host": [r[0] for r in rows], "canon_url": [r[1] for r in rows]}
+        )
+        pq.write_table(table, str(in_dir / name))
+
+    # u2 duplicated WITHIN b1; u1 duplicated ACROSS batches
+    write_batch("b1.parquet", [("h1", "u1"), ("h1", "u2"), ("h1", "u2")])
+    write_batch("b2.parquet", [("h1", "u1"), ("h1", "u3"), ("h2", "u1")])
+
+    schema = "host string, canon_url string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        first_seen_filter_bloom(stream, capacity=1 << 12, fpr=0.01)
+        .writeStream.format("memory")
+        .queryName("first_seen_bloom")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["host"], r["canon_url"])
+        for r in spark.sql("select * from first_seen_bloom").collect()
+    }
+    assert rows == {("h1", "u1"), ("h1", "u2"), ("h1", "u3"), ("h2", "u1")}
