@@ -470,6 +470,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q24_lsh_ann"] = q24_lsh_ann
 
+    def q38_ivf_ann(spark, sf):
+        # IVF over deterministic seed centroids (vec_id < 8), nprobe=2;
+        # vec_id 0 is both a centroid and the query (excluded from results)
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        query = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        return S.ivf_topk(
+            emb.filter(F.col("vec_id") != 0), cents, query, nprobe=2, k=10
+        )
+
+    q["q38_ivf_ann"] = q38_ivf_ann
+
     # ---- training-pipeline: text analysis ----------------------------------------------
     def q34_embedding_neardup(spark, sf):
         # synthesize near-dup groups: vec_id % 7 in {0,1} share the group
@@ -1068,6 +1084,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_LR} AS cos_sim
         FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE {_COS_LR} >= 0.99
+    """
+
+    # q38: IVF — assignment/probe must match Spark EXACTLY (unrounded
+    # cosine), which holds because both engines fold the same products in
+    # the same order; only the output cos_sim is rounded
+    def _cos_sql(a: str, b: str) -> str:
+        return f"""(list_aggregate(list_transform(generate_series(1, len({a})),
+             i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(generate_series(1, len({a})),
+                i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(generate_series(1, len({b})),
+                i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum'))))"""
+
+    o["q38_ivf_ann"] = f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+        ),
+        qv_t AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+        assigned AS (
+          SELECT e.vec_id,
+                 CAST(-(max({{'s': {_cos_sql("e.embedding", "c.cvec")},
+                              'nc': -c.cid}})).nc AS BIGINT) AS cell
+          FROM e CROSS JOIN cents c
+          GROUP BY e.vec_id
+        ),
+        probe AS (
+          SELECT CAST(c.cid AS BIGINT) AS cell
+          FROM cents c CROSS JOIN qv_t q
+          ORDER BY {_cos_sql("c.cvec", "q.qv")} DESC, c.cid ASC
+          LIMIT 2
+        ),
+        scored AS (
+          SELECT e.vec_id,
+                 round({_cos_sql("e.embedding", "q.qv")}, 4) AS cos_sim
+          FROM e
+          JOIN assigned a ON a.vec_id = e.vec_id
+          JOIN probe p ON a.cell = p.cell
+          CROSS JOIN qv_t q
+        )
+        SELECT vec_id, cos_sim, rank FROM (
+          SELECT vec_id, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 10
     """
 
     def _lang_score(words: list[str]) -> str:

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q35_embedding_neardup_lsh",
     "q36_simhash64",
     "q37_simhash_hamming",
+    "q38_ivf_ann",
 ]
 
 

@@ -98,6 +98,82 @@ def lsh_cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "cvec",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (ties -> lowest cid).
+
+    The scale path sign-LSH can't offer: centroids live IN the data
+    distribution, so cells stay balanced even when embeddings are not
+    zero-centered per dimension (the round-1 axis-bucket failure mode).
+    Plan: one broadcast of the (tiny) centroid set, one groupBy on the
+    vector id with a max(struct) — the deterministic argmax. At corpus
+    scale the emitted ``cell`` becomes the table's partition key, so a
+    query touches nprobe partitions instead of the full corpus.
+    """
+    sim = cosine_similarity_col(F.col(vec_col), F.col(cent_vec))
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(sim.alias("s"), (-F.col(cent_id)).alias("nc"))
+            ).alias("b")
+        )
+        .select(F.col(id_col), (-F.col("b.nc")).cast("long").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest cells,
+    exact-score only their members, rank the survivors window-free.
+
+    ``centroids``: (cid, cvec) rows (deterministic seed vectors or an
+    offline k-means output); ``query``: one row with ``qv``.
+    Returns (vec_id, cos_sim, rank).
+    """
+    from .topk import ranked_topk  # noqa: PLC0415
+
+    cells = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col("cid").cast("long").alias("cell"),
+            cosine_similarity_col(F.col("cvec"), F.col("qv")).alias("_cs"),
+        )
+        .orderBy(F.desc("_cs"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand_ids = cells.join(F.broadcast(probe), on="cell", how="inner").select(id_col)
+    scored = (
+        embeddings.join(cand_ids, on=id_col, how="inner")
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("qv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return ranked_topk(
+        scored, k, [(F.col("cos_sim"), True), (F.col(id_col), False)]
+    )
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
