@@ -51,6 +51,15 @@ P_CLOSERS = frozenset(
 
 HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
+# the spec's active formatting elements (adoption agency participants)
+FORMATTING_ELEMENTS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# block-ish "special" elements an adoption-agency end tag must not pop
+_SPECIAL_SCOPE = P_CLOSERS | frozenset(
+    "li dd dt td th caption tr tbody thead tfoot body html".split()
+)
+
 # tree-construction "in table" machinery (html5ever gives the reference
 # this via the spec, src/markdown_converter.rs:78-86): while one of these
 # is the current node, disallowed content is FOSTER-PARENTED before the
@@ -404,10 +413,21 @@ class _TreeBuilder(HTMLParser):
             elif tag == "body":
                 self.stack = [self.html_el]
             return
-        # pop to matching open tag; ignore unmatched
+        # pop to matching open tag; ignore unmatched. For formatting
+        # elements whose scope contains an open BLOCK (the adoption-agency
+        # trigger, e.g. <b><p>x</b>y</p>), only the formatting element
+        # leaves the stack: the block stays current, so "y" remains in the
+        # paragraph exactly as html5ever attributes it. (The clone step of
+        # the full algorithm is tree-shape-only — block text attribution,
+        # which is all extraction reads, matches without it.)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                if tag in FORMATTING_ELEMENTS and any(
+                    el.tag in _SPECIAL_SCOPE for el in self.stack[i + 1 :]
+                ):
+                    self.stack.pop(i)
+                else:
+                    del self.stack[i:]
                 return
 
     def _close_if_open(self, tag: str) -> None:

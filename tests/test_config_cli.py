@@ -141,3 +141,34 @@ def test_cli_config_flag(spark, tiny_corpus, tmp_path):
             ["--config", '{"rps": -1}', "convert", "https://h1.test/a",
              "--pages", tiny_corpus, "-o", str(tmp_path / "o")]
         )
+
+
+def test_cli_sitemap(spark, tmp_path, capsys):
+    """sitemap verb: robots -> sitemap discovery -> priority filter ->
+    convert, against the generator corpus (which ships robots/sitemap
+    rows per host)."""
+    from markdown_lab_spark.cli import main
+    from markdown_lab_spark.corpus.generator import (
+        CorpusSpec,
+        generate_corpus,
+        write_corpus_parquet,
+    )
+
+    pages = str(tmp_path / "pages.parquet")
+    write_corpus_parquet(
+        generate_corpus(CorpusSpec(hosts=2, pages_per_host=15)), pages
+    )
+    host = (
+        spark.read.parquet(pages)
+        .selectExpr("regexp_extract(url, '^https://([^/]*)', 1) AS h")
+        .first()["h"]
+    )
+    out = str(tmp_path / "site_out")
+    rc = main(
+        ["sitemap", f"https://{host}/", "--pages", pages, "-o", out,
+         "--min-priority", "0.5", "--limit", "5"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert 0 < stats["converted"] <= 5
+    assert len(os.listdir(out)) == stats["converted"]

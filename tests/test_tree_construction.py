@@ -122,3 +122,37 @@ def test_heading_autoclose_extraction():
     )
     assert "# alpha\n" in md and "## beta" in md
     assert "# alphabeta" not in md
+
+
+def test_adoption_agency_block_text_attribution():
+    """<b><p>x</b>y</p>: html5ever keeps y INSIDE the paragraph (the
+    adoption agency reparents rather than popping the block). Round 1
+    popped the p with the b, leaking y to body."""
+    md = convert_html(
+        "<html><body><b><p>first part</b> second part</p></body></html>",
+        "https://e.com/",
+        "markdown",
+    )
+    assert "first part second part" in md
+
+
+def test_adoption_agency_inline_only_unchanged():
+    """all-inline misnesting stays within the same block: text intact."""
+    md = convert_html(
+        "<html><body><p><i>a<b>c</i>d</b></p></body></html>",
+        "https://e.com/",
+        "markdown",
+    )
+    assert "acd" in md
+
+
+def test_formatting_end_does_not_escape_cell():
+    """a </b> whose matching element is outside the cell must not pop the
+    cell (fostering/scope rule)."""
+    doc = parse_document(
+        "<html><body><b><table><tr><td>in cell</b> still in cell</td></tr>"
+        "</table></body></html>"
+    )
+    cells = [el for el in doc.root_element().iter_elements() if el.tag == "td"]
+    assert len(cells) == 1
+    assert cells[0].text() == "in cell still in cell"
