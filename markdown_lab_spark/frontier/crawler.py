@@ -299,8 +299,12 @@ class CrawlEngine:
         # canonicalize the corpus once; keep html out of any shuffle by
         # projecting it only at the join
         self.pages = pages.withColumn("canon_url", normalize_url_col(F.col("url")))
-        # static across waves; cached so the mapInPandas parse runs once
+        # static across waves; cached AND filled eagerly — the first wave's
+        # routing job fans into three union branches whose concurrent tasks
+        # would otherwise all miss the cold cache and each re-scan the
+        # corpus for robots bodies
         self.host_rules = robots_host_rules(robots_rules_df(pages)).cache()
+        self.host_rules.count()
 
     # -- state ----------------------------------------------------------------
     def _frontier_from_seeds(self, seeds) -> DataFrame:
@@ -403,11 +407,13 @@ class CrawlEngine:
 
         all_records: List[DataFrame] = []
         all_chunks: List[DataFrame] = []
-        # cache the slim projection: every wave probes it twice (fetch join +
-        # miss anti-join) and the canon_url regexp shouldn't re-run per scan.
-        # At warehouse scale the analogue is storing canon_url as a real
-        # column of the Iceberg pages table (computed once at ingest).
-        pages_slim = self.pages.select("canon_url", "url", "html").cache()
+        # slim projection, NOT cached: since round 2 the corpus is probed
+        # exactly once per wave (the broadcast fetch join; misses anti-join
+        # the fetched set), so caching would pay a 500 MB materialization
+        # in wave 0 to save one pruned parquet scan per later wave. At
+        # warehouse scale canon_url is a real column of the Iceberg pages
+        # table (computed once at ingest) and the scan is partition-pruned.
+        pages_slim = self.pages.select("canon_url", "url", "html")
 
         for wave in range(start_wave, cfg.max_waves):
             _t = _time.time()
@@ -663,7 +669,6 @@ class CrawlEngine:
                 bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
 
-        pages_slim.unpersist()
         if all_records:
             trace = all_records[0]
             for r in all_records[1:]:
