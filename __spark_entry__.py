@@ -367,16 +367,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _simdocs(spark, sf):
         # near-dup groups for SimHash: docs in a group share a long token
-        # block and differ in exactly one trailing token, so within-group
-        # Hamming distances are small but (mostly) nonzero
+        # block and differ in exactly one trailing token (within-group
+        # Hamming small but nonzero); the group tag token is REPEATED so
+        # cross-group fingerprints differ in many weighted positions and
+        # land far outside the Hamming radius — candidates stay
+        # O(true near-dups), the banding economics the operator exists for
+        g = F.concat(F.lit("grp"), F.floor(F.col("doc_id") / 30).cast("string"))
+        gtag = F.concat_ws(" ", *([g] * 10))
         return (
             _t(spark, sf, "documents")
             .filter((F.col("doc_id") % 10) < 3)
             .withColumn(
                 "content",
                 F.concat(
-                    F.lit("shared simhash block "),
-                    F.floor(F.col("doc_id") / 30).cast("string"),
+                    gtag,
                     F.lit(" " + _SIM_FILLER + " tok"),
                     (F.col("doc_id") % 3).cast("string"),
                 ),
@@ -525,14 +529,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q35_embedding_neardup_lsh(spark, sf):
-        # scale-safe variant: Rademacher hyperplanes + banding (16 bits /
-        # 4 bands here for oracle tractability; 64/8 at corpus scale)
+        # scale-safe variant: Rademacher hyperplanes + banding. 32 bits /
+        # 4 bands = 8-bit band keys (~1/256 random collision per band) —
+        # candidates stay O(true dups); 64/8 is the same plan at corpus
+        # scale, the oracle reproduces the identical 32 sign bits in SQL
         return D.embedding_neardup_pairs_banded(
             _synth_neardup_embeddings(spark, sf),
             "vec_id",
             "embedding",
             threshold=0.99,
-            nbits=16,
+            nbits=32,
             bands=4,
             dim=64,
         )
@@ -951,10 +957,13 @@ def oracle_sql() -> dict[str, str]:
     # q37: banded candidate generation is exhaustive for hamming <= 7 with
     # 8 bands (pigeonhole), so the oracle can brute-force all pairs and get
     # the identical result set
+    _GTAG = (
+        "rtrim(repeat('grp' || CAST(CAST(floor(doc_id / 30) AS BIGINT) "
+        "AS VARCHAR) || ' ', 10))"
+    )
     _SIMDOCS = f"""
         SELECT doc_id,
-               'shared simhash block ' ||
-               CAST(CAST(floor(doc_id / 30) AS BIGINT) AS VARCHAR) ||
+               {_GTAG} ||
                ' {_SIM_FILLER} tok' || CAST(doc_id % 3 AS VARCHAR) AS content
         FROM documents WHERE doc_id % 10 < 3
     """
@@ -1053,7 +1062,7 @@ def oracle_sql() -> dict[str, str]:
     # fold so the sign bit is IEEE-identical in both engines
     from markdown_lab_spark.functions.dedup import rademacher_hyperplanes
 
-    _planes = rademacher_hyperplanes(16, 64)
+    _planes = rademacher_hyperplanes(32, 64)
 
     def _rad_bit(p: int) -> str:
         terms = "".join(
@@ -1062,9 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         )
         return f"CASE WHEN (0.0{terms}) >= 0 THEN '1' ELSE '0' END"
 
-    _sig16 = " || ".join(_rad_bit(p) for p in range(16))
+    _sig32 = " || ".join(_rad_bit(p) for p in range(32))
     _band_list = ", ".join(
-        f"'{b}:' || substr(sig, {b * 4 + 1}, 4)" for b in range(4)
+        f"'{b}:' || substr(sig, {b * 8 + 1}, 8)" for b in range(4)
     )
     o["q35_embedding_neardup_lsh"] = f"""
         WITH synth AS (
@@ -1074,7 +1083,7 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN embeddings l ON l.vec_id = e.vec_id - (e.vec_id % 7)
         ),
         sigs AS (
-          SELECT e.vec_id, e.embedding, {_sig16} AS sig
+          SELECT e.vec_id, e.embedding, {_sig32} AS sig
           FROM synth e
         ),
         bands AS (
