@@ -628,6 +628,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q32_chunk_markdown"] = q32_chunk_markdown
 
+    def q39_chunk_semantic_sections(spark, sf):
+        # multi-section semantic chunking: '# Doc' + first '## Intro'
+        # fold into one section (seen_h2_under_h1, chunk_utils.py:70-79);
+        # '## Details' starts its own, sized to exercise BOTH the small
+        # 'section' chunk and the large-section word-window paths
+        docs = _t(spark, sf, "documents").withColumn("url", _url_col())
+        md = F.concat(
+            F.lit("# Doc "), F.col("doc_id").cast("string"),
+            F.lit("\n\n## Intro\n\n"), F.col("text"),
+            F.lit("\n\n## Details\n\n"),
+            F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")),
+        )
+        exploded = docs.withColumn("md", md).select(
+            "doc_id",
+            F.explode(chunk_semantic_udf(F.col("md"), F.col("url"))).alias("c"),
+        )
+        return exploded.select(
+            "doc_id",
+            F.col("c.id").alias("chunk_id"),
+            F.col("c.content").alias("content"),
+            F.col("c.chunk_type").alias("chunk_type"),
+            F.col("c.word_count").cast("long").alias("word_count"),
+            F.col("c.char_count").cast("long").alias("char_count"),
+        )
+
+    q["q39_chunk_semantic_sections"] = q39_chunk_semantic_sections
+
+    def q40_corpus_curation(spark, sf):
+        # composite training-data curation: language == en AND quality >=
+        # 0.5 AND canonical representative of its exact-dup group — the
+        # keep-list a 100 TB pipeline computes before tokenization
+        docs = _dupdocs(spark, sf)
+        scored = docs.select(
+            "doc_id",
+            "content",
+            X.predicted_lang(F.col("content")).alias("pred_lang"),
+            X.quality_score(F.col("content")).cast("double").alias("quality"),
+        )
+        keepers = D.exact_dedup(docs, "doc_id", "content").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return (
+            scored.join(keepers, on="doc_id", how="inner")
+            .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+            .select("doc_id", F.round("quality", 6).alias("quality"))
+        )
+
+    q["q40_corpus_curation"] = q40_corpus_curation
+
     def q33_chunk_semantic(spark, sf):
         docs = _webdocs(spark, sf)
         converted = docs.withColumn(
@@ -1140,11 +1189,11 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
     """
 
-    def _lang_score(words: list[str]) -> str:
+    def _lang_score(words: list[str], col: str = "text") -> str:
         pat = r"\b(" + "|".join(words) + r")\b"
         return (
-            f"round(len(regexp_extract_all(lower(text), '{pat}')) / "
-            f"greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6)"
+            f"round(len(regexp_extract_all(lower({col}), '{pat}')) / "
+            f"greatest(CASE WHEN trim({col}) = '' THEN 0 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END, 1), 6)"
         )
 
     from markdown_lab_spark.functions.text import LANG_STOPWORDS
@@ -1170,22 +1219,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     en_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+
+    def _quality_sql(col: str) -> str:
+        return f"""
+            round(0.4 * least(1.0, (CASE WHEN trim({col}) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END) / 100.0)
+              + 0.3 * (1.0 - least(1.0, 5.0 *
+                  round(len(regexp_extract_all({col}, '[^\\w\\s]')) / greatest(length({col}), 1), 6)))
+              + 0.3 * least(1.0, 4.0 *
+                  round(len(regexp_extract_all(lower({col}), '{en_pat}')) /
+                    greatest(CASE WHEN trim({col}) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END, 1), 6)), 6)::DOUBLE"""
+
     o["q26_quality_score"] = f"""
-        WITH m AS (
-          SELECT doc_id,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
-            round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct,
-            round(len(regexp_extract_all(lower(text), '{en_pat}')) /
-              greatest(CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stop_r
-          FROM documents
-        )
-        SELECT doc_id,
-          round(0.4 * least(1.0, toks / 100.0)
-              + 0.3 * (1.0 - least(1.0, 5.0 * punct))
-              + 0.3 * least(1.0, 4.0 * stop_r), 6)::DOUBLE AS quality
-        FROM m
+        SELECT doc_id, {_quality_sql("text")} AS quality
+        FROM documents
     """
 
     o["q27_token_counts"] = f"""
@@ -1337,6 +1385,83 @@ def oracle_sql() -> dict[str, str]:
                      ELSE len(regexp_split_to_array(trim(md), '\\s+')) END)::BIGINT AS word_count,
                (length(md) + 1)::BIGINT AS char_count
         FROM m
+    """
+
+    # q39: Python semantic chunker, multi-section case. Section fold per
+    # chunk_utils.py:70-79 (first h2 under h1 joins the h1 section,
+    # '## Details' starts its own); small sections emit one 'section'
+    # chunk, oversized ones word-window at 200 words / step 160
+    _WS4 = "' ' || chr(9) || chr(10) || chr(13)"
+    o["q39_chunk_semantic_sections"] = f"""
+        WITH m AS (
+          SELECT doc_id, {_URL_SQL} AS url,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                   '## Intro' || chr(10) || chr(10) || text || chr(10) || chr(10) AS s1,
+                 '## Details' || chr(10) || chr(10) ||
+                   text || ' ' || text || ' ' || text || chr(10) AS s2
+          FROM documents
+        ),
+        secs AS (
+          SELECT doc_id, url,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) AS heading, s1 AS body
+          FROM m
+          UNION ALL
+          SELECT doc_id, url, '## Details' AS heading, s2 AS body FROM m
+        ),
+        small AS (
+          SELECT doc_id,
+                 md5(url || ':' || heading) AS chunk_id,
+                 body AS content,
+                 'section' AS chunk_type,
+                 len(regexp_split_to_array(trim(body, {_WS4}), '\\s+'))::BIGINT AS word_count,
+                 length(body)::BIGINT AS char_count
+          FROM secs WHERE length(body) <= 1000
+        ),
+        big AS (
+          SELECT doc_id, url, heading,
+                 regexp_split_to_array(trim(body, {_WS4}), '\\s+') AS words
+          FROM secs WHERE length(body) > 1000
+        ),
+        wins AS (
+          SELECT doc_id,
+                 md5(url || ':' || heading || ':' || CAST(i AS VARCHAR)) AS chunk_id,
+                 array_to_string(words[i + 1 : i + 200], ' ') AS content,
+                 'content_chunk' AS chunk_type,
+                 least(200, len(words) - i)::BIGINT AS word_count,
+                 length(array_to_string(words[i + 1 : i + 200], ' '))::BIGINT AS char_count
+          FROM big, unnest(generate_series(0, greatest(len(words) - 1, 0), 160)) AS t(i)
+        )
+        SELECT * FROM small UNION ALL SELECT * FROM wins
+    """
+
+    lang_cols_c = {
+        lang: _lang_score(w, "content") for lang, w in LANG_STOPWORDS.items()
+    }
+    _LANG_CASE_C = f"""
+        CASE
+          WHEN greatest({lang_cols_c["en"]}, {lang_cols_c["de"]},
+                        {lang_cols_c["fr"]}, {lang_cols_c["es"]}) = 0 THEN 'und'
+          WHEN {lang_cols_c["en"]} = greatest({lang_cols_c["en"]}, {lang_cols_c["de"]},
+                        {lang_cols_c["fr"]}, {lang_cols_c["es"]}) THEN 'en'
+          WHEN {lang_cols_c["de"]} = greatest({lang_cols_c["en"]}, {lang_cols_c["de"]},
+                        {lang_cols_c["fr"]}, {lang_cols_c["es"]}) THEN 'de'
+          WHEN {lang_cols_c["fr"]} = greatest({lang_cols_c["en"]}, {lang_cols_c["de"]},
+                        {lang_cols_c["fr"]}, {lang_cols_c["es"]}) THEN 'fr'
+          ELSE 'es'
+        END"""
+    o["q40_corpus_curation"] = f"""
+        WITH d AS ({_DUP}),
+        keep AS (
+          SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(content)
+        ),
+        s AS (
+          SELECT doc_id, {_LANG_CASE_C} AS pred_lang,
+                 {_quality_sql("content")} AS quality
+          FROM d
+        )
+        SELECT s.doc_id, s.quality
+        FROM s JOIN keep USING (doc_id)
+        WHERE s.pred_lang = 'en' AND s.quality >= 0.5
     """
 
     return o

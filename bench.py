@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q36_simhash64",
     "q37_simhash_hamming",
     "q38_ivf_ann",
+    "q39_chunk_semantic_sections",
+    "q40_corpus_curation",
 ]
 
 

@@ -89,3 +89,21 @@ def test_ttl_chunks_carry_both_fetches(spark, cycle_pages):
         .collect()
     )
     assert waves_of_a == [0, 2]
+
+
+def test_ttl_resume_reseeds_cuckoo(spark, cycle_pages, tmp_path):
+    """Resume in TTL mode: the cuckoo filter is re-seeded from the
+    checkpointed seen set's FRESH rows, and expiry keeps working across
+    the restart (a, seen at wave 0, must be re-fetched at wave 2 by the
+    resumed engine)."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(rps=1.0, wave_seconds=5, max_waves=2, ttl_waves=2)
+    CrawlEngine(spark, cycle_pages, cfg, checkpoint_dir=ckpt).crawl(
+        ["https://h1.test/a"]
+    )
+
+    cfg2 = CrawlConfig(rps=1.0, wave_seconds=5, max_waves=3, ttl_waves=2)
+    out = CrawlEngine(spark, cycle_pages, cfg2, checkpoint_dir=ckpt).crawl(
+        [], resume=True
+    )
+    assert ("https://h1.test/a", 2, "ok") in _trace(out)
