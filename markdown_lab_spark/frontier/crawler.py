@@ -397,11 +397,17 @@ class CrawlEngine:
             from .cuckoo import CuckooFilter  # noqa: PLC0415
 
             cuckoo = CuckooFilter(cfg.cuckoo_capacity)
-            if seen is not None:  # resume: re-seed with still-fresh keys
+            if seen is not None:
+                # resume: re-seed still-fresh keys PLUS the wave that
+                # expires first (>=, not >): the resumed wave's expiry
+                # delete targets status_wave == start_wave - ttl_waves,
+                # and deleting a never-inserted key could strip a
+                # colliding fingerprint of a still-fresh URL (false
+                # negative in the prefilter)
                 fresh = seen.filter(
-                    F.col("status_wave") > start_wave - cfg.ttl_waves
+                    F.col("status_wave") >= start_wave - cfg.ttl_waves
                 )
-                cuckoo.add([r["canon_url"] for r in fresh.select("canon_url").collect()])
+                cuckoo.add_pairs(*self._cuckoo_pairs(fresh))
         elif seen is not None:
             bloom = self._build_bloom(seen)  # full build only on resume
 
@@ -430,9 +436,7 @@ class CrawlEngine:
                         expiring = seen.filter(
                             F.col("status_wave") == wave - cfg.ttl_waves
                         )
-                        cuckoo.delete(
-                            [r["canon_url"] for r in expiring.select("canon_url").collect()]
-                        )
+                        cuckoo.delete_pairs(*self._cuckoo_pairs(expiring))
                     fresh_seen = seen.filter(
                         F.col("status_wave") > wave - cfg.ttl_waves
                     )
@@ -459,17 +463,26 @@ class CrawlEngine:
 
             # 4. fetch = broadcast join against the corpus (stream side =
             # corpus, build side = the small schedule: the corpus is never
-            # shuffled)
+            # shuffled). Oversized pages (reference max_file_size,
+            # core/config.py:44) are a TERMINAL skip, not a retryable miss:
+            # they stay in the join tagged _too_large so they reach the
+            # seen set with status 'too_large' instead of burning
+            # politeness-budget slots as retries — but their bytes never
+            # cross Arrow (the convert UDF sees null html for them).
             fetched = pages_slim.join(
                 F.broadcast(scheduled), on="canon_url", how="inner"
-            ).filter(F.length("html") <= cfg.max_file_size)
+            ).withColumn("_too_large", F.length("html") > cfg.max_file_size)
 
             # 5. convert + chunk (Arrow-vectorized)
             docs = (
                 fetched.withColumn(
                     # markdown-only variant: the crawl consumes markdown +
                     # links; json/xml serialization is skipped in this path
-                    "doc", convert_markdown_udf(F.col("html"), F.col("url"))
+                    "doc",
+                    convert_markdown_udf(
+                        F.when(~F.col("_too_large"), F.col("html")),
+                        F.col("url"),
+                    ),
                 )
                 .select(
                     "canon_url",
@@ -480,7 +493,9 @@ class CrawlEngine:
                     F.col("doc.title").alias("title"),
                     F.col("doc.markdown").alias("markdown"),
                     F.col("doc.links").alias("links"),
-                    F.col("doc.status").alias("status"),
+                    F.when(F.col("_too_large"), F.lit("too_large"))
+                    .otherwise(F.col("doc.status"))
+                    .alias("status"),
                     F.col("doc.error").alias("error"),
                 )
                 # the wave's ONE heavy job: fetch join + convert UDF,
@@ -662,9 +677,7 @@ class CrawlEngine:
             # scale the cuckoo shards like the bloom; windowed state is
             # bounded by ttl_waves * budget regardless).
             if use_ttl:
-                cuckoo.add(
-                    [r["canon_url"] for r in delta_for_bloom.select("canon_url").collect()]
-                )
+                cuckoo.add_pairs(*self._cuckoo_pairs(delta_for_bloom))
             else:
                 bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
@@ -684,6 +697,51 @@ class CrawlEngine:
                 [], "canon_url string, wave int, pos int, content string"
             )
         return {"trace": trace, "seen": seen, "chunks": chunks_all}
+
+    def _cuckoo_pairs(self, df: DataFrame):
+        """(index1, fingerprint) arrays for df.canon_url, computed
+        EXECUTOR-side (the bloom pattern, round-2 verdict item): each
+        partition hashes its own URLs via mapInPandas and ships one packed
+        binary row — 10 bytes/key — so no raw URL string ever crosses to
+        the driver. At 10^10-frontier scale the per-wave delta is
+        hosts*budget keys; 10 bytes each keeps the driver merge trivial
+        (the cuckoo itself shards like ShardedBloom when one table won't
+        fit — see BENCH.md shard math)."""
+        from .cuckoo import CuckooFilter as _CF  # noqa: PLC0415
+
+        nb = _CF.nbuckets_for(self.config.cuckoo_capacity)
+
+        def pack(iterator):
+            import numpy as np  # noqa: PLC0415
+
+            from .cuckoo import CuckooFilter  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
+
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                keys = url_hash64_vec(pdf["canon_url"].fillna("").tolist())
+                idxs, fps = CuckooFilter.pairs_for_keys(keys, nb)
+                yield pd.DataFrame(
+                    {"idxs": [idxs.tobytes()], "fps": [fps.tobytes()]}
+                )
+
+        rows = (
+            df.select("canon_url")
+            .mapInPandas(pack, "idxs binary, fps binary")
+            .collect()
+        )
+        import numpy as np
+
+        if not rows:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint16)
+        idxs = np.concatenate(
+            [np.frombuffer(r["idxs"], dtype=np.uint64) for r in rows]
+        )
+        fps = np.concatenate(
+            [np.frombuffer(r["fps"], dtype=np.uint16) for r in rows]
+        )
+        return idxs, fps
 
     def _build_bloom(
         self, seen: DataFrame, into: Optional[ShardedBloom] = None

@@ -20,16 +20,26 @@ _MAX_KICKS = 500
 
 
 class CuckooFilter:
-    def __init__(self, capacity: int):
+    @staticmethod
+    def nbuckets_for(capacity: int) -> int:
         nbuckets = 1
         while nbuckets * _SLOTS < capacity:
             nbuckets <<= 1  # power of two so XOR indexing stays in range
-        nbuckets <<= 1  # headroom -> ~50% load at stated capacity
+        return nbuckets << 1  # headroom -> ~50% load at stated capacity
+
+    def __init__(self, capacity: int):
+        nbuckets = self.nbuckets_for(capacity)
         self.nbuckets = nbuckets
         self.mask = np.uint64(nbuckets - 1)
         self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(42)  # deterministic eviction choice
+        # (i1, fp) pairs that could NOT be inserted (table full after
+        # MAX_KICKS). Tracked so delete() never removes another key's
+        # colliding fingerprint on behalf of a key that was never stored —
+        # that would create a false negative in the prefilter. Empty at the
+        # configured 50% load headroom; grows only past ~95% load.
+        self.failed: set = set()
 
     # -- helpers -------------------------------------------------------------
     def _fingerprint(self, keys: np.ndarray) -> np.ndarray:
@@ -67,15 +77,65 @@ class CuckooFilter:
                 return True
         return False  # table full
 
-    def add(self, urls: Iterable[str]) -> int:
-        keys = url_hash64_vec(list(urls))
-        fps = self._fingerprint(keys)
-        idxs = self._index1(keys)
+    # -- pair-based ops: fingerprints + buckets are computed EXECUTOR-side
+    # (pairs_for_keys inside mapInPandas) so the driver only ever merges
+    # 10-byte (idx, fp) pairs, never raw URL strings -----------------------
+    @staticmethod
+    def pairs_for_keys(keys: np.ndarray, nbuckets: int):
+        """(index1 uint64, fingerprint uint16) for 64-bit url hashes.
+
+        Static + table-free so executors can call it knowing only
+        ``nbuckets`` (broadcast as an int), mirroring the bloom path's
+        ``partial_bitsets_from_keys``."""
+        mask = np.uint64(nbuckets - 1)
+        fp = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        return (keys & mask).astype(np.uint64), fp
+
+    def add_pairs(self, idxs: np.ndarray, fps: np.ndarray) -> int:
         ok = 0
+        failed = 0
         for idx, fp in zip(idxs, fps):
             if self._insert_one(int(idx), int(fp)):
                 ok += 1
+            else:
+                self.failed.add((int(idx), int(fp)))
+                failed += 1
+        if failed:
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"cuckoo filter full: {failed} keys not inserted at load "
+                f"{self.load_factor():.2f} — raise cuckoo_capacity; the keys "
+                "are tracked so deletes stay safe, and the exact anti-join "
+                "still guarantees no re-fetch of fresh URLs",
+                stacklevel=2,
+            )
         return ok
+
+    def delete_pairs(self, idxs: np.ndarray, fps: np.ndarray) -> int:
+        removed = 0
+        for key_i1, fp in zip(idxs, fps):
+            pair = (int(key_i1), int(fp))
+            if pair in self.failed:
+                # the key was never stored — removing its fingerprint from
+                # the table would strip a colliding still-fresh key
+                self.failed.discard(pair)
+                continue
+            for i in (int(key_i1), int(self._alt_index(key_i1, fp))):
+                row = self.table[i]
+                hits = np.nonzero(row == fp)[0]
+                if len(hits):
+                    row[hits[0]] = 0
+                    self.count -= 1
+                    removed += 1
+                    break
+        return removed
+
+    def add(self, urls: Iterable[str]) -> int:
+        keys = url_hash64_vec(list(urls))
+        idxs, fps = self.pairs_for_keys(keys, self.nbuckets)
+        return self.add_pairs(idxs, fps)
 
     def contains(self, urls: Iterable[str]) -> np.ndarray:
         keys = url_hash64_vec(list(urls))
@@ -88,19 +148,8 @@ class CuckooFilter:
 
     def delete(self, urls: Iterable[str]) -> int:
         keys = url_hash64_vec(list(urls))
-        fps = self._fingerprint(keys)
-        i1s = self._index1(keys)
-        removed = 0
-        for key_i1, fp in zip(i1s, fps):
-            for i in (int(key_i1), int(self._alt_index(key_i1, fp))):
-                row = self.table[i]
-                hits = np.nonzero(row == fp)[0]
-                if len(hits):
-                    row[hits[0]] = 0
-                    self.count -= 1
-                    removed += 1
-                    break
-        return removed
+        idxs, fps = self.pairs_for_keys(keys, self.nbuckets)
+        return self.delete_pairs(idxs, fps)
 
     def load_factor(self) -> float:
         return self.count / (self.nbuckets * _SLOTS)

@@ -134,3 +134,38 @@ def test_retry_requeue_matches_simulator(spark, corpus, pages_df):
         last_wave, last_status = events[-1]
         # resolved, or still mid-retry only because max_waves cut the crawl
         assert last_status in ("fetch_miss", "ok") or last_wave >= cfg["max_waves"] - 2
+
+
+def test_oversized_page_terminal_not_retried(spark):
+    """ADVICE: oversize is a terminal skip (reference max_file_size,
+    core/config.py) — status 'too_large', never requeued as a retry."""
+    from pyspark.sql import functions as F
+
+    big = b"<html><body>" + b"x" * 5000 + b"</body></html>"
+    small = (
+        b'<html><head><title>s</title></head><body><p>hello world</p>'
+        b'<a href="https://h1.test/big">big</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h1.test/small", small), ("https://h1.test/big", big)],
+        "url string, html binary",
+    )
+    cfg = CrawlConfig(
+        rps=1.0, wave_seconds=5, max_waves=4, max_retries=3, max_file_size=4096
+    )
+    out = CrawlEngine(spark, pages, cfg).crawl(["https://h1.test/small"])
+    tr = sorted(
+        (r["canon_url"], r["wave"], r["status"]) for r in out["trace"].collect()
+    )
+    assert ("https://h1.test/big", 1, "too_large") in tr
+    # terminal: exactly one trace row for the big page, no retry rows
+    big_rows = [t for t in tr if t[0] == "https://h1.test/big"]
+    assert big_rows == [("https://h1.test/big", 1, "too_large")]
+    # and it is seen (won't be rescheduled even if rediscovered)
+    seen = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
+    assert "https://h1.test/big" in seen
+    # no chunks were produced from it
+    assert (
+        out["chunks"].filter(F.col("canon_url") == "https://h1.test/big").count()
+        == 0
+    )

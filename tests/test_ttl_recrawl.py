@@ -107,3 +107,90 @@ def test_ttl_resume_reseeds_cuckoo(spark, cycle_pages, tmp_path):
         [], resume=True
     )
     assert ("https://h1.test/a", 2, "ok") in _trace(out)
+
+
+def test_cuckoo_pairs_distributed_match_driver(spark, cycle_pages):
+    """_cuckoo_pairs (executor-side mapInPandas) must produce exactly the
+    pairs the driver-side hash would — and the TTL path must never collect
+    raw canon_url strings (round-2 verdict: the bloom pattern for the
+    cuckoo too)."""
+    import numpy as np
+
+    from markdown_lab_spark.frontier.cuckoo import CuckooFilter
+    from markdown_lab_spark.frontier.hashing import url_hash64_vec
+
+    engine = CrawlEngine(
+        spark, cycle_pages, CrawlConfig(ttl_waves=2, cuckoo_capacity=1 << 10)
+    )
+    urls = [f"https://h{i % 3}.test/p{i}" for i in range(50)]
+    df = spark.createDataFrame([(u,) for u in urls], "canon_url string")
+    idxs, fps = engine._cuckoo_pairs(df)
+    nb = CuckooFilter.nbuckets_for(1 << 10)
+    exp_idxs, exp_fps = CuckooFilter.pairs_for_keys(url_hash64_vec(urls), nb)
+    assert sorted(zip(idxs.tolist(), fps.tolist())) == sorted(
+        zip(exp_idxs.tolist(), exp_fps.tolist())
+    )
+    # source guard: the TTL branches of the wave loop use pair collection,
+    # not canon_url row collection
+    import inspect
+
+    from markdown_lab_spark.frontier import crawler as crawler_mod
+
+    src = inspect.getsource(crawler_mod.CrawlEngine.crawl)
+    assert 'r["canon_url"] for r in' not in src
+
+
+def test_cuckoo_full_tracks_failures_and_delete_is_safe():
+    """ADVICE: a key that failed to insert (table full) must not be
+    deletable — deleting it could strip a colliding fingerprint belonging
+    to a still-present key."""
+    import warnings
+
+    import numpy as np
+
+    from markdown_lab_spark.frontier.cuckoo import CuckooFilter, _SLOTS
+
+    cf = CuckooFilter(4)  # tiny: nbuckets_for(4) = 2 buckets * 4 slots
+    cap = cf.nbuckets * _SLOTS
+    urls = [f"https://h.test/{i}" for i in range(cap * 4)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        inserted = cf.add(urls)
+    assert inserted < len(urls)  # some must fail at 4x capacity
+    assert cf.failed  # failures tracked
+    assert any("cuckoo filter full" in str(w.message) for w in caught)
+
+    # deleting the failed keys must not remove any stored fingerprint
+    count_before = cf.count
+    table_before = cf.table.copy()
+    failed_idxs = np.array([p[0] for p in cf.failed], dtype=np.uint64)
+    failed_fps = np.array([p[1] for p in cf.failed], dtype=np.uint16)
+    # only delete pairs whose fingerprint does NOT also exist as a stored
+    # duplicate (a colliding stored key keeps its slot)
+    removed = cf.delete_pairs(failed_idxs, failed_fps)
+    assert cf.count == count_before
+    assert (cf.table == table_before).all()
+    assert not cf.failed  # consumed
+    assert removed == 0
+
+
+def test_ttl_resume_seed_includes_first_expiring_wave(spark, cycle_pages, tmp_path):
+    """ADVICE off-by-one: after resume at start_wave, the first wave's
+    expiry delete targets status_wave == start_wave - ttl_waves; those keys
+    must have been seeded (>=, not >) or the delete could strip a colliding
+    fresh key. Functional check: resume exactly at the expiry boundary and
+    verify both re-fetch AND freshness behave."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(rps=1.0, wave_seconds=5, max_waves=2, ttl_waves=2)
+    eng = CrawlEngine(spark, cycle_pages, cfg, checkpoint_dir=ckpt)
+    eng.crawl(["https://h1.test/a"])
+
+    cfg2 = CrawlConfig(rps=1.0, wave_seconds=5, max_waves=4, ttl_waves=2)
+    eng2 = CrawlEngine(spark, cycle_pages, cfg2, checkpoint_dir=ckpt)
+    out = eng2.crawl([], resume=True)
+    tr = _trace(out)
+    # a (seen at wave 0) expires at wave 2; b (wave 1) at wave 3
+    assert ("https://h1.test/a", 2, "ok") in tr
+    assert ("https://h1.test/b", 3, "ok") in tr
+    # neither is re-fetched while fresh
+    assert ("https://h1.test/b", 2, "ok") not in tr
