@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from markdown_lab_spark.functions import dedup as D
+from markdown_lab_spark.functions import multimodal as M
 from markdown_lab_spark.functions import similarity as S
 from markdown_lab_spark.functions import text as X
 from markdown_lab_spark.functions.topk import ranked_topk
@@ -492,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-pipeline: text analysis ----------------------------------------------
     def q34_embedding_neardup(spark, sf):
+        # CORRECTNESS BASELINE, not for production (quadratic within its
+        # 8-bit bucket) — the scale path with the same contract is q35
+        # (embedding_neardup_pairs_banded).
         # synthesize near-dup groups: vec_id % 7 in {0,1} share the group
         # leader's vector, so exact-duplicate pairs exist at cos=1.0
         emb = _t(spark, sf, "embeddings")
@@ -676,6 +680,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q40_corpus_curation"] = q40_corpus_curation
+
+    # ---- multimodal columns (decode is the declared deterministic stub —
+    # md5-derived, hence DuckDB-expressible; the Spark-side machinery is
+    # the real mapInPandas/byte-aware-batching path) --------------------------
+    def _media(spark, sf):
+        docs = _t(spark, sf, "documents")
+        kind = (
+            F.when((F.col("doc_id") % 3) == 0, "image")
+            .when((F.col("doc_id") % 3) == 1, "video")
+            .otherwise("audio")
+        )
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            kind.alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.create_map(
+                F.lit("duration_s"), (F.col("doc_id") % 30).cast("string")
+            ).alias("meta"),
+        )
+
+    def q41_image_features(spark, sf):
+        feats = M.extract_image_features(_media(spark, sf))
+        return feats.select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "checksum",
+            "feature",
+        )
+
+    q["q41_image_features"] = q41_image_features
+
+    def q42_frame_sample(spark, sf):
+        plan = M.frame_sample_plan(_media(spark, sf), every_n_seconds=5)
+        return plan.select(
+            "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
+        )
+
+    q["q42_frame_sample"] = q42_frame_sample
 
     def q33_chunk_semantic(spark, sf):
         docs = _webdocs(spark, sf)
@@ -1462,6 +1507,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, s.quality
         FROM s JOIN keep USING (doc_id)
         WHERE s.pred_lang = 'en' AND s.quality >= 0.5
+    """
+
+    # multimodal: the stub decode is md5(payload)-derived (multimodal.py
+    # decode_image_stub), so the oracle reproduces the exact byte math from
+    # the hex digest; payload is the document text's UTF-8 bytes
+    o["q41_image_features"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id, md5(text) AS h,
+                 octet_length(encode(text)) AS nb
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT media_id,
+          CAST(16 + ('0x' || substr(h, 1, 2))::INT % 64 AS BIGINT) AS width,
+          CAST(16 + ('0x' || substr(h, 3, 2))::INT % 64 AS BIGINT) AS height,
+          CAST(nb AS BIGINT) AS n_bytes,
+          h AS checksum,
+          [CAST(ROUND((('0x' || substr(h, 2*i+5, 2))::INT) / 255.0, 6) AS FLOAT)
+           for i in range(8)] AS feature
+        FROM m
+    """
+
+    o["q42_frame_sample"] = """
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(0, doc_id % 30, 5)) AS BIGINT)
+                 AS frame_ts
+        FROM documents WHERE doc_id % 3 = 1
     """
 
     return o

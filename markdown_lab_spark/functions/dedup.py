@@ -379,13 +379,19 @@ def embedding_neardup_pairs(
     threshold: float = 0.99,
     bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.
+    """Embedding-cosine near-duplicate pairs — CORRECTNESS BASELINE ONLY,
+    not for production scale.
 
     Sign-LSH bucketing (concatenated signs of the first ``bits`` dims)
-    restricts the self-join to same-bucket candidates — near-identical
-    vectors share the bucket with high probability — then exact cosine
-    filters at ``threshold``. At 100 TB the bucket column doubles as the
-    table's partition key so the self-join is co-located per bucket.
+    restricts the self-join to same-bucket candidates, then exact cosine
+    filters at ``threshold``. The single 8-bit axis-aligned bucket leaves
+    ~n/256 rows per bucket and the self-join is QUADRATIC within each —
+    fine at oracle scale, a blow-up at 10^10 rows. The production path is
+    :func:`embedding_neardup_pairs_banded` (Rademacher hyperplanes +
+    banding, tunable nbits/bands), which q35 exercises with the same
+    output contract. Kept because its plan is trivially SQL-expressible,
+    making it the hash-checked ground truth the banded variant is
+    completeness-tested against.
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos rounded to 4dp.
     """
     from .similarity import cosine_similarity_col, sign_bucket_col

@@ -72,10 +72,10 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "checksum": [],
                     "feature": [],
                 }
-                for _, row in part.iterrows():
-                    payload = bytes(row["payload"] or b"")
+                for media_id, raw in zip(part["media_id"], part["payload"]):
+                    payload = bytes(raw or b"")
                     w, h, feat = decode_image_stub(payload)
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(media_id)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_bytes"].append(len(payload))
