@@ -59,6 +59,11 @@ FORMATTING_ELEMENTS = frozenset(
 _SPECIAL_SCOPE = P_CLOSERS | frozenset(
     "li dd dt td th caption tr tbody thead tfoot body html".split()
 )
+# *has an element in scope* boundaries (spec 13.2.4.2): a formatting end
+# tag whose element sits above one of these is a parse error and IGNORED
+# (html5ever does the same — e.g. a </b> inside a td cannot reach a <b>
+# opened outside the table)
+_SCOPE_BOUNDARY = frozenset("html table td th caption template".split())
 
 # tree-construction "in table" machinery (html5ever gives the reference
 # this via the spec, src/markdown_converter.rs:78-86): while one of these
@@ -395,13 +400,91 @@ class _TreeBuilder(HTMLParser):
         parent.children.insert(idx, node)
 
     def _close_open_a(self) -> None:
+        # spec: an <a> start tag with an open <a> in scope runs the
+        # adoption agency for "a" (nested anchors are illegal)
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t == "a":
-                del self.stack[i:]
+                self._adoption_agency("a")
                 return
-            if t in ("td", "th", "caption", "table", "body", "html"):
+            if t in _SCOPE_BOUNDARY or t == "body":
                 return
+
+    @staticmethod
+    def _detach(node: Node) -> None:
+        p = node.parent
+        if p is not None and node in p.children:
+            p.children.remove(node)
+        node.parent = None
+
+    def _adoption_agency(self, tag: str) -> None:
+        """HTML5 adoption agency (spec 13.2.6.4.7) including the CLONE
+        step: a formatting end tag whose scope contains an open block
+        moves the block to the formatting element's parent and re-wraps
+        the block's existing children in a COPY of the formatting element
+        (<b><p>a</b>b  =>  <b></b><p><b>a</b>b</p>), matching html5ever's
+        tree shape (the reference gets this via html5ever,
+        src/markdown_converter.rs:78-86), not just its text attribution.
+
+        One outer iteration suffices: the spec's second iteration finds
+        the freshly-inserted clone at the bottom of the stack with no
+        furthest block below it and pops it straight back off, so the
+        clone is simply never pushed here. The active-formatting-elements
+        RECONSTRUCTION step is not modeled (it changes inline formatting
+        shape only, never block text attribution).
+        """
+        # locate the formatting element, honoring scope boundaries
+        fe_idx = None
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                fe_idx = i
+                break
+            if t in _SCOPE_BOUNDARY:
+                return  # parse error per spec: not in scope, token ignored
+        if fe_idx is None:
+            return  # unmatched end tag: ignored
+        # furthest block: topmost special element below the formatting one
+        fb_idx = None
+        for k in range(fe_idx + 1, len(self.stack)):
+            if self.stack[k].tag in _SPECIAL_SCOPE:
+                fb_idx = k
+                break
+        if fb_idx is None:
+            # inline-only misnesting: pop through (spec's no-furthest-block
+            # branch pops all nodes up to and including the element)
+            del self.stack[fe_idx:]
+            return
+        fe = self.stack[fe_idx]
+        fb = self.stack[fb_idx]
+        common = self.stack[fe_idx - 1]
+        # inner loop: re-parent the furthest block through clones of the
+        # formatting intermediates; ordinary intermediates leave the stack
+        last: Element = fb
+        mid_clones: List[Element] = []  # innermost (deepest) first
+        for k in range(fb_idx - 1, fe_idx, -1):
+            node = self.stack[k]
+            if node.tag in FORMATTING_ELEMENTS:
+                clone = Element(node.tag, list(node.attrs))
+                self._detach(last)
+                clone.append(last)
+                last = clone
+                mid_clones.append(clone)
+        self._detach(last)
+        if common.tag in TABLE_CONTEXT:
+            self._foster_insert(last)
+        else:
+            common.append(last)
+        # the CLONE step: wrap the furthest block's children in a copy of
+        # the formatting element
+        fe_clone = Element(fe.tag, list(fe.attrs))
+        for child in fb.children:
+            child.parent = fe_clone
+        fe_clone.children = fb.children
+        fb.children = []
+        fb.append(fe_clone)
+        # stack: drop fe + ordinary intermediates, keep clones outer->inner
+        self.stack[fe_idx:fb_idx] = list(reversed(mid_clones))
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -413,21 +496,13 @@ class _TreeBuilder(HTMLParser):
             elif tag == "body":
                 self.stack = [self.html_el]
             return
-        # pop to matching open tag; ignore unmatched. For formatting
-        # elements whose scope contains an open BLOCK (the adoption-agency
-        # trigger, e.g. <b><p>x</b>y</p>), only the formatting element
-        # leaves the stack: the block stays current, so "y" remains in the
-        # paragraph exactly as html5ever attributes it. (The clone step of
-        # the full algorithm is tree-shape-only — block text attribution,
-        # which is all extraction reads, matches without it.)
+        if tag in FORMATTING_ELEMENTS:
+            self._adoption_agency(tag)
+            return
+        # pop to matching open tag; ignore unmatched
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                if tag in FORMATTING_ELEMENTS and any(
-                    el.tag in _SPECIAL_SCOPE for el in self.stack[i + 1 :]
-                ):
-                    self.stack.pop(i)
-                else:
-                    del self.stack[i:]
+                del self.stack[i:]
                 return
 
     def _close_if_open(self, tag: str) -> None:

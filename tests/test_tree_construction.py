@@ -69,6 +69,33 @@ BODY = [
         "<table><tbody><tr><td>a</td><td>b</td></tr></tbody>"
         "<tfoot><tr><td>c</td></tr></tfoot></table>",
     ),
+    # ---- adoption agency CLONE step (adoption01.dat shapes) ---------------
+    (  # the canonical case: block moves out, children re-wrapped in a copy
+        "<b><p>a</b>b</p>",
+        "<b></b><p><b>a</b>b</p>",
+    ),
+    (  # with leading text in the formatting element
+        "<b>1<p>2</b>3</p>",
+        "<b>1</b><p><b>2</b>3</p>",
+    ),
+    (  # anchor variant, attributes preserved on the clone
+        '<a href="x">1<p>2</a>3</p>',
+        '<a href="x">1</a><p><a href="x">2</a>3</p>',
+    ),
+    (  # formatting intermediate between fe and the block is cloned too
+        "<b><i><p>a</b>b</p>",
+        "<b><i></i></b><i><p><b>a</b>b</p></i>",
+    ),
+    (  # scope boundary: a </b> inside a cell cannot reach a <b> outside
+        # the table — the token is IGNORED, so <b> is still open after
+        # </table> and the trailing text lands inside it
+        "<b><table><tbody><tr><td>x</b></td></tr></table>after",
+        "<b><table><tbody><tr><td>x</td></tr></tbody></table>after</b>",
+    ),
+    (  # nested <a> start runs the adoption agency with the clone step
+        '<a href="1">1<p>2<a href="2">3',
+        '<a href="1">1</a><p><a href="1">2</a><a href="2">3</a></p>',
+    ),
 ]
 
 
