@@ -57,8 +57,13 @@ def clean_parsed(document: HtmlDocument) -> str:
     return cleaned_html
 
 
-def clean_parsed_detached(document: HtmlDocument):
+def clean_parsed_detached(document: HtmlDocument, matched=None, has_raw=True):
     """Tree-level clean, VERIFIED against the string-replace contract.
+
+    ``matched``/``has_raw`` let the caller pass the results of its own
+    traversal (``matched`` must be the SEL_UNWANTED matches in document
+    pre-order, root first; ``has_raw=False`` asserts the full tree holds
+    no raw-text element, letting the round-trip check be skipped).
 
     Returns ``(cleaned_html, ok, restore)``: the string-replace result
     (always authoritative), whether the mutated tree is byte-equivalent
@@ -66,25 +71,44 @@ def clean_parsed_detached(document: HtmlDocument):
     elements (callers share the tree with link extraction, which must see
     the original document).
 
-    ``ok`` is True only when serialize(tree-after-removal) equals the
-    string-replace output AND no raw-text elements remain (the one
-    serializer round-trip hazard) — then ``parse(cleaned_html)`` is
-    provably the mutated tree itself and the caller skips the second
-    parse, the conversion hot path's single biggest cost. Duplicated
-    substrings (the reference's removal quirk, src/html_parser.rs:110-121)
-    make the serializations diverge and fall back to the re-parse.
+    ``ok`` is True only when the removal is PROVABLY span-exact — then
+    ``parse(cleaned_html)`` is provably the mutated tree itself and the
+    caller skips the second parse, the conversion hot path's single
+    biggest cost. The proof, with NO second full serialization (the old
+    verifier's cost): serialization is compositional, so the mutated
+    tree's serialization is exactly the full serialization with the
+    TOP-LEVEL matched elements' spans spliced out (nested matched
+    elements sit inside a removed ancestor's span). Those spans are
+    recorded during the one serialization (serialize_with_spans); the
+    splice is pure C-level slicing, and ``cleaned_html == splice`` is a
+    memcmp. Duplicated substrings (the reference's removal quirk,
+    src/html_parser.rs:110-121) or seam artifacts make the two strings
+    differ and fall back to the authoritative re-parse; raw-text
+    elements remaining in the mutated tree (the one serializer
+    round-trip hazard) also force the fallback.
     """
-    from .htmldom import RAW_TEXT_ELEMENTS  # noqa: PLC0415
+    from .htmldom import RAW_TEXT_ELEMENTS, serialize_with_spans  # noqa: PLC0415
 
     root = document.root_element()
-    matched = list(document.select(SEL_UNWANTED))
-    elements_to_remove = [el.html() for el in matched]
-    cleaned_html = root.html()
-    for element_html in elements_to_remove:
+    if matched is None:
+        matched = list(document.select(SEL_UNWANTED))
+    matched_ids = {id(el) for el in matched}
+    top_level = [
+        el
+        for el in matched
+        if not _has_matched_ancestor(el, matched_ids)
+    ]
+    full_html, spans = serialize_with_spans(root, {id(el) for el in top_level})
+    cleaned_html = full_html
+    for el in matched:
+        # el.html() == full_html[span] for top-level; nested still need
+        # their own serialization for the replace contract
+        s = spans.get(id(el))
+        element_html = full_html[s[0] : s[1]] if s is not None else el.html()
         cleaned_html = cleaned_html.replace(element_html, "")
 
     slots = []
-    ok = True
+    ok = len(spans) == len(top_level) and id(root) not in matched_ids
     for el in matched:
         parent = el.parent
         if parent is None:
@@ -102,11 +126,26 @@ def clean_parsed_detached(document: HtmlDocument):
         for parent, idx, el in reversed(slots):
             parent.children.insert(idx, el)
 
-    if ok:
+    if ok:  # span splice must equal the string-replace result (memcmp)
+        pieces = []
+        prev = 0
+        for start, end in sorted(spans.values()):
+            pieces.append(full_html[prev:start])
+            prev = end
+        pieces.append(full_html[prev:])
+        ok = "".join(pieces) == cleaned_html
+    if ok and has_raw:  # round-trip safety (skip when caller proved none)
         ok = all(el.tag not in RAW_TEXT_ELEMENTS for el in root.iter_elements())
-    if ok:
-        ok = root.html() == cleaned_html
     return cleaned_html, ok, restore
+
+
+def _has_matched_ancestor(el: Element, matched_ids) -> bool:
+    node = el.parent
+    while node is not None:
+        if id(node) in matched_ids:
+            return True
+        node = node.parent
+    return False
 
 
 def extract_links(html: str, base_url: str) -> List[str]:

@@ -76,6 +76,15 @@ TABLE_STRUCTURAL = frozenset(
 # non-structural start tags the in-table modes insert in place
 IN_TABLE_OK = frozenset("script style template form".split())
 
+# start tags with NO special in-body tree-construction logic: everything
+# outside this set takes the plain append fast path in handle_starttag
+_SPECIAL_START = (
+    frozenset("html head body li a".split())
+    | TABLE_STRUCTURAL
+    | P_CLOSERS
+    | HEADINGS
+)
+
 
 class Node:
     __slots__ = ("parent",)
@@ -223,31 +232,115 @@ def _escape_attr(text: str) -> str:
 
 def _serialize(node: Node, out: List[str], raw: bool = False) -> None:
     # iterative (explicit stack): hostile web pages nest thousands deep and
-    # this runs inside Spark tasks where a RecursionError kills the task
+    # this runs inside Spark tasks where a RecursionError kills the task.
+    # Text/comment children are emitted inline (no stack round-trip) and
+    # the no-attrs open tag is a single concat — this runs twice per page
+    # in the clean-verify path, so constant factors matter.
     stack: List[object] = [(node, raw)]
+    append = out.append
     while stack:
         item = stack.pop()
-        if isinstance(item, str):  # pending close tag
-            out.append(item)
+        if type(item) is str:  # pending close tag
+            append(item)
             continue
         cur, cur_raw = item  # type: ignore[misc]
-        if isinstance(cur, TextNode):
-            out.append(cur.data if cur_raw else _escape_text(cur.data))
+        tcur = type(cur)
+        if tcur is TextNode:
+            append(cur.data if cur_raw else _escape_text(cur.data))
             continue
-        if isinstance(cur, CommentNode):
-            out.append(f"<!--{cur.data}-->")
+        if tcur is CommentNode:
+            append("<!--" + cur.data + "-->")
             continue
-        assert isinstance(cur, Element)
-        out.append(f"<{cur.tag}")
-        for k, v in cur.attrs:
-            out.append(f' {k}="{_escape_attr(v)}"')
-        out.append(">")
-        if cur.tag in VOID_ELEMENTS:
+        tag = cur.tag
+        if cur.attrs:
+            parts = ["<", tag]
+            for k, v in cur.attrs:
+                parts.append(" " + k + '="' + _escape_attr(v) + '"')
+            parts.append(">")
+            append("".join(parts))
+        else:
+            append("<" + tag + ">")
+        if tag in VOID_ELEMENTS:
             continue
-        stack.append(f"</{cur.tag}>")
-        child_raw = cur.tag in RAW_TEXT_ELEMENTS
+        stack.append("</" + tag + ">")
+        child_raw = tag in RAW_TEXT_ELEMENTS
+        children = cur.children
+        if len(children) == 1 and type(children[0]) is TextNode:
+            txt = children[0]
+            append(txt.data if child_raw else _escape_text(txt.data))
+            append(stack.pop())  # the close tag just pushed
+            continue
+        for child in reversed(children):
+            stack.append((child, child_raw))
+
+
+class _EndMark:
+    __slots__ = ("key",)
+
+    def __init__(self, key: int):
+        self.key = key
+
+
+def serialize_with_spans(root: Element, want_ids) -> Tuple[str, dict]:
+    """Serialize ``root`` once, returning (html, {id(el): (start, end)})
+    for the elements in ``want_ids``. A subtree's serialization is exactly
+    ``html[start:end]`` — compositionality the clean-path verifier uses to
+    prove string-replace removal equals tree-level removal without a
+    second full serialization."""
+    out: List[str] = []
+    spans: dict = {}
+    starts: dict = {}
+    pos = 0
+    stack: List[object] = [(root, False)]
+    append = out.append
+    while stack:
+        item = stack.pop()
+        t = type(item)
+        if t is str:
+            append(item)
+            pos += len(item)
+            continue
+        if t is _EndMark:
+            spans[item.key] = (starts[item.key], pos)
+            continue
+        cur, cur_raw = item  # type: ignore[misc]
+        tcur = type(cur)
+        if tcur is TextNode:
+            piece = cur.data if cur_raw else _escape_text(cur.data)
+            append(piece)
+            pos += len(piece)
+            continue
+        if tcur is CommentNode:
+            piece = "<!--" + cur.data + "-->"
+            append(piece)
+            pos += len(piece)
+            continue
+        key = id(cur)
+        marked = key in want_ids
+        if marked:
+            starts[key] = pos
+        tag = cur.tag
+        if cur.attrs:
+            parts = ["<", tag]
+            for k, v in cur.attrs:
+                parts.append(" " + k + '="' + _escape_attr(v) + '"')
+            parts.append(">")
+            piece = "".join(parts)
+        else:
+            piece = "<" + tag + ">"
+        append(piece)
+        pos += len(piece)
+        if tag in VOID_ELEMENTS:
+            if marked:
+                spans[key] = (starts[key], pos)
+            continue
+        if marked:
+            stack.append(_EndMark(key))
+        stack.append("</" + tag + ">")
+        child_raw = tag in RAW_TEXT_ELEMENTS
         for child in reversed(cur.children):
             stack.append((child, child_raw))
+    return "".join(out), spans
 
 
 class _TreeBuilder(HTMLParser):
@@ -283,6 +376,18 @@ class _TreeBuilder(HTMLParser):
     # -- parser callbacks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         attrs = [(k, v if v is not None else "") for k, v in attrs]
+        if self.mode == "in_body" and tag not in _SPECIAL_START:
+            # plain in-body tag: the common case, none of the mode /
+            # close-implication / adoption logic below applies
+            el = Element(tag, attrs)
+            cur = self.stack[-1]
+            if cur.tag in TABLE_CONTEXT and tag not in IN_TABLE_OK:
+                self._foster_insert(el)
+            else:
+                cur.append(el)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(el)
+            return
         if tag == "html":
             self.saw_explicit_html = True
             self.html_el.attrs.extend(a for a in attrs if a[0] not in dict(self.html_el.attrs))

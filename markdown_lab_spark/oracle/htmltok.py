@@ -73,8 +73,37 @@ def _check_for_whole_start_tag(data: str, i: int) -> int:
     raise AssertionError("locatestarttagend_tolerant cannot fail to match")
 
 
+# fast path for the overwhelmingly common start-tag shapes: a plain tag
+# (<p>, <br/>) or space-separated double-quoted attributes without '&'
+# (no entity decoding needed). Whenever this matches, the stdlib-tolerant
+# slow path below provably produces the same (tag, attrs, endpos), so the
+# handler-call sequence is unchanged (pinned by the differential fuzz).
+_fast_start = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*\s*=\s*"[^"&]*")*)'
+    r"\s*(/?)>"
+)
+_fast_attr = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*"([^"&]*)"')
+
+
 def _parse_starttag(data: str, i: int, h):
     """Returns (next_pos, cdata_elem_or_None)."""
+    m = _fast_start.match(data, i)
+    if m:
+        tag = m.group(1).lower()
+        raw_attrs = m.group(2)
+        if raw_attrs:
+            attrs = [
+                (name.lower(), value)
+                for name, value in _fast_attr.findall(raw_attrs)
+            ]
+        else:
+            attrs = []
+        if m.group(3):
+            h.handle_startendtag(tag, attrs)
+            return m.end(), None
+        h.handle_starttag(tag, attrs)
+        return m.end(), tag if tag in CDATA_CONTENT_ELEMENTS else None
     endpos = _check_for_whole_start_tag(data, i)
     if endpos < 0:
         return endpos, None
@@ -119,8 +148,21 @@ def _parse_bogus_comment(data: str, i: int, h) -> int:
     return pos + 1
 
 
+# fast path for the plain </tag> shape (no spaces, ASCII name): whenever
+# it matches, the tolerant slow path below yields the same (elem, gtpos)
+_fast_end = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
+
+
 def _parse_endtag(data: str, i: int, h, cdata_elem):
     """Returns (next_pos, new_cdata_elem)."""
+    m = _fast_end.match(data, i)
+    if m:
+        elem = m.group(1).lower()
+        if cdata_elem is not None and elem != cdata_elem:
+            h.handle_data(data[i : m.end()])
+            return m.end(), cdata_elem
+        h.handle_endtag(elem)
+        return m.end(), None
     match = endendtag.search(data, i + 1)  # >
     if not match:
         return -1, cdata_elem

@@ -99,14 +99,17 @@ def parse_tree_to_document(document_html, base_url: str) -> Document:
     from .html_parser import SEL_UNWANTED, clean_parsed_detached
     from .htmldom import RAW_TEXT_ELEMENTS
 
+    # ONE traversal finds both the unwanted matches and any raw-text
+    # element (round-trip hazard); the clean path reuses the match list
     root = document_html.root_element()
-    needs_clean = SEL_UNWANTED.matches(root)
-    if not needs_clean:
-        for el in root.iter_elements():
-            if el.tag in RAW_TEXT_ELEMENTS or SEL_UNWANTED.matches(el):
-                needs_clean = True
-                break
-    if not needs_clean:
+    matched = [root] if SEL_UNWANTED.matches(root) else []
+    has_raw = False
+    for el in root.iter_elements():
+        if el.tag in RAW_TEXT_ELEMENTS:
+            has_raw = True
+        if SEL_UNWANTED.matches(el):
+            matched.append(el)
+    if not matched and not has_raw:
         return _extract(document_html, base_url)
 
     # slow path: something to remove. clean_parsed_detached verifies that
@@ -114,7 +117,9 @@ def parse_tree_to_document(document_html, base_url: str) -> Document:
     # — when it is, the second parse (the hot path's biggest cost) is
     # skipped and extraction runs on the mutated tree, restored afterwards
     # (the caller shares this tree with link extraction).
-    cleaned_html, tree_ok, restore = clean_parsed_detached(document_html)
+    cleaned_html, tree_ok, restore = clean_parsed_detached(
+        document_html, matched=matched, has_raw=has_raw
+    )
     if tree_ok:
         try:
             return _extract(document_html, base_url)
