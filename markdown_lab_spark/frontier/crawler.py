@@ -90,6 +90,15 @@ class CrawlConfig:
     # excluded AT THE SCAN — never shipped through Arrow to the convert
     # UDF — and surface as fetch misses in the trace
     max_file_size: int = 10_000_000
+    # co-located state joins: persist frontier/seen as canon_url-bucketed
+    # tables (same bucket count on both sides) so the per-wave exact
+    # anti-join is an exchange-free sort-merge join — the physical layout
+    # for 10^10-row state, where re-shuffling the seen set every wave
+    # would dominate. Replaces the bloom prefilter (the join is already
+    # co-located; a prefilter would only save local probes). Requires a
+    # checkpoint_dir (the tables ARE the checkpoint format).
+    bucketed_state: bool = False
+    state_buckets: int = 16
 
     @property
     def budget(self) -> int:
@@ -286,6 +295,8 @@ def _compact_seen(df: DataFrame) -> DataFrame:
 
 
 class CrawlEngine:
+    _instances = 0  # unique catalog-table prefix per engine (bucketed mode)
+
     def __init__(
         self,
         spark: SparkSession,
@@ -296,6 +307,16 @@ class CrawlEngine:
         self.spark = spark
         self.config = config or CrawlConfig()
         self.checkpoint_dir = checkpoint_dir
+        if self.config.bucketed_state and checkpoint_dir is None:
+            raise ValueError(
+                "bucketed_state persists frontier/seen as bucketed tables "
+                "and needs a checkpoint_dir to put them in"
+            )
+        # formatted plan of each wave's state anti-join (bucketed mode):
+        # lets tests pin the exchange-free property on the REAL wave join
+        self.antijoin_plans: List[str] = []
+        CrawlEngine._instances += 1
+        self._tbl_prefix = f"mls_e{CrawlEngine._instances}"
         # canonicalize the corpus once; keep html out of any shuffle by
         # projecting it only at the join
         self.pages = pages.withColumn("canon_url", normalize_url_col(F.col("url")))
@@ -408,7 +429,7 @@ class CrawlEngine:
                     F.col("status_wave") >= start_wave - cfg.ttl_waves
                 )
                 cuckoo.add_pairs(*self._cuckoo_pairs(fresh))
-        elif seen is not None:
+        elif seen is not None and not cfg.bucketed_state:
             bloom = self._build_bloom(seen)  # full build only on resume
 
         all_records: List[DataFrame] = []
@@ -428,8 +449,21 @@ class CrawlEngine:
             _t = _tick(f"w{wave} isEmpty", _t)
 
             # 1. seen anti-join (bloom prefilter + exact); in TTL mode the
-            # deletable cuckoo prefilter + anti-join against FRESH rows only
-            if use_ttl:
+            # deletable cuckoo prefilter + anti-join against FRESH rows only.
+            # In bucketed-state mode both sides are canon_url-bucketed
+            # tables, so the exact left_anti is an exchange-free co-located
+            # SMJ and needs no prefilter at all.
+            if cfg.bucketed_state and not use_ttl:
+                if seen is None:
+                    candidates = frontier
+                else:
+                    candidates = frontier.join(
+                        seen, on="canon_url", how="left_anti"
+                    )
+                    from ..plans.checks import formatted_plan  # noqa: PLC0415
+
+                    self.antijoin_plans.append(formatted_plan(candidates))
+            elif use_ttl:
                 fresh_seen = None
                 if seen is not None:
                     if wave - cfg.ttl_waves >= 0 and cuckoo is not None:
@@ -649,6 +683,37 @@ class CrawlEngine:
                     else seen_delta_r
                 )
                 delta_for_bloom = seen_delta_r
+                if cfg.bucketed_state:
+                    # persist both state sides bucketed by canon_url so the
+                    # NEXT wave's anti-join is exchange-free on both scans.
+                    # (At warehouse scale seen is an Iceberg table with a
+                    # bucket transform and the per-wave update is a MERGE
+                    # of the delta, not a rewrite — the layout is the same.)
+                    from ..sinks import write_bucketed  # noqa: PLC0415
+
+                    fr_tbl = f"{self._tbl_prefix}_frontier_w{wave}"
+                    sn_tbl = f"{self._tbl_prefix}_seen_w{wave}"
+                    write_bucketed(
+                        frontier,
+                        fr_tbl,
+                        self._ckpt_path(wave, "frontier_bkt"),
+                        buckets=cfg.state_buckets,
+                    )
+                    write_bucketed(
+                        seen,
+                        sn_tbl,
+                        self._ckpt_path(wave, "seen_bkt"),
+                        buckets=cfg.state_buckets,
+                    )
+                    frontier = self.spark.table(fr_tbl)
+                    seen = self.spark.table(sn_tbl)
+                    if wave > 0:
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS {self._tbl_prefix}_frontier_w{wave - 1}"
+                        )
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS {self._tbl_prefix}_seen_w{wave - 1}"
+                        )
             else:
                 # fuse next-wave frontier + seen into ONE materialization:
                 # harmonize schemas, tag, localCheckpoint once, split back
@@ -678,7 +743,7 @@ class CrawlEngine:
             # bounded by ttl_waves * budget regardless).
             if use_ttl:
                 cuckoo.add_pairs(*self._cuckoo_pairs(delta_for_bloom))
-            else:
+            elif not cfg.bucketed_state:  # co-located join needs no prefilter
                 bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
 
