@@ -138,3 +138,71 @@ def test_simhash_hamming_banding_is_exhaustive(spark):
     fps.unpersist()
     assert banded == brute
     assert banded, "drill corpus must contain close fingerprints"
+
+
+def _planted_neardup_docs(spark, n):
+    """n docs, every doc_id%5==0 has a near-dup at doc_id+1 (one word
+    swapped out of ~40 — Jaccard ~0.9 at 3-shingles); deterministic."""
+    from pyspark.sql import functions as F
+
+    def stream(owner):
+        # per-doc disjoint vocabulary: cross-doc shingle overlap is exactly
+        # zero except for the planted near-dups
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.concat(
+                F.lit("w"), owner.cast("string"), F.lit("_"), i.cast("string")
+            ),
+        )
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("doc_id"))
+    text = F.concat_ws(" ", stream(F.col("doc_id")))
+    # near-dups: doc_id%5==1 copies doc_id-1's word stream (doc_id-1 is
+    # %5==0), then swaps one word
+    prev_words = stream(F.col("doc_id") - 1)
+    near = F.concat_ws(
+        " ", F.slice(prev_words, 1, 20), F.lit("SWAPPED"), F.slice(prev_words, 22, 19)
+    )
+    return base.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 5) == 1, near).otherwise(text).alias("text"),
+    )
+
+
+def test_minhash_production_width_drill(spark):
+    """k=128 / bands=32 (the width real pipelines run): every planted
+    near-dup pair is found, and the CANDIDATE count (pre-threshold) grows
+    ~linearly with corpus size — the banding economics that make the
+    self-join O(true dups), not O(n^2)."""
+    from markdown_lab_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    counts = {}
+    for n in (200, 400):
+        docs = _planted_neardup_docs(spark, n)
+        sigs = minhash_signatures(docs, "doc_id", "text", k=128)
+        # min_est_jaccard=0 -> ALL banding candidates, none filtered
+        cands = minhash_lsh_pairs(
+            sigs, "doc_id", k=128, bands=32, min_est_jaccard=0.0
+        )
+        rows = cands.collect()
+        counts[n] = len(rows)
+        planted = {
+            (i, i + 1) for i in range(0, n - 1, 5)
+        }
+        found = {(r["id_a"], r["id_b"]) for r in rows}
+        missing = planted - found
+        assert not missing, f"n={n}: planted pairs missed: {sorted(missing)[:5]}"
+        # planted pairs estimate high jaccard (1 word of 40 swapped)
+        est = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"] for r in rows
+        }
+        assert all(est[p] >= 0.5 for p in planted)
+
+    # linear-ish candidate growth: 2x corpus -> ~2x candidates. A
+    # quadratic self-join would be ~4x. Allow generous noise margin.
+    assert counts[400] <= 3 * counts[200], counts
+    # and candidates stay O(true dups): planted pairs dominate
+    assert counts[400] <= 4 * (400 // 5), counts
