@@ -117,14 +117,33 @@ def _pct_encode(s: str, enc_set: frozenset) -> str:
     return "".join(out)
 
 
+try:
+    import idna as _idna  # implements the UTS-46 table rust-url uses
+except ImportError:  # pragma: no cover - baked into this environment
+    _idna = None
+
+
 def _idna_host(host: str) -> str:
-    """rust-url (idna feature) punycodes non-ASCII hosts; Python's idna
-    codec implements the overlapping IDNA2003 mapping — identical for the
-    common label shapes; exotic labels that the codec rejects are left
-    as-is (documented divergence)."""
+    """rust-url (idna feature) applies UTS-46 with the WHATWG URL
+    parameters (UseSTD3ASCIIRules=false, Transitional_Processing=false)
+    to non-ASCII hosts. The ``idna`` package implements exactly that
+    mapping, so deviation characters behave like rust-url: faß.de ->
+    xn--fa-hia.de (IDNA2003/the stdlib codec would fold to fass.de), and
+    a joiner (ZWJ/ZWNJ) in an invalid context is an error. Invalid labels
+    raise ValueError -> url_join returns None, mirroring rust-url's
+    Url::parse Err path (src/markdown_converter.rs:295-301). Without the
+    package (import-gated) the IDNA2003 codec remains as a documented-
+    divergence fallback."""
     if all(ord(c) < 128 for c in host):
         return host
-    try:
+    if _idna is not None:
+        try:
+            return _idna.encode(
+                host, uts46=True, std3_rules=False, transitional=False
+            ).decode("ascii")
+        except _idna.IDNAError as exc:
+            raise ValueError(str(exc)) from exc
+    try:  # pragma: no cover - package present here
         return host.encode("idna").decode("ascii")
     except UnicodeError:
         return host

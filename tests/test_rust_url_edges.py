@@ -42,6 +42,18 @@ CASES = [
      "https://xn--mnich-kva.example/x"),
     ("https://bücher.example/a/", "b",
      "https://xn--bcher-kva.example/a/b"),
+    # UTS-46 deviation characters (non-transitional, like rust-url):
+    # ß is KEPT and punycoded, not folded to ss as IDNA2003 would
+    ("https://e.com/", "https://faß.de/x", "https://xn--fa-hia.de/x"),
+    # Greek final sigma likewise kept
+    ("https://e.com/", "https://βόλοσς.example/",
+     "https://xn--nxasmme5c.example/"),
+    # a joiner in an invalid context is an IDNA error -> rust-url Err
+    # path -> link dropped
+    ("https://e.com/", "https://a‌b.example/x", None),
+    # uppercase non-ASCII is case-mapped by the UTS-46 table first
+    ("https://e.com/", "https://MÜNICH.example/x",
+     "https://xn--mnich-kva.example/x"),
     # default port stripped, scheme/host lowercased, empty path -> "/"
     (B, "HTTPS://EXAMPLE.COM:443", "https://example.com/"),
     (B, "http://Other.Example:80/P", "http://other.example/P"),
