@@ -22,20 +22,42 @@ def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
     return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
 
 
-def murmur3_32_vec(data: Iterable[bytes], seed: int = 0) -> np.ndarray:
-    """Vectorized murmurhash3_x86_32 over a batch of byte strings."""
-    items: List[bytes] = [d if isinstance(d, bytes) else bytes(d) for d in data]
+def _pack_batch(items: List[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    """(padded uint8 matrix, lengths) for a batch of byte strings.
+
+    Fully vectorized scatter: one C-level join + one fancy-indexed
+    assignment, no per-row Python (the old per-row loop was the dominant
+    cost of the whole hash)."""
     n = len(items)
-    if n == 0:
-        return np.empty(0, dtype=np.uint32)
     lengths = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
     max_len = int(lengths.max()) if n else 0
     width = ((max_len + 3) // 4) * 4 or 4
     buf = np.zeros((n, width), dtype=np.uint8)
-    for i, b in enumerate(items):  # single pass to build the batch matrix
-        if b:
-            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    total = int(lengths.sum())
+    if total:
+        flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+        ends = np.cumsum(lengths)
+        pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - lengths, lengths
+        )
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        buf.reshape(-1)[rows * width + pos_in_row] = flat
+    return buf, lengths
 
+
+def murmur3_32_vec(data: Iterable[bytes], seed: int = 0) -> np.ndarray:
+    """Vectorized murmurhash3_x86_32 over a batch of byte strings."""
+    items: List[bytes] = [d if isinstance(d, bytes) else bytes(d) for d in data]
+    if not items:
+        return np.empty(0, dtype=np.uint32)
+    buf, lengths = _pack_batch(items)
+    return _murmur3_32_packed(buf, lengths, seed)
+
+
+def _murmur3_32_packed(
+    buf: np.ndarray, lengths: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    n, width = buf.shape
     blocks = buf.view("<u4")  # (n, width//4) little-endian 32-bit blocks
     nblocks = (lengths // 4).astype(np.int64)
     tail_len = (lengths % 4).astype(np.int64)
@@ -125,10 +147,14 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 def url_hash64_vec(urls: Iterable[str]) -> np.ndarray:
     """64-bit URL key: two independent murmur3_32 lanes (seeds 0x9747b28c,
-    0x85ebca6b) packed high|low. Stable across workers/runs by construction."""
+    0x85ebca6b) packed high|low. Stable across workers/runs by construction.
+    The padded batch matrix is built ONCE and shared by both lanes."""
     encoded = [u.encode("utf-8") for u in urls]
-    hi = murmur3_32_vec(encoded, seed=0x9747B28C).astype(np.uint64)
-    lo = murmur3_32_vec(encoded, seed=0x85EBCA6B).astype(np.uint64)
+    if not encoded:
+        return np.empty(0, dtype=np.uint64)
+    buf, lengths = _pack_batch(encoded)
+    hi = _murmur3_32_packed(buf, lengths, seed=0x9747B28C).astype(np.uint64)
+    lo = _murmur3_32_packed(buf, lengths, seed=0x85EBCA6B).astype(np.uint64)
     return (hi << np.uint64(32)) | lo
 
 
