@@ -69,6 +69,7 @@ def simulate_crawl(
     max_waves: int = 100,
     robots: Optional[Dict[str, RobotsRules]] = None,
     max_retries: int = 0,
+    max_file_size: Optional[int] = None,
 ) -> SimResult:
     if robots is None:
         robots = load_robots(pages)
@@ -132,6 +133,15 @@ def simulate_crawl(
                     records.append(
                         CrawlRecord(url, wave, depth, host, False, "fetch_miss")
                     )
+                continue
+            body_bytes = body.encode("utf-8") if isinstance(body, str) else body
+            if max_file_size is not None and len(body_bytes) > max_file_size:
+                # oversize is a TERMINAL skip (reference max_file_size,
+                # core/config.py:44) — seen, no links, never retried
+                seen.add(url)
+                records.append(
+                    CrawlRecord(url, wave, depth, host, False, "too_large")
+                )
                 continue
             seen.add(url)
             records.append(CrawlRecord(url, wave, depth, host, True, "ok"))

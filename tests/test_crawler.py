@@ -208,3 +208,42 @@ def test_bucketed_state_wave_join_exchange_free(spark, corpus, pages_df, tmp_pat
 def test_bucketed_state_requires_checkpoint_dir(spark, pages_df):
     with pytest.raises(ValueError):
         CrawlEngine(spark, pages_df, CrawlConfig(bucketed_state=True))
+
+
+def test_oversized_trace_matches_simulator(spark):
+    """too_large parity: engine trace == simulator trace when the corpus
+    contains a page over max_file_size (discovered, scheduled once,
+    terminal — never retried, contributes no links)."""
+    from markdown_lab_spark.frontier.simulator import simulate_crawl
+
+    def page(title, links):
+        body = f"<html><head><title>{title}</title></head><body><p>{title}</p>"
+        for l in links:
+            body += f'<a href="{l}">{l}</a>'
+        return body + "</body></html>"
+
+    pages = {
+        "https://h1.test/a": page("a", ["https://h1.test/big", "https://h1.test/b"]),
+        "https://h1.test/b": page("b", []),
+        "https://h1.test/big": "<html><body>" + "x" * 5000 + "</body></html>",
+    }
+    sim = simulate_crawl(
+        pages, ["https://h1.test/a"], rps=1.0, wave_seconds=5,
+        max_waves=4, max_retries=2, max_file_size=4096,
+    )
+    assert any(r.status == "too_large" for r in sim.records)
+
+    pages_df = spark.createDataFrame(
+        [(u, b.encode()) for u, b in pages.items()], "url string, html binary"
+    )
+    cfg = CrawlConfig(
+        rps=1.0, wave_seconds=5, max_waves=4, max_retries=2, max_file_size=4096
+    )
+    out = CrawlEngine(spark, pages_df, cfg).crawl(["https://h1.test/a"])
+    trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in out["trace"].collect()
+    }
+    assert trace == sim.trace()
+    seen = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
+    assert seen == sim.seen
