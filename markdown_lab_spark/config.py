@@ -61,6 +61,10 @@ class EngineConfig:
 
     # state
     checkpoint_dir: Optional[str] = None
+    # co-located state joins (exchange-free per-wave anti-join; needs
+    # checkpoint_dir — the bucketed tables are the checkpoint format)
+    bucketed_state: bool = False
+    state_buckets: int = 16
 
     def __post_init__(self) -> None:
         self._apply_environment_overrides()
@@ -78,7 +82,7 @@ class EngineConfig:
             "rps", "wave_seconds", "max_waves", "chunk_size", "max_file_size",
             "bloom_shards", "bloom_capacity_per_shard", "cuckoo_capacity",
             "salt_n", "shuffle_partitions", "arrow_batch_size",
-            "max_partition_bytes",
+            "max_partition_bytes", "state_buckets",
         ):
             positive(name)
         if self.max_retries < 0:
@@ -112,7 +116,7 @@ class EngineConfig:
     def _apply_environment_overrides(self) -> None:
         casts = {
             "rps": float, "bloom_fpr": float,
-            "include_metadata": _bool,
+            "include_metadata": _bool, "bucketed_state": _bool,
             "default_output_format": str, "user_agent": str,
             "checkpoint_dir": str,
         }
@@ -161,6 +165,8 @@ class EngineConfig:
             ttl_waves=self.ttl_waves,
             cuckoo_capacity=self.cuckoo_capacity,
             max_file_size=self.max_file_size,
+            bucketed_state=self.bucketed_state,
+            state_buckets=self.state_buckets,
         )
 
     def spark_conf(self) -> Dict[str, str]:

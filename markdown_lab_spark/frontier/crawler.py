@@ -373,16 +373,34 @@ class CrawlEngine:
         ) as f:
             json.dump(manifest, f)
 
-    def resume_state(self) -> Tuple[Optional[DataFrame], Optional[DataFrame], int]:
-        """(frontier, seen, next_wave) from the last complete checkpoint."""
+    def complete_waves(self) -> List[int]:
+        """Snapshot list: waves with a complete (manifested) checkpoint."""
         if self.checkpoint_dir is None or not os.path.isdir(self.checkpoint_dir):
-            return None, None, 0
-        waves = sorted(
+            return []
+        return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.checkpoint_dir)
             if d.startswith("wave=")
             and os.path.exists(os.path.join(self.checkpoint_dir, d, "MANIFEST.json"))
         )
+
+    def resume_state(
+        self, from_wave: Optional[int] = None
+    ) -> Tuple[Optional[DataFrame], Optional[DataFrame], int]:
+        """(frontier, seen, next_wave) from a checkpoint snapshot.
+
+        ``from_wave=None`` resumes after the LAST complete wave; an
+        explicit wave is snapshot time travel — the crawl restarts as if
+        wave ``from_wave`` had just finished (the Iceberg-snapshot
+        analogue: each wave dir is an immutable snapshot, seen is the
+        union of deltas up to it)."""
+        waves = self.complete_waves()
+        if from_wave is not None:
+            if from_wave not in waves:
+                raise ValueError(
+                    f"wave {from_wave} has no complete checkpoint; have {waves}"
+                )
+            waves = [w for w in waves if w <= from_wave]
         if not waves:
             return None, None, 0
         last = waves[-1]
@@ -395,13 +413,15 @@ class CrawlEngine:
         return frontier, seen, last + 1
 
     # -- the loop ---------------------------------------------------------------
-    def crawl(self, seeds, resume: bool = False) -> Dict[str, DataFrame]:
+    def crawl(
+        self, seeds, resume: bool = False, from_wave: Optional[int] = None
+    ) -> Dict[str, DataFrame]:
         cfg = self.config
         frontier: Optional[DataFrame]
         seen: Optional[DataFrame]
         start_wave = 0
         if resume:
-            frontier, seen, start_wave = self.resume_state()
+            frontier, seen, start_wave = self.resume_state(from_wave)
         else:
             frontier, seen = None, None
         if frontier is None:

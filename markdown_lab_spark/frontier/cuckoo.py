@@ -93,9 +93,43 @@ class CuckooFilter:
         return (keys & mask).astype(np.uint64), fp
 
     def add_pairs(self, idxs: np.ndarray, fps: np.ndarray) -> int:
+        """Bulk insert, vectorized for the overwhelmingly common case.
+
+        Alternating rounds try each pending key's primary then alternate
+        bucket; within a round at most one key per DISTINCT bucket is
+        placed (np.unique), so the scatter write is race-free. Keys left
+        after two consecutive no-progress rounds (both buckets full) fall
+        back to the scalar eviction loop — at the configured 50% load
+        headroom that is a handful of keys, not the batch."""
+        idxs = np.ascontiguousarray(idxs, dtype=np.uint64)
+        fps = np.ascontiguousarray(fps, dtype=np.uint16)
         ok = 0
+        pend_i, pend_f = idxs, fps
+        stall = 0
+        phase = 0
+        while len(pend_i) and stall < 2:
+            use_alt = phase % 2 == 1
+            buckets = (
+                self._alt_index(pend_i, pend_f) if use_alt else pend_i
+            ).astype(np.int64)
+            _, first = np.unique(buckets, return_index=True)
+            sel_b = buckets[first]
+            rows = self.table[sel_b]  # (m, 4)
+            free = rows == 0
+            has_free = free.any(axis=1)
+            slots = free.argmax(axis=1)
+            put_b = sel_b[has_free]
+            self.table[put_b, slots[has_free]] = pend_f[first[has_free]]
+            n_put = int(has_free.sum())
+            self.count += n_put
+            ok += n_put
+            stall = stall + 1 if n_put == 0 else 0
+            placed = np.zeros(len(pend_i), dtype=bool)
+            placed[first[has_free]] = True
+            pend_i, pend_f = pend_i[~placed], pend_f[~placed]
+            phase += 1
         failed = 0
-        for idx, fp in zip(idxs, fps):
+        for idx, fp in zip(pend_i, pend_f):  # eviction path (rare)
             if self._insert_one(int(idx), int(fp)):
                 ok += 1
             else:

@@ -247,3 +247,32 @@ def test_oversized_trace_matches_simulator(spark):
     assert trace == sim.trace()
     seen = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
     assert seen == sim.seen
+
+
+def test_snapshot_time_travel_resume(spark, corpus, pages_df, tmp_path):
+    """Every complete wave checkpoint is an immutable snapshot: resuming
+    from an EARLIER wave replays the remaining crawl identically (the
+    Iceberg time-travel analogue for frontier+seen state)."""
+    full_dir = str(tmp_path / "full")
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=full_dir)
+    full = engine.crawl(corpus.seeds)
+    full_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in full["trace"].collect()
+    }
+    waves = engine.complete_waves()
+    assert len(waves) >= 3
+    mid = waves[2]  # resume as if wave `mid` had just finished
+
+    replay_engine = CrawlEngine(
+        spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=full_dir
+    )
+    replay = replay_engine.crawl([], resume=True, from_wave=mid)
+    replay_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in replay["trace"].collect()
+    }
+    assert replay_trace == {t for t in full_trace if t[1] > mid}
+
+    with pytest.raises(ValueError):
+        replay_engine.resume_state(from_wave=999)
