@@ -294,6 +294,57 @@ def _compact_seen(df: DataFrame) -> DataFrame:
     )
 
 
+def checkpoint_sizes(checkpoint_dir: str) -> Dict[int, int]:
+    """A4 (disk-cache size, markdown_lab/core/cache.py:196-204) mapped to
+    the engine's state layer: bytes per complete wave checkpoint."""
+    sizes: Dict[int, int] = {}
+    if not os.path.isdir(checkpoint_dir):
+        return sizes
+    for d in os.listdir(checkpoint_dir):
+        if not d.startswith("wave="):
+            continue
+        wave = int(d.split("=", 1)[1])
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(checkpoint_dir, d)):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        sizes[wave] = total
+    return sizes
+
+
+_EVICTABLE = ("docs", "chunks")  # bulk artifacts; state stays resumable
+
+
+def evict_checkpoints(checkpoint_dir: str, max_bytes: int) -> List[int]:
+    """A5 (oldest-first cache eviction, markdown_lab/core/cache.py:206-239)
+    mapped to the state layer: evict the BULK artifacts (docs/chunks
+    parquet) of the oldest waves until the checkpoint dir fits
+    ``max_bytes``. frontier_next / seen_delta / metrics / MANIFEST are
+    never touched, so exact resume (and snapshot time travel) keeps
+    working from every wave; only archived page content is dropped,
+    exactly like the reference evicting cached bodies while the URL
+    stays re-fetchable. Returns the waves whose bulk was evicted."""
+    import shutil  # noqa: PLC0415
+
+    sizes = checkpoint_sizes(checkpoint_dir)
+    total = sum(sizes.values())
+    evicted: List[int] = []
+    for wave in sorted(sizes):  # oldest first
+        if total <= max_bytes:
+            break
+        for name in _EVICTABLE:
+            p = os.path.join(checkpoint_dir, f"wave={wave}", name)
+            if os.path.isdir(p):
+                freed = 0
+                for root, _dirs, files in os.walk(p):
+                    for fn in files:
+                        freed += os.path.getsize(os.path.join(root, fn))
+                shutil.rmtree(p)
+                total -= freed
+        evicted.append(wave)
+    return evicted
+
+
 class CrawlEngine:
     _instances = 0  # unique catalog-table prefix per engine (bucketed mode)
 

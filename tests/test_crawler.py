@@ -276,3 +276,46 @@ def test_snapshot_time_travel_resume(spark, corpus, pages_df, tmp_path):
 
     with pytest.raises(ValueError):
         replay_engine.resume_state(from_wave=999)
+
+
+def test_checkpoint_size_and_eviction(spark, corpus, pages_df, tmp_path):
+    """A4/A5: per-wave checkpoint sizing and oldest-first eviction of the
+    bulk artifacts; resume (incl. from an evicted wave's state) stays
+    exact because frontier/seen/metrics/manifest are never evicted."""
+    from markdown_lab_spark.frontier.crawler import (
+        checkpoint_sizes,
+        evict_checkpoints,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    engine = CrawlEngine(spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=ckpt)
+    full = engine.crawl(corpus.seeds)
+    full_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in full["trace"].collect()
+    }
+    sizes = checkpoint_sizes(ckpt)
+    assert len(sizes) >= 3 and all(v > 0 for v in sizes.values())
+    total = sum(sizes.values())
+
+    # quota forcing the two oldest waves' bulk out
+    keep = total - sizes[0] - sizes[1] + 1024
+    evicted = evict_checkpoints(ckpt, keep)
+    assert evicted and evicted[0] == 0
+    assert sum(checkpoint_sizes(ckpt).values()) <= total
+    import os
+    for w in evicted:
+        assert not os.path.isdir(f"{ckpt}/wave={w}/docs")
+        assert os.path.isdir(f"{ckpt}/wave={w}/seen_delta")  # state kept
+        assert os.path.exists(f"{ckpt}/wave={w}/MANIFEST.json")
+
+    # exact resume still works across the evicted waves
+    mid = engine.complete_waves()[1]
+    replay = CrawlEngine(
+        spark, pages_df, CrawlConfig(**CFG), checkpoint_dir=ckpt
+    ).crawl([], resume=True, from_wave=mid)
+    replay_trace = {
+        (r["canon_url"], r["wave"], r["depth"], r["status"])
+        for r in replay["trace"].collect()
+    }
+    assert replay_trace == {t for t in full_trace if t[1] > mid}
