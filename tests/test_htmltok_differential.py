@@ -93,7 +93,11 @@ soup = st.lists(
     st.sampled_from(
         list("abc <>/=\"'&;!?#-[]x0\n\té日") + ["<p", "</p>", "<!--", "-->",
          "<script>", "</script>", "&amp;", "&#65;", "<![CDATA[", "]]>",
-         "<!DOCTYPE", "<?", "/>", " href=", "='v'"]
+         "<!DOCTYPE", "<?", "/>", " href=", "='v'",
+         # shapes straddling the round-3 fast paths: quoted attrs with and
+         # without '&', spaces around '=', self-closing with attrs
+         ' a="v"', ' b = "w"', ' c="x&y"', '<a href="u">', "</i>", "< /p>",
+         '"/>', "<B>"]
     ),
     max_size=40,
 ).map("".join)
