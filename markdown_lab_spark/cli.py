@@ -122,7 +122,11 @@ def cmd_crawl(args, cfg: EngineConfig) -> int:
     engine = CrawlEngine(
         spark, pages, cfg.to_crawl_config(), checkpoint_dir=cfg.checkpoint_dir
     )
-    out = engine.crawl(seeds, resume=args.resume)
+    out = engine.crawl(seeds, resume=args.resume, from_wave=args.from_wave)
+    if args.evict_to_bytes is not None and cfg.checkpoint_dir:
+        from .frontier.crawler import evict_checkpoints  # noqa: PLC0415
+
+        evict_checkpoints(cfg.checkpoint_dir, args.evict_to_bytes)
     stats = {
         r["status"]: r["n"]
         for r in out["trace"]
@@ -177,6 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--pages", required=True)
     cr.add_argument("-o", "--output", default=None)
     cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--from-wave", type=int, default=None,
+                    help="resume from this wave snapshot (time travel)")
+    cr.add_argument("--evict-to-bytes", type=int, default=None,
+                    help="after the crawl, evict oldest waves' bulk "
+                         "artifacts until the checkpoint dir fits this")
     cr.set_defaults(fn=cmd_crawl)
     return p
 

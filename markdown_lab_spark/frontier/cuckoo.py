@@ -148,14 +148,56 @@ class CuckooFilter:
         return ok
 
     def delete_pairs(self, idxs: np.ndarray, fps: np.ndarray) -> int:
+        """Bulk delete, vectorized like add_pairs: alternating primary /
+        alternate-bucket rounds, one key per distinct bucket per round so
+        duplicate fingerprints in one bucket are removed one slot per
+        occurrence (multiset semantics). Keys tracked in ``failed`` were
+        never stored and are consumed without touching the table."""
+        idxs = np.ascontiguousarray(idxs, dtype=np.uint64)
+        fps = np.ascontiguousarray(fps, dtype=np.uint16)
+        if self.failed and len(idxs):
+            keep = np.ones(len(idxs), dtype=bool)
+            for j, (i1, fp) in enumerate(zip(idxs, fps)):
+                pair = (int(i1), int(fp))
+                if pair in self.failed:
+                    # the key was never stored — removing its fingerprint
+                    # would strip a colliding still-fresh key
+                    self.failed.discard(pair)
+                    keep[j] = False
+            idxs, fps = idxs[keep], fps[keep]
         removed = 0
-        for key_i1, fp in zip(idxs, fps):
-            pair = (int(key_i1), int(fp))
-            if pair in self.failed:
-                # the key was never stored — removing its fingerprint from
-                # the table would strip a colliding still-fresh key
-                self.failed.discard(pair)
-                continue
+        pend_i, pend_f = idxs, fps
+        stall = 0
+        phase = 0
+        while len(pend_i) and stall < 2:
+            use_alt = phase % 2 == 1
+            buckets = (
+                self._alt_index(pend_i, pend_f) if use_alt else pend_i
+            ).astype(np.int64)
+            _, first = np.unique(buckets, return_index=True)
+            sel_b = buckets[first]
+            sel_f = pend_f[first]
+            rows = self.table[sel_b]  # (m, 4)
+            hit = rows == sel_f[:, None]
+            has_hit = hit.any(axis=1)
+            slots = hit.argmax(axis=1)
+            zap_b = sel_b[has_hit]
+            self.table[zap_b, slots[has_hit]] = 0
+            n_zap = int(has_hit.sum())
+            self.count -= n_zap
+            removed += n_zap
+            stall = stall + 1 if n_zap == 0 else 0
+            done = np.zeros(len(pend_i), dtype=bool)
+            done[first[has_hit]] = True
+            # keys whose primary bucket held no copy stay pending for the
+            # alternate-bucket round; keys absent from BOTH buckets drop
+            # out after two consecutive no-progress rounds
+            pend_i, pend_f = pend_i[~done], pend_f[~done]
+            phase += 1
+        # residue: keys not found in two stall rounds may still be present
+        # when duplicates raced for the same bucket slot pattern — finish
+        # scalar (rare; zero at normal loads)
+        for key_i1, fp in zip(pend_i, pend_f):
             for i in (int(key_i1), int(self._alt_index(key_i1, fp))):
                 row = self.table[i]
                 hits = np.nonzero(row == fp)[0]
