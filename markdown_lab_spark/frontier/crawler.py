@@ -741,18 +741,26 @@ class CrawlEngine:
             _t = _tick(f"w{wave} write_wave", _t)
 
             if self.checkpoint_dir is not None:
-                # cut lineage: reload state from the checkpoint we just wrote
+                # cut lineage: reload state from the checkpoint we just
+                # wrote. seen is rebuilt FLAT from every delta file (one
+                # union + one groupBy) rather than chaining a groupBy per
+                # wave — the chained form recomputes the whole history
+                # through W nested aggregations at wave W (O(W^2) over a
+                # crawl); the flat form is O(W) cheap delta scans with
+                # constant plan depth. (At warehouse scale seen is an
+                # Iceberg table MERGEd per wave — or bucketed_state.)
                 frontier = self.spark.read.parquet(
                     self._ckpt_path(wave, "frontier_next")
                 )
                 seen_delta_r = self.spark.read.parquet(
                     self._ckpt_path(wave, "seen_delta")
                 )
-                seen = _compact_seen(
-                    seen.unionByName(seen_delta_r)
-                    if seen is not None
-                    else seen_delta_r
-                )
+                delta_paths = [
+                    self._ckpt_path(w, "seen_delta")
+                    for w in self.complete_waves()
+                    if w <= wave
+                ]
+                seen = _compact_seen(self.spark.read.parquet(*delta_paths))
                 delta_for_bloom = seen_delta_r
                 if cfg.bucketed_state:
                     # persist both state sides bucketed by canon_url so the
