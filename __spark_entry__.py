@@ -722,6 +722,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q42_frame_sample"] = q42_frame_sample
 
+    # ---- general analytics parity: joins + partitioned windows ---------------
+    def q43_revenue_topk(spark, sf):
+        # classic multi-join agg (TPC-H Q10 shape): customer x orders x
+        # lineitem, quarter filter, revenue top-10. Revenue summed as
+        # decimal so the aggregate is order-independent (hash-stable);
+        # customer is the broadcast side, lineitem never broadcast.
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01"))
+        )
+        li = _t(spark, sf, "lineitem")
+        rev = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+        return ranked_topk(
+            rev, 10, [(F.col("revenue"), True), (F.col("c_custkey"), False)]
+        ).select("c_custkey", "c_name", F.round("revenue", 4).alias("revenue"), "rank")
+
+    q["q43_revenue_topk"] = q43_revenue_topk
+
+    def q44_events_latest_per_user(spark, sf):
+        # partitioned window (the legal kind): per-user 3 most recent
+        # events — partitionBy(user_id) spreads across tasks, no global
+        # sort anywhere
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
+
+    q["q44_events_latest_per_user"] = q44_events_latest_per_user
+
     def q33_chunk_semantic(spark, sf):
         docs = _webdocs(spark, sf)
         converted = docs.withColumn(
@@ -1533,6 +1586,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(generate_series(0, doc_id % 30, 5)) AS BIGINT)
                  AS frame_ts
         FROM documents WHERE doc_id % 3 = 1
+    """
+
+    o["q43_revenue_topk"] = """
+        WITH rev AS (
+          SELECT c_custkey, c_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1995-07-01'
+          GROUP BY c_custkey, c_name
+        )
+        SELECT c_custkey, c_name, ROUND(revenue, 4) AS revenue,
+               CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey)
+                    AS BIGINT) AS rank
+        FROM rev
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+    """
+
+    o["q44_events_latest_per_user"] = """
+        WITH r AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS BIGINT) AS rn
+          FROM events WHERE user_id < 50
+        )
+        SELECT user_id, event_id, event_type, rn FROM r WHERE rn <= 3
     """
 
     return o
