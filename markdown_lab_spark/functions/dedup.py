@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -300,6 +302,68 @@ def rademacher_hyperplanes(nbits: int, dim: int) -> List[List[int]]:
     ]
 
 
+def rademacher_signature_col(
+    vec_col, planes: List[List[int]], jvm: bool = False
+):
+    """The ``nbits``-char '0'/'1' sign-bit signature of ``vec_col`` under
+    Rademacher hyperplanes ``planes``.
+
+    Two implementations with bit-identical output:
+
+    - ``jvm=False`` (default): one Arrow-batched pandas UDF whose numpy
+      accumulation adds the ±x_j terms in the same left-to-right order as
+      the JVM fold, so every dot product — and therefore every sign bit —
+      is IEEE-identical to the expression variant and to the DuckDB
+      oracle's unrolled ``0.0 + x0 - x1 ...`` sum. Plan size is O(1):
+      the expression variant's tree is O(nbits*dim) interpreted
+      higher-order-function nodes which, duplicated across both sides of
+      the LSH self-join, costs seconds of driver analysis/codegen per run
+      (measured: q35 6.4 s -> the join itself is milliseconds at oracle
+      scale) and ~nbits*dim interpreted lambda calls per row
+      executor-side.
+    - ``jvm=True``: the pure-expression twin (zip_with + aggregate fold),
+      kept for the agreement test and for environments without Arrow.
+    """
+    if jvm:
+
+        def _bit(p: int):
+            w = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = F.aggregate(
+                F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+        return F.concat(*[_bit(p) for p in range(len(planes))])
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    W = np.asarray(planes, dtype=np.float64)  # nbits x dim
+
+    @pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        n, nbits, dim = X.shape[0], W.shape[0], W.shape[1]
+        bits = np.empty((nbits, n), dtype=bool)
+        for p in range(nbits):
+            # sequential ±adds reproduce the fold's rounding exactly
+            # (x * ±1.0 == ±x and acc + (-x) == acc - x in IEEE 754)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                if W[p, j] > 0:
+                    acc += X[:, j]
+                else:
+                    acc -= X[:, j]
+            bits[p] = acc >= 0
+        chars = np.where(bits, "1", "0")
+        return pd.Series(["".join(col) for col in chars.T])
+
+    return _sig(vec_col)
+
+
 def embedding_neardup_pairs_banded(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -308,6 +372,7 @@ def embedding_neardup_pairs_banded(
     nbits: int = 16,
     bands: int = 4,
     dim: int = 64,
+    jvm_sig: bool = False,
 ) -> DataFrame:
     """Scale-safe embedding near-dup: random-hyperplane LSH with banding.
 
@@ -320,6 +385,10 @@ def embedding_neardup_pairs_banded(
     up (e.g. 64/8) to bound candidates at corpus scale, while
     near-identical vectors still agree on every bit and meet in all
     bands. Exact cosine >= threshold verifies candidates.
+
+    Signatures come from :func:`rademacher_signature_col` (Arrow-batched
+    numpy by default; ``jvm_sig=True`` selects the bit-identical
+    pure-expression twin — see its docstring for the plan-size rationale).
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos rounded to 4dp.
     """
     from .similarity import cosine_similarity_col  # noqa: PLC0415
@@ -327,17 +396,9 @@ def embedding_neardup_pairs_banded(
     planes = rademacher_hyperplanes(nbits, dim)
     rb = nbits // bands
 
-    def _bit(p: int):
-        w = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    sig = F.concat(*[_bit(p) for p in range(nbits)])
-    b = embeddings.select(
+    sig = rademacher_signature_col(F.col(vec_col), planes, jvm=jvm_sig)
+    sigd = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    b = sigd.select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(
@@ -345,7 +406,7 @@ def embedding_neardup_pairs_banded(
                 *[
                     F.concat(
                         F.lit(f"{band}:"),
-                        F.substring(sig, band * rb + 1, rb),
+                        F.substring(F.col("_sig"), band * rb + 1, rb),
                     )
                     for band in range(bands)
                 ]

@@ -206,3 +206,17 @@ def test_minhash_production_width_drill(spark):
     assert counts[400] <= 3 * counts[200], counts
     # and candidates stay O(true dups): planted pairs dominate
     assert counts[400] <= 4 * (400 // 5), counts
+
+
+def test_rademacher_signature_pandas_jvm_agree(spark):
+    """The Arrow-batched numpy signature must be bit-identical to the
+    pure-expression fold (which the DuckDB oracle unrolls): the numpy
+    path adds the ±x_j terms in the same left-to-right order, so every
+    sign bit agrees even for dot products within one ulp of zero."""
+    planes = D.rademacher_hyperplanes(32, 64)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mismatches = emb.select(
+        D.rademacher_signature_col(F.col("embedding"), planes, jvm=False).alias("a"),
+        D.rademacher_signature_col(F.col("embedding"), planes, jvm=True).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert mismatches.count() == 0
