@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "q38_ivf_ann",
     "q39_chunk_semantic_sections",
     "q40_corpus_curation",
+    "q41_image_features",
+    "q42_frame_sample",
+    "q43_revenue_topk",
+    "q44_events_latest_per_user",
 ]
 
 
@@ -167,9 +171,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        # min-of-2: same tenancy-noise rationale as the headline legs
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
     return times
 
 
@@ -289,7 +298,11 @@ def main() -> None:
         crawl_sec, n_urls = best_hi
         crawl_low_sec, n_low = best_lo
     else:
-        crawl_sec, n_urls = _crawl_leg_subprocess(CPUS, corpus_path, attempts=1)
+        # best-of-3 for the recorded headline too: a single attempt on
+        # this shared VM is a tenancy lottery (same binary measured
+        # 35.8-90.6 s across four runs), and the per-round BENCH_r{N}
+        # comparison is only meaningful against the machine's capability
+        crawl_sec, n_urls = _crawl_leg_subprocess(CPUS, corpus_path, attempts=3)
 
     spark = make_spark(CPUS)
     qtimes = run_queries(spark, SF_DIR)

@@ -142,6 +142,28 @@ def _idna_host(host: str) -> str:
                 host, uts46=True, std3_rules=False, transitional=False
             ).decode("ascii")
         except _idna.IDNAError as exc:
+            # rust-url runs UTS-46 with VerifyDnsLength=false: the 63-byte
+            # label / 253-byte domain bounds are NOT enforced (idna crate
+            # Config in url's host parsing). The idna package has no such
+            # switch, so when the ONLY failure is a length bound we redo
+            # ToASCII label-wise: remap, validate each label (code points,
+            # joiner contexts, bidi), punycode — skipping the length check.
+            if "too long" in str(exc).lower():
+                try:
+                    remapped = _idna.uts46_remap(
+                        host, std3_rules=False, transitional=False
+                    )
+                    labels = remapped.split(".")
+                    out = []
+                    for label in labels:
+                        if not label or all(ord(c) < 128 for c in label):
+                            out.append(label)
+                            continue
+                        _idna.check_label(label)
+                        out.append("xn--" + label.encode("punycode").decode("ascii"))
+                    return ".".join(out)
+                except (_idna.IDNAError, UnicodeError) as exc2:
+                    raise ValueError(str(exc2)) from exc2
             raise ValueError(str(exc)) from exc
     try:  # pragma: no cover - package present here
         return host.encode("idna").decode("ascii")

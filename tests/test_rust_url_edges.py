@@ -66,6 +66,11 @@ CASES = [
     (B, "//cdn.example/x", "https://cdn.example/x"),
     # non-special scheme passes through without special serialization
     (B, "mailto:a@b.c", "mailto:a@b.c"),
+    # VerifyDnsLength=false (rust-url): a label whose punycode exceeds the
+    # 63-byte DNS bound is still encoded, not rejected — the idna package's
+    # length check is bypassed label-wise (url_utils._idna_host)
+    ("https://e.com/", "https://" + "\u00fc" * 40 + ".example/a",
+     "https://xn--tdaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa.example/a"),
 ]
 
 
