@@ -76,6 +76,13 @@ def minhash_lsh_pairs(
     """LSH banding: docs sharing any band bucket become candidate pairs;
     estimated Jaccard = fraction of equal signature lanes. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b."""
+    # materialize the signatures once: the banded self-join's two sides
+    # are NOT canonicalized into a ReusedExchange by Spark, so without
+    # this the k-lane groupBy over every shingle runs twice (verified in
+    # the q20/q37 physical plans). At warehouse scale the signature table
+    # is persisted anyway — one pass over the tokens, then pair-finding
+    # reads fingerprints, never the corpus.
+    sigs = sigs.localCheckpoint(eager=True)
     rows_per_band = k // bands
     band_cols = [
         F.md5(
@@ -239,6 +246,9 @@ def simhash_hamming_pairs(
     """
     nbits, rb = 64, 64 // bands
     assert bands >= max_hamming + 1, "banding not exhaustive for this radius"
+    # same rationale as minhash_lsh_pairs: the self-join would run the
+    # 64-lane vote aggregate twice without materializing the fingerprints
+    fps = fps.localCheckpoint(eager=True)
     banded = fps.select(
         F.col(id_col),
         F.col(sim_col),
@@ -397,7 +407,11 @@ def embedding_neardup_pairs_banded(
     rb = nbits // bands
 
     sig = rademacher_signature_col(F.col(vec_col), planes, jvm=jvm_sig)
-    sigd = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    # materialized once: the self-join's two sides would otherwise run
+    # the signature UDF (and the upstream lineage) twice
+    sigd = embeddings.select(
+        F.col(id_col), F.col(vec_col), sig.alias("_sig")
+    ).localCheckpoint(eager=True)
     b = sigd.select(
         F.col(id_col),
         F.col(vec_col),
