@@ -796,6 +796,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q33_chunk_semantic"] = q33_chunk_semantic
 
+    def q45_streaming_convert(spark, sf):
+        # Structured Streaming under the hash gate: the SAME pages flow
+        # through readStream -> convert_stream (file source, availableNow,
+        # checkpointed exactly-once file tracking, memory sink); output is
+        # deterministic, so the oracle is q31's markdown reconstruction.
+        # streaming/ingest.py; reference conversion semantics
+        # src/markdown_converter.rs (byte-identity contract).
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from markdown_lab_spark.streaming.ingest import (  # noqa: PLC0415
+            convert_stream,
+            read_pages_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="mls_q45_")
+        indir = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        (
+            _webdocs(spark, sf)
+            .select(
+                "url",
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                F.encode(F.col("html"), "UTF-8").alias("html"),
+                F.col("text"),
+                F.lit("en").alias("lang"),
+            )
+            .write.mode("overwrite")
+            .parquet(indir)
+        )
+        name = "mls_q45_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+        sq = (
+            convert_stream(read_pages_stream(spark, indir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table(name).select(
+            F.regexp_extract("url", r"doc-(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "title",
+            "markdown",
+        )
+
+    q["q45_streaming_convert"] = q45_streaming_convert
+
+    def q46_stateful_first_seen(spark, sf):
+        # applyInPandasWithState under the hash gate: the EXACT per-host
+        # first-seen dedup (streaming/stateful.py) over a page stream with
+        # injected duplicates. First-seen emits each (host, canon_url)
+        # exactly once across all microbatches (checkpointed GroupState),
+        # so the output set equals DISTINCT — deterministic, SQL-expressible.
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        from markdown_lab_spark.streaming.stateful import (  # noqa: PLC0415
+            first_seen_filter,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="mls_q46_")
+        indir = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        base = _webdocs(spark, sf).select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.col("url").alias("canon_url"),
+        )
+        dupes = base.filter(
+            F.regexp_extract("canon_url", r"doc-(\d+)$", 1).cast("bigint") % 3
+            == 0
+        )
+        # two files so the duplicates arrive across microbatches and the
+        # dedup exercises persisted state, not just in-batch memory
+        base.write.mode("overwrite").parquet(indir)
+        dupes.write.mode("append").parquet(indir)
+        schema = T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField("canon_url", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(indir)
+        )
+        name = "mls_q46_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+        sq = (
+            first_seen_filter(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table(name).select("host", "canon_url")
+
+    q["q46_stateful_first_seen"] = q46_stateful_first_seen
+
     return q
 
 
@@ -1617,6 +1722,22 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id < 50
         )
         SELECT user_id, event_id, event_type, rn FROM r WHERE rn <= 3
+    """
+
+    # q45: the streaming pipeline runs the SAME convert UDF over the same
+    # synthesized pages, so its oracle is q31's closed-form markdown
+    o["q45_streaming_convert"] = f"""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               {_MD_SQL} AS markdown
+        FROM documents
+    """
+
+    # q46: first-seen streaming dedup emits each (host, url) once == DISTINCT
+    o["q46_stateful_first_seen"] = f"""
+        SELECT DISTINCT source || '.example.com' AS host,
+                        {_URL_SQL} AS canon_url
+        FROM documents
     """
 
     return o
