@@ -220,3 +220,41 @@ def test_rademacher_signature_pandas_jvm_agree(spark):
         D.rademacher_signature_col(F.col("embedding"), planes, jvm=True).alias("b"),
     ).filter(F.col("a") != F.col("b"))
     assert mismatches.count() == 0
+
+
+def test_rademacher_signature_agreement_adversarial(spark):
+    """Vectors engineered so many hyperplane dots land within a few ulp of
+    zero — the only place the numpy path could diverge from the JVM fold
+    if its summation order differed. Mixed magnitudes force catastrophic
+    cancellation; sign agreement must still be bit-exact."""
+    import math
+    import random
+
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(200):
+        if i % 4 == 0:
+            # cancellation pairs: +v, -v interleaved, tiny residue
+            v = [rng.uniform(-1, 1) for _ in range(32)]
+            vec = [x for pair in zip(v, [-x for x in v]) for x in pair]
+            vec[-1] += rng.choice([0.0, 1e-17, -1e-17])
+        elif i % 4 == 1:
+            # mixed magnitudes across 12 decades
+            vec = [
+                rng.uniform(-1, 1) * (10.0 ** rng.randint(-6, 6))
+                for _ in range(64)
+            ]
+        elif i % 4 == 2:
+            # subnormal-scale values
+            vec = [rng.uniform(-1, 1) * 1e-310 for _ in range(64)]
+        else:
+            vec = [rng.uniform(-1e3, 1e3) for _ in range(64)]
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = D.rademacher_hyperplanes(64, 64)
+    bad = df.select(
+        D.rademacher_signature_col(F.col("embedding"), planes, jvm=False).alias("a"),
+        D.rademacher_signature_col(F.col("embedding"), planes, jvm=True).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert bad.count() == 0
+    assert all(math.isfinite(x) for r in rows for x in r[1])
