@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: frozen physical-plan evidence for the load-bearing queries."""
+import sys, re
+sys.path.insert(0,'/root/repo')
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[8]")
+  .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+from markdown_lab_spark.plans.checks import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+qs = E.queries()
+
+PICK = {
+ "q08_limit_ordered": "order-stable limit: TakeOrderedAndProject, no Window, no global sort",
+ "q18_dedup_exact": "exact dedup: ONE hash-agg shuffle on md5(content); partial agg map-side",
+ "q20_minhash_lsh_pairs": "MinHash LSH: signatures materialized once (localCheckpoint scan), banded self-join on bucket, no O(n^2) join",
+ "q23_cosine_topk": "cosine top-k: TakeOrderedAndProject over scan, zero shuffles before the top-k",
+ "q35_embedding_neardup_lsh": "banded embedding near-dup: one ArrowEvalPython signature pass, bucket-equi self-join, exact-cosine verify",
+ "q37_simhash_hamming": "SimHash Hamming pairs: fingerprints from checkpoint scan both sides, bit_count(xor) JVM-side",
+ "q40_corpus_curation": "curation composite: two hash-agg shuffles + one inner join, all JVM",
+ "q30_lineitem_agg": "TPC-H-style agg: scan shows PushedFilters + pruned ReadSchema",
+}
+
+out = ["""# PLANS — frozen physical-plan evidence (regenerate: `python scripts/gen_plans.py`)
+
+Snapshots of `formatted_plan(...)` at sf0.001 for the load-bearing entry
+queries, with what each plan is evidence OF. The plan-shape assertions
+live in `tests/test_plan_guards.py` (no partition-less Window anywhere,
+TakeOrderedAndProject for top-k) and `tests/test_crawler.py` /
+`tests/test_bucketed_join.py` (broadcast fetch join; exchange-free
+co-located state SMJ); this file is the human-auditable artifact.
+"""]
+for name, why in PICK.items():
+    plan = formatted_plan(qs[name](spark, SF))
+    # keep the operator tree + scan details; drop codegen ids noise
+    plan = re.sub(r"\[plan_id=\d+\]", "", plan)
+    head, _, tail = plan.partition("\n\n")
+    # head = tree; keep scan/exchange/aggregate detail lines from tail
+    keep = []
+    for block in tail.split("\n\n"):
+        if re.search(r"Scan parquet|Exchange|TakeOrderedAndProject|HashAggregate|ArrowEval|PushedFilters|SortMergeJoin|BroadcastHashJoin", block):
+            keep.append("\n".join(block.splitlines()[:14]))
+    out.append(f"## {name}\n\n**Evidence:** {why}\n\n```\n{head.strip()}\n\n" + "\n\n".join(keep[:6]) + "\n```\n")
+
+# crawl fetch join plan
+from markdown_lab_spark.corpus.generator import CorpusSpec, generate_corpus, write_corpus_parquet
+import tempfile, os
+path = os.path.join(tempfile.gettempdir(), "mls_plans_corpus.parquet")
+if not os.path.exists(path):
+    write_corpus_parquet(generate_corpus(CorpusSpec(hosts=2, pages_per_host=50)), path)
+from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+pages = spark.read.parquet(path)
+eng = CrawlEngine(spark, pages, CrawlConfig(rps=100.0, wave_seconds=10, max_waves=1))
+res = eng.crawl(pages.select("url").limit(40))
+res["trace"].count()
+# the fetch join plan is asserted in tests; reproduce the shape here
+from markdown_lab_spark.functions.udfs import normalize_url_col
+pages_c = pages.withColumn("canon_url", normalize_url_col(F.col("url")))
+sched = pages_c.select("canon_url").limit(10)
+fetch = pages_c.select("canon_url","url","html").join(F.broadcast(sched), on="canon_url", how="inner")
+plan = re.sub(r"\[plan_id=\d+\]", "", formatted_plan(fetch))
+head = plan.partition("\n\n")[0]
+out.append(f"## crawl fetch join (shape)\n\n**Evidence:** the corpus is the STREAM side of a BroadcastHashJoin — the per-wave schedule broadcasts; the corpus is never shuffled (asserted in `test_crawl_fetch_join_is_broadcast`).\n\n```\n{head.strip()}\n```\n")
+open("/root/repo/PLANS.md","w").write("\n".join(out))
+print("written", len(out)-1, "sections")
+spark.stop()
