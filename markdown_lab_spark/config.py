@@ -65,6 +65,8 @@ class EngineConfig:
     # checkpoint_dir — the bucketed tables are the checkpoint format)
     bucketed_state: bool = False
     state_buckets: int = 16
+    # seen-delta compaction cadence (None disables); see CrawlConfig
+    seen_compact_every: Optional[int] = 8
 
     def __post_init__(self) -> None:
         self._apply_environment_overrides()
@@ -85,6 +87,11 @@ class EngineConfig:
             "max_partition_bytes", "state_buckets",
         ):
             positive(name)
+        if self.seen_compact_every is not None and self.seen_compact_every <= 0:
+            raise ConfigurationError(
+                "seen_compact_every must be positive or None",
+                error_code="CONFIG_INVALID",
+            )
         if self.max_retries < 0:
             raise ConfigurationError(
                 "max_retries cannot be negative", error_code="CONFIG_INVALID"
@@ -167,6 +174,7 @@ class EngineConfig:
             max_file_size=self.max_file_size,
             bucketed_state=self.bucketed_state,
             state_buckets=self.state_buckets,
+            seen_compact_every=self.seen_compact_every,
         )
 
     def spark_conf(self) -> Dict[str, str]:

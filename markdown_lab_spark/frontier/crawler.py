@@ -99,6 +99,16 @@ class CrawlConfig:
     # checkpoint_dir (the tables ARE the checkpoint format).
     bucketed_state: bool = False
     state_buckets: int = 16
+    # seen-delta compaction cadence (default checkpoint mode): the flat
+    # per-wave rebuild reads every seen_delta dir, which is O(W) dirs per
+    # wave and O(W^2) over a long crawl. Every ``seen_compact_every``
+    # waves the compacted seen is ALSO written (an additive snapshot —
+    # deltas are kept, so time travel to any wave still works) and
+    # rebuilds read latest-compact + later deltas: <= compact_every + 1
+    # dirs per wave. None disables. (At warehouse scale this is the
+    # Iceberg MERGE/compaction maintenance job; bucketed_state mode
+    # already persists fully-compacted state per wave.)
+    seen_compact_every: Optional[int] = 8
 
     @property
     def budget(self) -> int:
@@ -424,6 +434,27 @@ class CrawlEngine:
         ) as f:
             json.dump(manifest, f)
 
+    def _seen_sources(self, upto_wave: int) -> List[str]:
+        """Parquet dirs whose union compacts to the seen set as of
+        ``upto_wave`` (inclusive): the latest seen_compact at or before
+        it, plus every seen_delta after that compact. Bounds the per-wave
+        rebuild at compact_every + 1 dirs instead of one per wave."""
+        waves = [w for w in self.complete_waves() if w <= upto_wave]
+        base = None
+        for w in reversed(waves):
+            if os.path.isdir(self._ckpt_path(w, "seen_compact")):
+                base = w
+                break
+        paths: List[str] = []
+        if base is not None:
+            paths.append(self._ckpt_path(base, "seen_compact"))
+        paths += [
+            self._ckpt_path(w, "seen_delta")
+            for w in waves
+            if base is None or w > base
+        ]
+        return paths
+
     def complete_waves(self) -> List[int]:
         """Snapshot list: waves with a complete (manifested) checkpoint."""
         if self.checkpoint_dir is None or not os.path.isdir(self.checkpoint_dir):
@@ -456,11 +487,7 @@ class CrawlEngine:
             return None, None, 0
         last = waves[-1]
         frontier = self.spark.read.parquet(self._ckpt_path(last, "frontier_next"))
-        seen = _compact_seen(
-            self.spark.read.parquet(
-                *[self._ckpt_path(w, "seen_delta") for w in waves]
-            )
-        )
+        seen = _compact_seen(self.spark.read.parquet(*self._seen_sources(last)))
         return frontier, seen, last + 1
 
     # -- the loop ---------------------------------------------------------------
@@ -755,12 +782,19 @@ class CrawlEngine:
                 seen_delta_r = self.spark.read.parquet(
                     self._ckpt_path(wave, "seen_delta")
                 )
-                delta_paths = [
-                    self._ckpt_path(w, "seen_delta")
-                    for w in self.complete_waves()
-                    if w <= wave
-                ]
-                seen = _compact_seen(self.spark.read.parquet(*delta_paths))
+                seen = _compact_seen(
+                    self.spark.read.parquet(*self._seen_sources(wave))
+                )
+                if (
+                    cfg.seen_compact_every is not None
+                    and (wave + 1) % cfg.seen_compact_every == 0
+                ):
+                    # additive compaction snapshot: future rebuilds read
+                    # this + later deltas (<= compact_every + 1 dirs)
+                    # instead of every delta since wave 0
+                    cpath = self._ckpt_path(wave, "seen_compact")
+                    seen.write.mode("overwrite").parquet(cpath)
+                    seen = self.spark.read.parquet(cpath)
                 delta_for_bloom = seen_delta_r
                 if cfg.bucketed_state:
                     # persist both state sides bucketed by canon_url so the

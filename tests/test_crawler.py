@@ -319,3 +319,50 @@ def test_checkpoint_size_and_eviction(spark, corpus, pages_df, tmp_path):
         for r in replay["trace"].collect()
     }
     assert replay_trace == {t for t in full_trace if t[1] > mid}
+
+
+def test_seen_compaction_bounds_rebuild_and_preserves_identity(
+    spark, corpus, pages_df, tmp_path
+):
+    """Every compact_every waves a compacted seen snapshot is written;
+    rebuild sources stay bounded at compact_every + 1 dirs; the final
+    seen set and a time-travel resume are identical to an uncompacted
+    control crawl."""
+    import os
+
+    cdir = str(tmp_path / "compact")
+    cfg = CrawlConfig(**{**CFG, "seen_compact_every": 2})
+    eng = CrawlEngine(spark, pages_df, cfg, checkpoint_dir=cdir)
+    out = eng.crawl(corpus.seeds)
+    seen_c = {r["canon_url"] for r in out["seen"].select("canon_url").collect()}
+
+    udir = str(tmp_path / "uncompacted")
+    cfg_u = CrawlConfig(**{**CFG, "seen_compact_every": None})
+    out_u = CrawlEngine(spark, pages_df, cfg_u, checkpoint_dir=udir).crawl(
+        corpus.seeds
+    )
+    seen_u = {r["canon_url"] for r in out_u["seen"].select("canon_url").collect()}
+    assert seen_c == seen_u
+
+    waves = eng.complete_waves()
+    compacts = [
+        w for w in waves if os.path.isdir(eng._ckpt_path(w, "seen_compact"))
+    ]
+    assert compacts, "cadence=2 over a multi-wave crawl must write compacts"
+    assert all((w + 1) % 2 == 0 for w in compacts)
+    # bounded rebuild: latest compact + deltas after it
+    last = waves[-1]
+    srcs = eng._seen_sources(last)
+    assert len(srcs) <= 2 + 1
+    assert any("seen_compact" in p for p in srcs)
+
+    # time travel to a wave BEFORE the last compact still resolves (the
+    # snapshot at that wave ignores later compacts)
+    mid = waves[1]
+    frontier, seen_mid, nxt = eng.resume_state(from_wave=mid)
+    assert nxt == mid + 1
+    u_eng = CrawlEngine(spark, pages_df, cfg_u, checkpoint_dir=udir)
+    _, seen_mid_u, _ = u_eng.resume_state(from_wave=mid)
+    assert {r["canon_url"] for r in seen_mid.collect()} == {
+        r["canon_url"] for r in seen_mid_u.collect()
+    }
