@@ -194,3 +194,26 @@ def test_ttl_resume_seed_includes_first_expiring_wave(spark, cycle_pages, tmp_pa
     assert ("https://h1.test/b", 3, "ok") in tr
     # neither is re-fetched while fresh
     assert ("https://h1.test/b", 2, "ok") not in tr
+
+
+def test_ttl_with_seen_compaction_identical(spark, cycle_pages, tmp_path):
+    """TTL semantics are unchanged when seen compaction fires every wave:
+    the compacted rows keep max(status_wave) per URL, which is exactly
+    what the flat delta rebuild produced, so expiry filtering and
+    re-fetch eligibility are identical."""
+    base = dict(rps=1.0, wave_seconds=5, max_waves=4, ttl_waves=2)
+    out_c = CrawlEngine(
+        spark,
+        cycle_pages,
+        CrawlConfig(**base, seen_compact_every=1),
+        checkpoint_dir=str(tmp_path / "c"),
+    ).crawl(["https://h1.test/a"])
+    out_u = CrawlEngine(
+        spark,
+        cycle_pages,
+        CrawlConfig(**base, seen_compact_every=None),
+        checkpoint_dir=str(tmp_path / "u"),
+    ).crawl(["https://h1.test/a"])
+    assert _trace(out_c) == _trace(out_u)
+    # the re-crawl actually happened under compaction
+    assert ("https://h1.test/a", 2, "ok") in _trace(out_c)
