@@ -901,6 +901,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q46_stateful_first_seen"] = q46_stateful_first_seen
 
+    def q47_png_decode(spark, sf):
+        # REAL image decode under the hash gate: deterministic gradient
+        # PNGs (pixel (y,x,c) = (y*7 + x*3 + c*31) % 256) are encoded
+        # executor-side cycling through ALL FIVE spec filters (doc_id % 5),
+        # decoded by the pure-stdlib codec (functions/codecs.py), and
+        # compared on integer-exact facts: IHDR dims + the full pixel sum.
+        # A wrong un-filter, stride, or channel layout changes pixel_sum;
+        # the oracle reconstructs it in closed form.
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 200)
+        )
+
+        def gen_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 16 + i % 17, 16 + i % 13
+                    y = np.arange(h, dtype=np.int32)[:, None, None]
+                    x = np.arange(w, dtype=np.int32)[None, :, None]
+                    c = np.arange(3, dtype=np.int32)[None, None, :]
+                    arr = ((y * 7 + x * 3 + c * 31) % 256).astype(np.uint8)
+                    payload = codecs.encode_png(arr, filter_type=i % 5)
+                    dw, dh, dch, px = codecs.decode_png(payload)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": int(px.astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return docs.mapInPandas(
+            gen_decode, "media_id long, width int, height int, pixel_sum long"
+        )
+
+    q["q47_png_decode"] = q47_png_decode
+
     return q
 
 
@@ -1738,6 +1785,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT source || '.example.com' AS host,
                         {_URL_SQL} AS canon_url
         FROM documents
+    """
+
+    # q47: the PNG codec's decoded pixel sum, reconstructed in closed form
+    # (integer-exact — no float summation order concerns)
+    o["q47_png_decode"] = """
+        WITH grid AS (
+          SELECT y.g AS y, x.g AS x, c.g AS c
+          FROM generate_series(0, 27) y(g),
+               generate_series(0, 31) x(g),
+               generate_series(0, 2) c(g)
+        ),
+        ids AS (
+          SELECT doc_id AS media_id,
+                 CAST(16 + doc_id % 17 AS INT) AS width,
+                 CAST(16 + doc_id % 13 AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT i.media_id, i.width, i.height,
+               CAST(SUM((g.y * 7 + g.x * 3 + g.c * 31) % 256) AS BIGINT)
+                 AS pixel_sum
+        FROM ids i JOIN grid g ON g.y < i.height AND g.x < i.width
+        GROUP BY i.media_id, i.width, i.height
     """
 
     return o

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing) is real and tested; the actual media decode
-is STUBBED — codec libraries are not available in this container — behind
-``decode_image_stub``, which produces a deterministic fake (dimensions and
-a checksum derived from the bytes) or raises ``NotImplementedError`` when
+signatures, partition sizing) is real and tested. Decode is REAL for the
+formats that need no codec library — PNG (stdlib zlib + the five spec
+filters) and 16-bit PCM WAV (stdlib wave), see ``codecs.py`` — selected
+by magic-byte sniffing; everything else (JPEG, video codecs) falls back
+to ``decode_image_stub``, a deterministic fake (dimensions and a checksum
+derived from the bytes) that raises ``NotImplementedError`` when
 ``strict=True``.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
@@ -55,9 +57,15 @@ def decode_image_stub(payload: bytes, strict: bool = False):
 
 
 def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
-    """mapInPandas decode/feature pipeline with byte-aware batching."""
+    """mapInPandas decode/feature pipeline with byte-aware batching.
+
+    PNG payloads (magic-sniffed) are decoded for real — width/height from
+    IHDR, feature from the un-filtered pixels; other payloads use the
+    deterministic stub (no codec libs in this environment)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # noqa: PLC0415
+
         for pdf in batches:
             # guard: re-split oversize Arrow batches by payload bytes
             start = 0
@@ -74,7 +82,14 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 }
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
-                    w, h, feat = decode_image_stub(payload)
+                    if codecs.is_png(payload):
+                        try:
+                            w, h, ch, px = codecs.decode_png(payload)
+                            feat = codecs.image_features_from_pixels(w, h, ch, px)
+                        except ValueError:
+                            w, h, feat = decode_image_stub(payload)
+                    else:
+                        w, h, feat = decode_image_stub(payload)
                     out["media_id"].append(media_id)
                     out["width"].append(w)
                     out["height"].append(h)
@@ -85,6 +100,54 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, zcr double"
+)
+
+
+def extract_audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Real audio decode for 16-bit PCM WAV (stdlib wave): sample rate,
+    channel count, duration, RMS level, zero-crossing rate. Non-WAV
+    payloads yield a null-features row (decode needs codec libs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # noqa: PLC0415
+
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                part = pdf.iloc[start : start + batch_rows]
+                start += batch_rows
+                rows = []
+                for media_id, raw in zip(part["media_id"], part["payload"]):
+                    payload = bytes(raw or b"")
+                    if codecs.is_wav(payload):
+                        try:
+                            rate, nch, samples = codecs.decode_wav(payload)
+                            f = codecs.audio_features(rate, nch, samples)
+                            rows.append({"media_id": media_id, **f})
+                            continue
+                        except ValueError:
+                            pass
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "duration_s": None,
+                            "rms": None,
+                            "zcr": None,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
     )
 
 
