@@ -948,6 +948,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q47_png_decode"] = q47_png_decode
 
+    def q48_jpeg_decode(spark, sf):
+        # REAL baseline-JPEG decode under the hash gate: block-constant
+        # grayscale images (8x8 block (by,bx) = (media_id*31 + by*17 +
+        # bx*7) % 256) survive DCT quantization EXACTLY — a constant
+        # block has only a DC coefficient, and both quantization and the
+        # final pixel rounding are half-up — so the decoded value is the
+        # closed form clip(2*floor((v-128)/2 + 0.5) + 128, 0, 255) with
+        # the Annex-K q00=16 (functions/jpeg.py; huffman, marker parsing,
+        # DC differentials, and the IDCT all sit on the verified path).
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 150)
+        )
+
+        def gen_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import jpeg  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    bw, bh = 2 + i % 3, 1 + i % 2  # blocks across / down
+                    arr = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                i * 31 + by * 17 + bx * 7
+                            ) % 256
+                    payload = jpeg.encode_jpeg(arr)
+                    dw, dh, _ch, px = jpeg.decode_jpeg(payload)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": int(px.astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return docs.mapInPandas(
+            gen_decode, "media_id long, width int, height int, pixel_sum long"
+        )
+
+    q["q48_jpeg_decode"] = q48_jpeg_decode
+
     return q
 
 
@@ -1807,6 +1857,33 @@ def oracle_sql() -> dict[str, str]:
                  AS pixel_sum
         FROM ids i JOIN grid g ON g.y < i.height AND g.x < i.width
         GROUP BY i.media_id, i.width, i.height
+    """
+
+    # q48: baseline-JPEG decode of block-constant grayscale images — each
+    # 8x8 block decodes to clip(2*floor((v-128)/2 + 0.5) + 128) exactly
+    # (DC-only block, Annex-K q00=16, half-up rounding on both sides)
+    o["q48_jpeg_decode"] = """
+        WITH blocks AS (
+          SELECT by.g AS by, bx.g AS bx
+          FROM generate_series(0, 1) by(g), generate_series(0, 3) bx(g)
+        ),
+        ids AS (
+          SELECT doc_id AS media_id,
+                 CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+                 CAST(8 * (1 + doc_id % 2) AS INT) AS height
+          FROM documents WHERE doc_id < 150
+        ),
+        px AS (
+          SELECT i.media_id, i.width, i.height,
+                 LEAST(255, GREATEST(0,
+                   2 * CAST(FLOOR(((i.media_id * 31 + b.by * 17 + b.bx * 7) % 256
+                                   - 128) / 2.0 + 0.5) AS BIGINT) + 128)) AS v
+          FROM ids i JOIN blocks b
+            ON b.by < i.height / 8 AND b.bx < i.width / 8
+        )
+        SELECT media_id, width, height,
+               CAST(SUM(64 * v) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY media_id, width, height
     """
 
     return o

@@ -1,0 +1,509 @@
+"""Baseline JPEG codec in pure numpy (ITU-T T.81, no native deps).
+
+Decoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with
+sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
+quant + huffman tables read from the file's own DQT/DHT segments (so any
+conforming baseline file decodes, not just ours). Progressive (SOF2),
+arithmetic coding, and 12-bit raise ValueError — callers fall back to
+the declared stub.
+
+Encoder (fixtures + sinks): baseline, Annex-K quant tables, flat
+canonical huffman tables (valid per spec; embedded in DHT, so the
+decoder never assumes them), grayscale / RGB 4:4:4 / RGB 4:2:0.
+
+Rounding: quantization and the final pixel rounding use HALF-UP
+(floor(x + 0.5)) on both encode and decode so block-constant fixtures
+are integer-exact and reproducible in closed-form SQL (q48) — numpy's
+banker's rounding would diverge from SQL ROUND at .5 boundaries.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+# Annex K.1/K.2 quantization tables (natural row-major order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+
+def _zigzag_order() -> np.ndarray:
+    """(64, 2) natural (row, col) coordinates in zigzag scan order,
+    generated from the diagonal-walk definition rather than hardcoded."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1)
+        coords = [(d - j, j) for j in rng if d - j < 8 and j < 8]
+        order.extend(coords if d % 2 == 1 else coords[::-1])
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+# orthonormal DCT-II basis: spatial = C.T @ coef @ C ; coef = C @ f @ C.T
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * (
+            np.sqrt(0.125) if _u == 0 else 0.5
+        )
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# huffman
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) from the DHT BITS/HUFFVAL canonical form."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _flat_table(symbols: List[int]) -> Tuple[List[int], List[int]]:
+    """A valid canonical table giving every symbol the same code length
+    (the shortest L with len(symbols) <= 2^L - 1, keeping the all-ones
+    code unused as the spec requires)."""
+    n = len(symbols)
+    length = 1
+    while n > (1 << length) - 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, list(symbols)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s
+
+
+class _BitReader:
+    """Reads the entropy-coded segment, consuming 0xFF00 stuffing and
+    resynchronizing at RSTn markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            m = self.data[self.pos]
+            if m == 0x00:
+                self.pos += 1
+            else:
+                # a real marker: signal end of entropy data
+                self.pos -= 1
+                raise _MarkerReached()
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_to_rst(self) -> None:
+        """Align to a byte boundary and consume an RSTn marker."""
+        self.nbits = 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+def _decode_huff(reader: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _encode_block(
+    block: np.ndarray,
+    quant: np.ndarray,
+    prev_dc: int,
+    writer: _BitWriter,
+    dc_codes: Dict[int, Tuple[int, int]],
+    ac_codes: Dict[int, Tuple[int, int]],
+) -> int:
+    coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    # snap the float-DCT epsilon (~1e-12) before quantizing: a constant
+    # block's DC is integrally 8*(v-128), and for odd v the quotient
+    # DC/q00 lands exactly on the half-up .5 boundary, where the epsilon's
+    # sign would otherwise decide the rounded value
+    coef = np.round(coef, 6)
+    q = _half_up(coef / quant)
+    zz = q[ZIGZAG[:, 0], ZIGZAG[:, 1]]
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    size = int(abs(diff)).bit_length()
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            writer.write(code, length)
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, subsample: bool = False) -> bytes:
+    """Baseline JPEG for an 8-bit grayscale (HxW) or RGB (HxWx3) array.
+    ``subsample=True`` emits 4:2:0 (box-averaged chroma), else 4:4:4."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, ncomp = arr.shape
+    if ncomp == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168735892 * rgb[:, :, 0] - 0.331264108 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418687589 * rgb[:, :, 1] - 0.081312411 * rgb[:, :, 2]
+        planes = [np.clip(_half_up(p), 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [arr[:, :, 0].astype(np.int32)]
+
+    samp = [(2, 2), (1, 1), (1, 1)] if (ncomp == 3 and subsample) else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    if subsample and ncomp == 3:
+        for ci in (1, 2):
+            p = planes[ci].astype(np.float64)
+            ph = (p.shape[0] + 1) // 2 * 2
+            pw = (p.shape[1] + 1) // 2 * 2
+            pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            planes[ci] = _half_up(
+                (pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2])
+                / 4.0
+            )
+
+    quants = [QUANT_LUMA] + ([QUANT_CHROMA] if ncomp == 3 else [])
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload)
+
+    for tq, q in enumerate(quants):
+        zz = bytes(int(q[r, c]) for r, c in ZIGZAG)
+        seg(0xDB, bytes([tq]) + zz)
+    comps = b""
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        comps += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    seg(0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + comps)
+    for tc_th, (bits, vals) in (
+        (0x00, (dc_bits, dc_vals)),
+        (0x10, (ac_bits, ac_vals)),
+        (0x01, (dc_bits, dc_vals)),
+        (0x11, (ac_bits, ac_vals)),
+    )[: 2 * (2 if ncomp == 3 else 1)]:
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    writer = _BitWriter()
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    prev_dc = [0] * ncomp
+    padded = []
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        tw, th = mcus_x * 8 * h, mcus_y * 8 * v
+        p = planes[ci][:ch, :cw]
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                h, v = samp[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        prev_dc[ci] = _encode_block(
+                            block,
+                            quants[0 if ci == 0 else 1],
+                            prev_dc[ci],
+                            writer,
+                            dc_codes,
+                            ac_codes,
+                        )
+    writer.flush()
+    out.extend(writer.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:3] == b"\xff\xd8\xff"
+
+
+def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """(width, height, ncomp, HxWxC uint8) for a baseline JPEG."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros((8, 8), dtype=np.int32)
+                vals = body[i + 1 : i + 65]
+                for k, (r, c) in enumerate(ZIGZAG):
+                    t[r, c] = vals[k]
+                quant[tq] = t
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (width, height, ncomp, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + si * 2 : 3 + si * 2]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            return _decode_scan(
+                payload, pos, frame, scan, quant, huff, restart_interval
+            )
+        # else: APPn / COM / others — skipped
+    raise ValueError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
+    width, height, ncomp, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    planes = []
+    for _cid, h, v, _tq in comps:
+        planes.append(np.zeros((mcus_y * 8 * v, mcus_x * 8 * h), dtype=np.float64))
+    scan_by_cid = {s[0]: s for s in scan}
+    reader = _BitReader(data, pos)
+    prev_dc = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_to_rst()
+                prev_dc = [0] * ncomp
+            mcu_count += 1
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                _cs, td, ta = scan_by_cid[cid]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                for by in range(v):
+                    for bx in range(h):
+                        try:
+                            zz = _decode_block(reader, dc_tab, ac_tab)
+                        except _MarkerReached as exc:
+                            raise ValueError("truncated entropy data") from exc
+                        prev_dc[ci] += int(zz[0])
+                        zz = zz.copy()
+                        zz[0] = prev_dc[ci]
+                        coefs = np.zeros((8, 8), dtype=np.float64)
+                        coefs[ZIGZAG[:, 0], ZIGZAG[:, 1]] = zz * quant[tq][
+                            ZIGZAG[:, 0], ZIGZAG[:, 1]
+                        ]
+                        block = _C.T @ coefs @ _C + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, (_cid, h, v, _tq) in enumerate(comps):
+        p = planes[ci]
+        if h < hmax or v < vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(p[:height, :width])
+    if ncomp == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, b], axis=2)
+    else:
+        img = out_planes[0][:, :, None]
+    img = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
+    return width, height, ncomp, img
+
+
+def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
+    zz = np.zeros(64, dtype=np.int64)
+    size = _decode_huff(reader, dc_tab)
+    zz[0] = _extend(reader.read_bits(size), size) if size else 0
+    k = 1
+    while k < 64:
+        sym = _decode_huff(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k >= 64:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return zz

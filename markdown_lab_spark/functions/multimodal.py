@@ -2,12 +2,13 @@
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) is real and tested. Decode is REAL for the
-formats that need no codec library — PNG (stdlib zlib + the five spec
-filters) and 16-bit PCM WAV (stdlib wave), see ``codecs.py`` — selected
-by magic-byte sniffing; everything else (JPEG, video codecs) falls back
-to ``decode_image_stub``, a deterministic fake (dimensions and a checksum
-derived from the bytes) that raises ``NotImplementedError`` when
-``strict=True``.
+formats implementable without a codec library — PNG (stdlib zlib + the
+five spec filters, ``codecs.py``), baseline JPEG (pure-numpy huffman +
+IDCT, ``jpeg.py``), and 16-bit PCM WAV (stdlib wave) — selected by
+magic-byte sniffing; anything else (progressive JPEG, video codecs)
+falls back to ``decode_image_stub``, a deterministic fake (dimensions
+and a checksum derived from the bytes) that raises
+``NotImplementedError`` when ``strict=True``.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``media_repartition_hint`` sizes partitions by BYTES (not rows) so one
@@ -64,7 +65,7 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     deterministic stub (no codec libs in this environment)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import codecs  # noqa: PLC0415
+        from . import codecs, jpeg  # noqa: PLC0415
 
         for pdf in batches:
             # guard: re-split oversize Arrow batches by payload bytes
@@ -82,13 +83,16 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 }
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
-                    if codecs.is_png(payload):
-                        try:
+                    try:
+                        if codecs.is_png(payload):
                             w, h, ch, px = codecs.decode_png(payload)
                             feat = codecs.image_features_from_pixels(w, h, ch, px)
-                        except ValueError:
+                        elif jpeg.is_jpeg(payload):
+                            w, h, ch, px = jpeg.decode_jpeg(payload)
+                            feat = codecs.image_features_from_pixels(w, h, ch, px)
+                        else:
                             w, h, feat = decode_image_stub(payload)
-                    else:
+                    except ValueError:
                         w, h, feat = decode_image_stub(payload)
                     out["media_id"].append(media_id)
                     out["width"].append(w)

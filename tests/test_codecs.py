@@ -110,3 +110,88 @@ def test_spark_pipeline_real_png_and_wav(spark):
     assert aud[3]["sample_rate"] == rate
     assert aud[3]["duration_s"] == 2.0
     assert aud[4]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _closed_form_const(v):
+    """Decoded value of a constant-v 8x8 gray block (Annex-K q00=16,
+    half-up rounding both sides)."""
+    return max(0, min(255, 2 * math.floor((v - 128) / 2 + 0.5) + 128))
+
+
+def test_jpeg_constant_blocks_exact():
+    from markdown_lab_spark.functions import jpeg
+
+    for v in [0, 1, 7, 77, 128, 200, 254, 255]:
+        arr = np.full((16, 24), v, dtype=np.uint8)
+        w, h, ch, px = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+        assert (w, h, ch) == (24, 16, 1)
+        assert np.unique(px).tolist() == [_closed_form_const(v)]
+
+
+def test_jpeg_rgb_roundtrip_bounded_error():
+    from markdown_lab_spark.functions import jpeg
+
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for sub in (False, True):
+        w, h, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, subsample=sub))
+        assert (w, h, ch) == (56, 40, 3)
+        err = np.abs(out.astype(int) - rgb.astype(int)).max()
+        assert err <= (16 if sub else 10), (sub, err)
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    """Edge-padded encode + decode crop restore the exact declared dims."""
+    from markdown_lab_spark.functions import jpeg
+
+    arr = _gradient(13, 19, 3)[:, :, :3]
+    for sub in (False, True):
+        w, h, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample=sub))
+        assert (w, h, ch) == (19, 13, 3)
+        assert out.shape == (13, 19, 3)
+
+
+def test_jpeg_rejects_garbage_and_progressive_marker():
+    from markdown_lab_spark.functions import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"definitely not a jpeg")
+    payload = bytearray(jpeg.encode_jpeg(np.full((8, 8), 5, dtype=np.uint8)))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_grayscale_smooth_close():
+    """A genuinely smooth image (no wrap discontinuities) stays within a
+    tight error bound — the quant tables' low-frequency steps are small."""
+    from markdown_lab_spark.functions import jpeg
+
+    y, x = np.mgrid[0:32, 0:32]
+    arr = (96 + 0.8 * x + 0.5 * y).astype(np.uint8)
+    _w, _h, _ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert np.abs(out[:, :, 0].astype(int) - arr.astype(int)).max() <= 6
+
+
+def test_spark_pipeline_real_jpeg(spark):
+    """JPEG payloads are magic-sniffed into the real decoder: width and
+    height come from the SOF0 header, not the stub's md5 fake."""
+    from markdown_lab_spark.functions import jpeg
+    from markdown_lab_spark.functions.multimodal import extract_image_features
+
+    payload = jpeg.encode_jpeg(_gradient(24, 40, 3), subsample=True)
+    df = spark.createDataFrame(
+        [(9, "image", bytearray(payload), "image/jpeg", {})],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    row = extract_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (40, 24)
