@@ -998,6 +998,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q48_jpeg_decode"] = q48_jpeg_decode
 
+    def q49_wav_decode(spark, sf):
+        # REAL WAV decode under the hash gate: 16-bit PCM payloads built
+        # from a closed-form integer sawtooth (sample k of media i =
+        # ((i*37 + k*11) % 2001) - 1000, stereo = the negated channel),
+        # decoded by the stdlib-wave codec; the oracle reconstructs the
+        # exact integer sample sum and counts.
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 100)
+        )
+
+        def gen_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    n = 500 + (i % 7) * 100
+                    k = np.arange(n, dtype=np.int64)
+                    left = ((i * 37 + k * 11) % 2001) - 1000
+                    stereo = np.stack([left, -left], axis=1).astype(np.int16)
+                    payload = codecs.encode_wav(stereo, rate=8000)
+                    rate, nch, samples = codecs.decode_wav(payload)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "sample_rate": rate,
+                            "n_channels": nch,
+                            "n_samples": int(samples.shape[0]),
+                            "left_sum": int(samples[:, 0].astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return docs.mapInPandas(
+            gen_decode,
+            "media_id long, sample_rate int, n_channels int, "
+            "n_samples long, left_sum long",
+        )
+
+    q["q49_wav_decode"] = q49_wav_decode
+
     return q
 
 
@@ -1884,6 +1931,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id, width, height,
                CAST(SUM(64 * v) AS BIGINT) AS pixel_sum
         FROM px GROUP BY media_id, width, height
+    """
+
+    # q49: the WAV codec's decoded sample sum, reconstructed exactly
+    o["q49_wav_decode"] = """
+        WITH ids AS (
+          SELECT doc_id AS media_id,
+                 CAST(500 + (doc_id % 7) * 100 AS BIGINT) AS n
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT i.media_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(2 AS INT) AS n_channels,
+               i.n AS n_samples,
+               CAST((SELECT SUM((i.media_id * 37 + k.g * 11) % 2001 - 1000)
+                     FROM generate_series(0, 1099) k(g)
+                     WHERE k.g < i.n) AS BIGINT) AS left_sum
+        FROM ids i
     """
 
     return o
