@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "q42_frame_sample",
     "q43_revenue_topk",
     "q44_events_latest_per_user",
+    "q47_png_decode",
+    "q48_jpeg_decode",
+    "q49_wav_decode",
 ]
 
 
