@@ -1045,6 +1045,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q49_wav_decode"] = q49_wav_decode
 
+    def _gopher_synth_text(spark, sf):
+        # deterministic multi-line doc per row (the corpus text is
+        # single-line, which would leave the line-shape signals trivially
+        # zero): a title, the text body, a duplicated body line for
+        # doc_id%3==0, a bullet line for %2==0, an ellipsis line for %4==0
+        d = _t(spark, sf, "documents")
+        body = F.substring(F.col("text"), 1, 600)
+        return d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Title "), F.col("doc_id").cast("string")),
+                body,
+                F.when((F.col("doc_id") % 3) == 0, body),
+                F.when(
+                    (F.col("doc_id") % 2) == 1,
+                    F.lit("the fox and the dog went to it for a while"),
+                ),
+                F.when(
+                    (F.col("doc_id") % 2) == 0,
+                    F.concat(
+                        F.lit("- item "), (F.col("doc_id") % 5).cast("string")
+                    ),
+                ),
+                F.when((F.col("doc_id") % 4) == 0, F.lit("to be continued...")),
+            ).alias("synth"),
+        )
+
+    def q50_repetition_signals(spark, sf):
+        # Gopher-style repetition/shape signals (Rae et al. 2021), pure
+        # JVM expressions — functions/text.py
+        s = _gopher_synth_text(spark, sf)
+        return s.select(
+            "doc_id",
+            X.dup_line_frac(F.col("synth")).alias("dup_line_frac"),
+            X.dup_ngram_frac(F.col("synth"), 3).alias("dup_3gram_frac"),
+            X.bullet_line_frac(F.col("synth")).alias("bullet_frac"),
+            X.ellipsis_line_frac(F.col("synth")).alias("ellipsis_frac"),
+            X.symbol_word_ratio(F.col("synth")).alias("symbol_word_ratio"),
+        )
+
+    q["q50_repetition_signals"] = q50_repetition_signals
+
+    def q51_gopher_filter(spark, sf):
+        # the composite keep-list over the same synthesized docs
+        s = _gopher_synth_text(spark, sf)
+        return s.select(
+            "doc_id", X.gopher_keep(F.col("synth")).alias("keep")
+        )
+
+    q["q51_gopher_filter"] = q51_gopher_filter
+
     return q
 
 
@@ -1948,6 +2000,83 @@ def oracle_sql() -> dict[str, str]:
                      FROM generate_series(0, 1099) k(g)
                      WHERE k.g < i.n) AS BIGINT) AS left_sum
         FROM ids i
+    """
+
+    # q50/q51: Gopher-style repetition/shape signals over the same
+    # deterministically synthesized multi-line docs as the Spark side
+    _synth_sql = """concat_ws(chr(10),
+          'Title ' || CAST(doc_id AS VARCHAR),
+          substr(text, 1, 600),
+          CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 600) END,
+          CASE WHEN doc_id % 2 = 1 THEN 'the fox and the dog went to it for a while' END,
+          CASE WHEN doc_id % 2 = 0 THEN '- item ' || CAST(doc_id % 5 AS VARCHAR) END,
+          CASE WHEN doc_id % 4 = 0 THEN 'to be continued...' END)"""
+
+    def _sig_sql(col: str) -> dict:
+        lines = f"string_split({col}, chr(10))"
+        words = f"regexp_split_to_array(trim({col}), '\\s+')"
+        ws = (
+            f"(CASE WHEN trim({col}) = '' THEN 0 ELSE len({words}) END)"
+        )
+        grams = (
+            f"list_transform(generate_series(0, greatest(len({words}) - 3, 0)),"
+            f" i -> array_to_string(({words})[i+1:i+3], ' '))"
+        )
+        return {
+            "dup_line_frac": (
+                f"CASE WHEN len({lines}) <= 1 THEN 0.0 ELSE "
+                f"round(1.0 - len(list_distinct({lines})) / len({lines}), 6) END"
+            ),
+            "dup_3gram_frac": (
+                f"CASE WHEN len({grams}) <= 1 THEN 0.0 ELSE "
+                f"round(1.0 - len(list_distinct({grams})) / len({grams}), 6) END"
+            ),
+            "bullet_frac": (
+                f"round(len(list_filter({lines}, ln -> "
+                f"regexp_matches(trim(ln), '^[-*•]'))) / "
+                f"greatest(len({lines}), 1), 6)"
+            ),
+            "ellipsis_frac": (
+                f"round(len(list_filter({lines}, ln -> "
+                f"regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$'))) / "
+                f"greatest(len({lines}), 1), 6)"
+            ),
+            "symbol_word_ratio": (
+                f"round(len(regexp_extract_all({col}, '#|\\.\\.\\.')) / "
+                f"greatest({ws}, 1), 6)"
+            ),
+            "ws": ws,
+            "mwl": (
+                f"round(length(regexp_replace({col}, '\\s+', '', 'g')) / "
+                f"greatest({ws}, 1), 6)"
+            ),
+            "stop_hits": f"len(regexp_extract_all(lower({col}), '{en_pat}'))",
+        }
+
+    _s = _sig_sql("synth")
+    o["q50_repetition_signals"] = f"""
+        WITH s AS (SELECT doc_id, {_synth_sql} AS synth FROM documents)
+        SELECT doc_id,
+               ({_s['dup_line_frac']})::DOUBLE AS dup_line_frac,
+               ({_s['dup_3gram_frac']})::DOUBLE AS dup_3gram_frac,
+               ({_s['bullet_frac']})::DOUBLE AS bullet_frac,
+               ({_s['ellipsis_frac']})::DOUBLE AS ellipsis_frac,
+               ({_s['symbol_word_ratio']})::DOUBLE AS symbol_word_ratio
+        FROM s
+    """
+
+    o["q51_gopher_filter"] = f"""
+        WITH s AS (SELECT doc_id, {_synth_sql} AS synth FROM documents)
+        SELECT doc_id,
+               ({_s['ws']} >= 50 AND {_s['ws']} <= 100000
+                AND {_s['mwl']} >= 3.0 AND {_s['mwl']} <= 10.0
+                AND {_s['symbol_word_ratio']} <= 0.1
+                AND {_s['bullet_frac']} <= 0.9
+                AND {_s['ellipsis_frac']} <= 0.3
+                AND {_s['stop_hits']} >= 2
+                AND {_s['dup_line_frac']} <= 0.3
+                AND {_s['dup_3gram_frac']} <= 0.18) AS keep
+        FROM s
     """
 
     return o

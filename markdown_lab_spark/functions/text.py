@@ -109,3 +109,92 @@ def doc_fingerprint_expr(text_col_name: str, gram: int = 8, stride: int = 4) -> 
         f"array_min(transform(sequence(1, greatest(length({text_col_name}) - {gram - 1}, 1), {stride}),"
         f" i -> md5(substr({text_col_name}, i, {gram}))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / shape signals (Rae et al. 2021, public rules)
+# ---------------------------------------------------------------------------
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line:
+    1 - distinct_lines / lines (0 for empty/one-line docs)."""
+    lines = _lines(text)
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / n, 6)
+    )
+
+
+def dup_ngram_frac(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (count-weighted): 1 - distinct_ngrams / ngrams. The Gopher paper's
+    duplicate-n-gram signal; high values mean templated/spammy text."""
+    words = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    total = F.size(grams)
+    return F.when(total <= 1, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6)
+    )
+
+
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    lines = _lines(text)
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    return F.round(bullets / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def ellipsis_line_frac(text: Column) -> Column:
+    """Fraction of lines ending in an ellipsis."""
+    lines = _lines(text)
+    ell = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    return F.round(ell / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' or '...' occurrences) / words — the Gopher symbol rule."""
+    syms = F.regexp_count(text, F.lit(r"#|\.\.\.")) 
+    return F.round(syms / F.greatest(ws_token_count(text), F.lit(1)), 6)
+
+
+def gopher_keep(text: Column) -> Column:
+    """Boolean keep-decision from the public Gopher quality rules
+    (thresholds from Rae et al. 2021 Table A1, the subset computable
+    without a tokenizer/model):
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio <= 0.1
+    - bullet-started lines <= 90%
+    - ellipsis-ended lines <= 30%
+    - >= 2 English stopword hits
+    - duplicate-line fraction <= 0.30
+    - duplicate 3-gram fraction <= 0.18 (count-weighted stand-in for the
+      paper's char-weighted top-/dup-n-gram family)
+    """
+    toks = ws_token_count(text)
+    mwl = mean_word_len(text)
+    return (
+        (toks >= 50)
+        & (toks <= 100_000)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (symbol_word_ratio(text) <= 0.1)
+        & (bullet_line_frac(text) <= 0.9)
+        & (ellipsis_line_frac(text) <= 0.3)
+        & (_count_words(text, LANG_STOPWORDS["en"]) >= 2)
+        & (dup_line_frac(text) <= 0.3)
+        & (dup_ngram_frac(text, 3) <= 0.18)
+    )

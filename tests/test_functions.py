@@ -201,3 +201,48 @@ def test_multimodal_stub_pipeline(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"x", strict=True)
+
+
+def test_gopher_signals_handcrafted(spark):
+    """Each Gopher rule pinned on a text engineered to trip exactly it."""
+    from pyspark.sql import functions as F
+
+    from markdown_lab_spark.functions import text as X
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was good for "
+        "everyone involved in that long afternoon because nobody expected "
+        "such a calm ending to the day when storms had threatened since "
+        "morning and the village children kept asking whether it would be "
+        "safe to walk home along the river path before sunset arrived"
+    )
+    texts = {
+        "good": good,
+        "dup_lines": "\n".join(["same line here"] * 9 + ["x"]),
+        "bullets": "\n".join(["- item"] * 19 + ["x"]),
+        "ellipses": "\n".join(["wait..."] * 5 + ["x"] * 5),
+        "symbols": "# " * 30 + good,
+        "short": "too few words",
+        "no_stopwords": "lorem ipsum dolor sit amet " * 20,
+    }
+    df = spark.createDataFrame(list(texts.items()), "name string, t string")
+    rows = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            X.dup_line_frac(F.col("t")).alias("dl"),
+            X.bullet_line_frac(F.col("t")).alias("bf"),
+            X.ellipsis_line_frac(F.col("t")).alias("ef"),
+            X.symbol_word_ratio(F.col("t")).alias("sw"),
+            X.dup_ngram_frac(F.col("t"), 3).alias("dg"),
+            X.gopher_keep(F.col("t")).alias("keep"),
+        ).collect()
+    }
+    assert rows["good"]["keep"] is True
+    assert rows["dup_lines"]["dl"] == 0.8 and rows["dup_lines"]["keep"] is False
+    assert rows["bullets"]["bf"] == 0.95 and rows["bullets"]["keep"] is False
+    assert rows["ellipses"]["ef"] == 0.5 and rows["ellipses"]["keep"] is False
+    assert rows["symbols"]["sw"] > 0.1 and rows["symbols"]["keep"] is False
+    assert rows["short"]["keep"] is False
+    assert rows["no_stopwords"]["keep"] is False
+    assert rows["good"]["dg"] <= 0.18  # varied prose stays under the bar
