@@ -1097,6 +1097,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q51_gopher_filter"] = q51_gopher_filter
 
+    def q52_paragraph_dedup(spark, sf):
+        # corpus-wide paragraph-level exact dedup (CCNet/RefinedWeb-style):
+        # synthesize multi-paragraph docs where doc_id%4==0 docs share a
+        # common boilerplate paragraph; first occurrence keeps, repeats
+        # flagged — functions/text.py paragraph_dedup
+        d = _t(spark, sf, "documents")
+        synth = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit("Intro for doc "), F.col("doc_id").cast("string")),
+                F.substring(F.col("text"), 1, 200),
+                F.when(
+                    (F.col("doc_id") % 4) == 0,
+                    F.lit("Subscribe to our newsletter for updates."),
+                ),
+            ).alias("text"),
+        )
+        return X.paragraph_dedup(synth, "doc_id", "text").withColumn(
+            "para_pos", F.col("para_pos").cast("long")
+        )
+
+    q["q52_paragraph_dedup"] = q52_paragraph_dedup
+
+    def q53_c4_filter(spark, sf):
+        # the C4 cleaning rules (Raffel et al. 2020): per-line terminal-
+        # punctuation/length/javascript filter + page-level sentence /
+        # lorem-ipsum / curly-brace rules, over synthesized pages that
+        # exercise every rule
+        d = _t(spark, sf, "documents")
+        synth = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("This is a proper first sentence with enough words."),
+                F.lit("Too short."),
+                F.when(
+                    (F.col("doc_id") % 3) == 0,
+                    F.lit("Enable javascript to view this site properly."),
+                ),
+                F.when(
+                    (F.col("doc_id") % 5) == 0,
+                    F.concat(
+                        F.lit("The config used {braces} in doc "),
+                        F.col("doc_id").cast("string"),
+                        F.lit("."),
+                    ),
+                ),
+                F.when(
+                    (F.col("doc_id") % 7) == 0,
+                    F.lit("Generated from a Lorem Ipsum placeholder template."),
+                ),
+                F.lit("Another complete sentence follows right here today!"),
+                F.lit("Does this line also count as a real sentence?"),
+                F.substring(F.col("text"), 1, 80),
+            ).alias("text"),
+        )
+        return synth.select(
+            "doc_id",
+            X.c4_clean_text(F.col("text")).alias("cleaned"),
+            X.c4_page_keep(F.col("text")).alias("keep"),
+        )
+
+    q["q53_c4_filter"] = q53_c4_filter
+
     return q
 
 
@@ -2077,6 +2142,78 @@ def oracle_sql() -> dict[str, str]:
                 AND {_s['dup_line_frac']} <= 0.3
                 AND {_s['dup_3gram_frac']} <= 0.18) AS keep
         FROM s
+    """
+
+    # q52: paragraph-level dedup — first (doc_id, pos) occurrence per
+    # paragraph hash keeps; mirrors the Spark window exactly
+    o["q52_paragraph_dedup"] = """
+        WITH synth AS (
+          SELECT doc_id,
+                 concat_ws(chr(10) || chr(10),
+                   'Intro for doc ' || CAST(doc_id AS VARCHAR),
+                   substr(text, 1, 200),
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'Subscribe to our newsletter for updates.' END
+                 ) AS text
+          FROM documents
+        ),
+        plists AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '\\n\\s*\\n'),
+                                  p -> trim(p)),
+                   p -> p != '') AS plist
+          FROM synth
+        ),
+        paras AS (
+          SELECT doc_id, s['pos'] AS para_pos, s['h'] AS para_hash FROM (
+            SELECT doc_id,
+                   unnest(list_transform(plist,
+                     (p, i) -> {'pos': CAST(i - 1 AS BIGINT), 'h': md5(p)})) AS s
+            FROM plists)
+        )
+        SELECT doc_id, para_pos, para_hash,
+               ROW_NUMBER() OVER (PARTITION BY para_hash
+                                  ORDER BY doc_id ASC, para_pos ASC) = 1 AS keep
+        FROM paras
+    """
+
+    # q53: the C4 line + page rules over the same synthesized pages
+    _c4_line = (
+        "(regexp_matches(trim(ln), '[.!?][\"'']?$') "
+        "AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 5 "
+        "AND NOT contains(lower(trim(ln)), 'javascript'))"
+    )
+    o["q53_c4_filter"] = f"""
+        WITH synth AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   'This is a proper first sentence with enough words.',
+                   'Too short.',
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Enable javascript to view this site properly.' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'The config used {{braces}} in doc '
+                             || CAST(doc_id AS VARCHAR) || '.' END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'Generated from a Lorem Ipsum placeholder template.' END,
+                   'Another complete sentence follows right here today!',
+                   'Does this line also count as a real sentence?',
+                   substr(text, 1, 80)
+                 ) AS text
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, text,
+                 array_to_string(list_filter(string_split(text, chr(10)),
+                                             ln -> {_c4_line}), chr(10)) AS cleaned
+          FROM synth
+        )
+        SELECT doc_id, cleaned,
+               (len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')) AS keep
+        FROM c
     """
 
     return o

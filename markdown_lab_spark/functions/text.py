@@ -198,3 +198,79 @@ def gopher_keep(text: Column) -> Column:
         & (dup_line_frac(text) <= 0.3)
         & (dup_ngram_frac(text, 3) <= 0.18)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, the public heuristics)
+# ---------------------------------------------------------------------------
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4's line rule: keep lines that end in terminal punctuation ('.',
+    '!', '?', or closing quote), have at least 5 words, and do not
+    contain the word 'javascript' (case-insensitive)."""
+    t = F.trim(line)
+    return (
+        t.rlike(r"""[.!?]["']?$""")
+        & (F.size(F.split(t, r"\s+")) >= 5)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean_text(text: Column) -> Column:
+    """Text with non-conforming lines removed (newline-joined)."""
+    return F.array_join(
+        F.filter(_lines(text), c4_line_keep), "\n"
+    )
+
+
+def c4_page_keep(text: Column) -> Column:
+    """C4's page rules: >= 3 sentences (terminal-punctuation runs in the
+    CLEANED text), no 'lorem ipsum', no curly brace."""
+    cleaned = c4_clean_text(text)
+    sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    return (
+        (sentences >= 3)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph-level exact dedup (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def explode_paragraphs(df, id_col: str, text_col: str):
+    """(id, para_pos, para, para_hash) — blank-line-separated paragraphs,
+    trimmed, empties dropped. One narrow transform, no shuffle."""
+    paras = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(paras).alias("para_pos", "para"))
+        .withColumn("para_hash", F.md5(F.col("para")))
+    )
+
+
+def paragraph_dedup(df, id_col: str, text_col: str):
+    """Corpus-wide exact paragraph dedup: the FIRST occurrence of each
+    paragraph (ordered by (id, position)) is kept, repeats are flagged.
+
+    Plan shape at 10^10 docs: one shuffle on para_hash; the per-hash
+    window partitions by the hash (no global sort, no skew beyond
+    genuinely mega-duplicated boilerplate, which AQE splits).
+    Returns (id, para_pos, para_hash, keep).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    paras = explode_paragraphs(df, id_col, text_col)
+    w = Window.partitionBy("para_hash").orderBy(
+        F.col(id_col).asc(), F.col("para_pos").asc()
+    )
+    return paras.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "para_pos", "para_hash", "keep")

@@ -246,3 +246,51 @@ def test_gopher_signals_handcrafted(spark):
     assert rows["short"]["keep"] is False
     assert rows["no_stopwords"]["keep"] is False
     assert rows["good"]["dg"] <= 0.18  # varied prose stays under the bar
+
+
+def test_paragraph_dedup_and_c4(spark):
+    from pyspark.sql import functions as F
+
+    from markdown_lab_spark.functions import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nshared boilerplate para\n\nunique two"),
+            (2, "shared boilerplate para\n\nother content here"),
+            (3, "only original stuff\n\n\n\nafter blank runs"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = X.paragraph_dedup(docs, "doc_id", "text").collect()
+    by_key = {(r["doc_id"], r["para_pos"]): r["keep"] for r in rows}
+    assert by_key[(1, 1)] is True  # first occurrence of the shared para
+    assert by_key[(2, 0)] is False  # repeat flagged
+    assert by_key[(3, 0)] and by_key[(3, 1)]  # \n\n\n\n still splits
+
+    c4 = spark.createDataFrame(
+        [
+            (
+                1,
+                "A good long sentence that definitely qualifies here.\n"
+                "short\n"
+                "Please enable JavaScript to continue browsing now.\n"
+                "Second proper sentence is also long enough to stay!\n"
+                "Third proper sentence keeps the page over the bar.",
+            ),
+            (2, "Contains lorem ipsum filler and {braces} everywhere."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4.select(
+            "doc_id",
+            X.c4_clean_text(F.col("text")).alias("cleaned"),
+            X.c4_page_keep(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert "short" not in out[1]["cleaned"]
+    assert "JavaScript" not in out[1]["cleaned"]
+    assert out[1]["cleaned"].count("\n") == 2  # three surviving lines
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # lorem ipsum + braces
