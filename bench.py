@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "q47_png_decode",
     "q48_jpeg_decode",
     "q49_wav_decode",
+    "q50_repetition_signals",
+    "q51_gopher_filter",
+    "q52_paragraph_dedup",
+    "q53_c4_filter",
 ]
 
 
