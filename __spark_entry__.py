@@ -1162,6 +1162,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q53_c4_filter"] = q53_c4_filter
 
+    def q54_image_resize(spark, sf):
+        # the multimodal RESIZE operator, end-to-end under the hash gate:
+        # gradient PNG -> resize_images (decode, nearest-neighbor resize,
+        # re-encode PNG) -> decode the OUTPUT payload -> integer pixel
+        # sum. Nearest-neighbor src index = floor(dst*src/dst_total) is
+        # closed-form, so the oracle reconstructs the resized sum exactly.
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 120)
+        )
+
+        def gen(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 16 + i % 17, 16 + i % 13
+                    y = np.arange(h, dtype=np.int32)[:, None, None]
+                    x = np.arange(w, dtype=np.int32)[None, :, None]
+                    c = np.arange(3, dtype=np.int32)[None, None, :]
+                    arr = ((y * 7 + x * 3 + c * 31) % 256).astype(np.uint8)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "kind": "image",
+                            "payload": codecs.encode_png(arr, filter_type=i % 5),
+                            "mime": "image/png",
+                            "meta": {},
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "payload", "mime", "meta"],
+                )
+
+        media = docs.mapInPandas(
+            gen,
+            "media_id long, kind string, payload binary, mime string, "
+            "meta map<string,string>",
+        )
+        resized = M.resize_images(media, out_w=12, out_h=10)
+
+        def decode_sum(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for media_id, w, h, raw in zip(
+                    pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+                ):
+                    _w, _h, _c, px = codecs.decode_png(bytes(raw))
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": int(w),
+                            "height": int(h),
+                            "pixel_sum": int(px.astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "width", "height", "pixel_sum"]
+                )
+
+        return resized.mapInPandas(
+            decode_sum, "media_id long, width int, height int, pixel_sum long"
+        )
+
+    q["q54_image_resize"] = q54_image_resize
+
     return q
 
 
@@ -2214,6 +2292,32 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT contains(lower(text), 'lorem ipsum')
                 AND NOT contains(text, '{{')) AS keep
         FROM c
+    """
+
+    # q54: decode -> nearest-neighbor resize to 12x10 -> re-encode ->
+    # decode: out pixel (y,x,c) = gradient(floor(y*h/10), floor(x*w/12), c)
+    o["q54_image_resize"] = """
+        WITH grid AS (
+          SELECT y.g AS y, x.g AS x, c.g AS c
+          FROM generate_series(0, 9) y(g),
+               generate_series(0, 11) x(g),
+               generate_series(0, 2) c(g)
+        ),
+        ids AS (
+          SELECT doc_id AS media_id,
+                 CAST(16 + doc_id % 17 AS BIGINT) AS src_w,
+                 CAST(16 + doc_id % 13 AS BIGINT) AS src_h
+          FROM documents WHERE doc_id < 120
+        )
+        SELECT i.media_id,
+               CAST(12 AS INT) AS width,
+               CAST(10 AS INT) AS height,
+               CAST(SUM((
+                   (g.y * i.src_h) // 10 * 7
+                 + (g.x * i.src_w) // 12 * 3
+                 + g.c * 31) % 256) AS BIGINT) AS pixel_sum
+        FROM ids i CROSS JOIN grid g
+        GROUP BY i.media_id
     """
 
     return o

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q51_gopher_filter",
     "q52_paragraph_dedup",
     "q53_c4_filter",
+    "q54_image_resize",
 ]
 
 

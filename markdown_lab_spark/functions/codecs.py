@@ -234,3 +234,13 @@ def audio_features(rate: int, nch: int, samples: np.ndarray) -> dict:
         "rms": round(rms, 6),
         "zcr": round(zcr, 6),
     }
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (deterministic: src = floor(dst*src/dst)),
+    the resize kernel for the training-pipeline operator — bilinear etc.
+    would need float rounding policy agreement to stay reproducible."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]

@@ -182,3 +182,56 @@ def media_repartition_hint(df: DataFrame, target_bytes: int = 64 << 20) -> DataF
     total = stats["total"] or 0
     nparts = max(1, int(total // target_bytes) + 1)
     return df.repartition(nparts, F.col("media_id"))
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, batch_rows: int = 64
+) -> DataFrame:
+    """Decode (PNG/JPEG) -> nearest-neighbor resize -> re-encode as PNG.
+
+    The standard pre-training normalization step (fixed input dims).
+    Payloads the codecs cannot decode are dropped (they'd need the
+    stubbed native path); output payloads are always PNG so downstream
+    stages face ONE format.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs, jpeg  # noqa: PLC0415
+
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                part = pdf.iloc[start : start + batch_rows]
+                start += batch_rows
+                rows = []
+                for media_id, raw in zip(part["media_id"], part["payload"]):
+                    payload = bytes(raw or b"")
+                    try:
+                        if codecs.is_png(payload):
+                            _w, _h, _c, px = codecs.decode_png(payload)
+                        elif jpeg.is_jpeg(payload):
+                            _w, _h, _c, px = jpeg.decode_jpeg(payload)
+                        else:
+                            continue
+                    except ValueError:
+                        continue
+                    resized = codecs.resize_nearest(px, out_w, out_h)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": out_w,
+                            "height": out_h,
+                            "payload": codecs.encode_png(resized),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "payload"],
+                )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

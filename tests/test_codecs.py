@@ -195,3 +195,29 @@ def test_spark_pipeline_real_jpeg(spark):
     )
     row = extract_image_features(df).collect()[0]
     assert (row["width"], row["height"]) == (40, 24)
+
+
+def test_resize_nearest_exact_and_pipeline(spark):
+    """resize_nearest uses src = floor(dst*src/dst): exact on a gradient;
+    the Spark operator re-encodes to PNG with correct declared dims."""
+    from markdown_lab_spark.functions.multimodal import resize_images
+
+    arr = _gradient(20, 30, 3)
+    small = codecs.resize_nearest(arr, 6, 5)
+    for y in range(5):
+        for x in range(6):
+            assert (small[y, x] == arr[(y * 20) // 5, (x * 30) // 6]).all()
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(codecs.encode_png(arr)), "image/png", {}),
+            (2, "image", bytearray(b"junk not an image"), "x", {}),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    rows = resize_images(df, out_w=6, out_h=5).collect()
+    assert len(rows) == 1  # undecodable payload dropped
+    w, h, ch, px = codecs.decode_png(bytes(rows[0]["payload"]))
+    assert (w, h) == (6, 5)
+    assert np.array_equal(px, small)
