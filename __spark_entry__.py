@@ -1240,6 +1240,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q54_image_resize"] = q54_image_resize
 
+    def q55_gif_decode(spark, sf):
+        # REAL GIF decode under the hash gate: index (y,x) = (y*7 + x*3 +
+        # media_id) % 256 through palette p[i] = ((i*5)%256, (i*7)%256,
+        # (i*11)%256), encoded INTERLACED (odd media_id) or sequential —
+        # LZW, the width-bump boundary, and the four interlace passes all
+        # sit on the verified path; the oracle folds the palette into a
+        # closed-form pixel sum.
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 120)
+        )
+
+        def gen_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            i256 = np.arange(256)
+            pal = np.stack(
+                [(i256 * 5) % 256, (i256 * 7) % 256, (i256 * 11) % 256], axis=1
+            ).astype(np.uint8)
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 16 + i % 17, 16 + i % 13
+                    idx = (
+                        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + i)
+                        % 256
+                    ).astype(np.uint8)
+                    payload = codecs.encode_gif(idx, pal, interlace=bool(i % 2))
+                    dw, dh, _c, px = codecs.decode_gif(payload)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": int(px.astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return docs.mapInPandas(
+            gen_decode, "media_id long, width int, height int, pixel_sum long"
+        )
+
+    q["q55_gif_decode"] = q55_gif_decode
+
     return q
 
 
@@ -2318,6 +2368,30 @@ def oracle_sql() -> dict[str, str]:
                  + g.c * 31) % 256) AS BIGINT) AS pixel_sum
         FROM ids i CROSS JOIN grid g
         GROUP BY i.media_id
+    """
+
+    # q55: GIF — pixel (y,x) index k = (y*7 + x*3 + id) % 256; RGB sum of
+    # palette entry k = (k*5)%256 + (k*7)%256 + (k*11)%256
+    o["q55_gif_decode"] = """
+        WITH grid AS (
+          SELECT y.g AS y, x.g AS x
+          FROM generate_series(0, 27) y(g), generate_series(0, 31) x(g)
+        ),
+        ids AS (
+          SELECT doc_id AS media_id,
+                 CAST(16 + doc_id % 17 AS INT) AS width,
+                 CAST(16 + doc_id % 13 AS INT) AS height
+          FROM documents WHERE doc_id < 120
+        ),
+        px AS (
+          SELECT i.media_id, i.width, i.height,
+                 (g.y * 7 + g.x * 3 + i.media_id) % 256 AS k
+          FROM ids i JOIN grid g ON g.y < i.height AND g.x < i.width
+        )
+        SELECT media_id, width, height,
+               CAST(SUM((k * 5) % 256 + (k * 7) % 256 + (k * 11) % 256)
+                    AS BIGINT) AS pixel_sum
+        FROM px GROUP BY media_id, width, height
     """
 
     return o

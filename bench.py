@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q52_paragraph_dedup",
     "q53_c4_filter",
     "q54_image_resize",
+    "q55_gif_decode",
 ]
 
 

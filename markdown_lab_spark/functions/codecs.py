@@ -244,3 +244,209 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return px[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW, GIF87a/89a) — the third web image format, still zero deps
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def is_gif(payload: bytes) -> bool:
+    return payload[:6] in GIF_MAGICS
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: codes packed LSB-first, CLEAR resets the dict,
+    dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    dict_init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(dict_init)
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(dict_init)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the cScSc case
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("invalid LZW code")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if n_out < n_pixels:
+        raise ValueError("LZW stream ended early")
+    return out
+
+
+def decode_gif(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """(width, height, 3, HxWx3 uint8 RGB) of the FIRST frame.
+
+    Handles global/local color tables, interlacing, and skips 89a
+    extensions (transparency is ignored — the frame renders over the
+    palette as-is; animation frames beyond the first are not read)."""
+    if not is_gif(payload):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x21:  # extension: label + data sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+            ipacked = payload[pos + 8]
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(chunks), min_code_size, w * h)
+            if ipacked & 0x40:  # interlaced: reorder rows
+                rows = idx.reshape(h, w)
+                out_rows = np.empty_like(rows)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        out_rows[y] = rows[src]
+                        src += 1
+                idx = out_rows.reshape(-1)
+            rgb = table[np.clip(idx, 0, len(table) - 1)].reshape(h, w, 3)
+            return w, h, 3, rgb
+        elif b == 0x3B:  # trailer
+            break
+    raise ValueError(f"no image frame found in GIF ({sw}x{sh})")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal GIF87a writer for fixtures/sinks: one frame, a global
+    256-color table, real LZW compression, optional interlacing."""
+    h, w = indices.shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = indices
+    if interlace:
+        order = []
+        for start, step in _INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        rows = indices[order]
+    pixels = rows.astype(np.uint8).reshape(-1).tobytes()
+
+    # LZW encode, LSB-first
+    min_code_size = 8
+    clear, end = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prefix = b""
+    for i in range(len(pixels)):
+        nxt = prefix + pixels[i : i + 1]
+        if nxt in table:
+            prefix = nxt
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            # widen BEFORE assigning: the decoder reconstructs this entry
+            # one step later, so its width change lands one code later —
+            # verified against the decoder over gradient+random images
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            code_size = 9
+        prefix = pixels[i : i + 1]
+    if prefix:
+        emit(table[prefix])
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    out += bytes([min_code_size])
+    for i in range(0, len(bits), 255):
+        blk = bits[i : i + 255]
+        out += bytes([len(blk)]) + bytes(blk)
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -4,8 +4,9 @@ The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) is real and tested. Decode is REAL for the
 formats implementable without a codec library — PNG (stdlib zlib + the
 five spec filters, ``codecs.py``), baseline JPEG (pure-numpy huffman +
-IDCT, ``jpeg.py``), and 16-bit PCM WAV (stdlib wave) — selected by
-magic-byte sniffing; anything else (progressive JPEG, video codecs)
+IDCT, ``jpeg.py``), GIF (LZW + interlacing, ``codecs.py``), and 16-bit
+PCM WAV (stdlib wave) — selected by magic-byte sniffing; anything else
+(progressive JPEG, video codecs)
 falls back to ``decode_image_stub``, a deterministic fake (dimensions
 and a checksum derived from the bytes) that raises
 ``NotImplementedError`` when ``strict=True``.
@@ -89,6 +90,9 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                             feat = codecs.image_features_from_pixels(w, h, ch, px)
                         elif jpeg.is_jpeg(payload):
                             w, h, ch, px = jpeg.decode_jpeg(payload)
+                            feat = codecs.image_features_from_pixels(w, h, ch, px)
+                        elif codecs.is_gif(payload):
+                            w, h, ch, px = codecs.decode_gif(payload)
                             feat = codecs.image_features_from_pixels(w, h, ch, px)
                         else:
                             w, h, feat = decode_image_stub(payload)
@@ -214,6 +218,8 @@ def resize_images(
                             _w, _h, _c, px = codecs.decode_png(payload)
                         elif jpeg.is_jpeg(payload):
                             _w, _h, _c, px = jpeg.decode_jpeg(payload)
+                        elif codecs.is_gif(payload):
+                            _w, _h, _c, px = codecs.decode_gif(payload)
                         else:
                             continue
                     except ValueError:

@@ -221,3 +221,58 @@ def test_resize_nearest_exact_and_pipeline(spark):
     w, h, ch, px = codecs.decode_png(bytes(rows[0]["payload"]))
     assert (w, h) == (6, 5)
     assert np.array_equal(px, small)
+
+
+# ---------------------------------------------------------------------------
+# GIF (codecs.py LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_palette():
+    i = np.arange(256)
+    return np.stack([(i * 5) % 256, (i * 7) % 256, (i * 11) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    pal = _gif_palette()
+    idx = ((np.arange(37)[:, None] * 7 + np.arange(53)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    w, h, ch, rgb = codecs.decode_gif(codecs.encode_gif(idx, pal, interlace=interlace))
+    assert (w, h, ch) == (53, 37, 3)
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_lzw_dict_reset_roundtrip():
+    """A large random-index image forces the LZW dictionary past 4096
+    entries, exercising the CLEAR-code reset path on both sides."""
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 256, (200, 300)).astype(np.uint8)
+    pal = _gif_palette()
+    _w, _h, _c, rgb = codecs.decode_gif(codecs.encode_gif(idx, pal))
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"GIFXX not really")
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"plainly not a gif")
+
+
+def test_spark_pipeline_real_gif(spark):
+    from markdown_lab_spark.functions.multimodal import extract_image_features
+
+    pal = _gif_palette()
+    idx = ((np.arange(21)[:, None] + np.arange(33)[None, :]) % 256).astype(np.uint8)
+    payload = codecs.encode_gif(idx, pal, interlace=True)
+    df = spark.createDataFrame(
+        [(11, "image", bytearray(payload), "image/gif", {})],
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    row = extract_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (33, 21)
