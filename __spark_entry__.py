@@ -1290,6 +1290,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q55_gif_decode"] = q55_gif_decode
 
+    def q56_pii_redaction(spark, sf):
+        # BigScience/ROOTS-style PII scrub (emails -> <EMAIL>, IPv4 ->
+        # <IP>, phones -> <PHONE>) over docs with injected PII. The Spark
+        # patterns carry lookaround guards RE2 (DuckDB) cannot express;
+        # the fixtures keep PII clear of adjacent digits/dots, where both
+        # pattern families provably agree — functions/text.py redact_pii.
+        d = _t(spark, sf, "documents")
+        synth = d.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.substring(F.col("text"), 1, 60),
+                F.when(
+                    (F.col("doc_id") % 2) == 0,
+                    F.concat(
+                        F.lit("contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example-site.org now"),
+                    ),
+                ),
+                F.when(
+                    (F.col("doc_id") % 3) == 0,
+                    F.concat(
+                        F.lit("server at 10.0."),
+                        (F.col("doc_id") % 200).cast("string"),
+                        F.lit(".17 responded"),
+                    ),
+                ),
+                F.when(
+                    (F.col("doc_id") % 5) == 0,
+                    F.lit("call +1 555-123-4567 today"),
+                ),
+                F.substring(F.col("text"), 61, 40),
+            ).alias("text"),
+        )
+        return synth.select(
+            "doc_id",
+            X.redact_pii(F.col("text")).alias("redacted"),
+            X.pii_counts(F.col("text"))["emails"].alias("n_emails"),
+            X.pii_counts(F.col("text"))["ips"].alias("n_ips"),
+        )
+
+    q["q56_pii_redaction"] = q56_pii_redaction
+
+    def q57_url_quality_filter(spark, sf):
+        # FineWeb-style pre-fetch URL cut: session/tracking params, digit-
+        # heavy paths, binary-asset extensions, absurd depth/length —
+        # functions/text.py url_quality_keep
+        d = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.when((F.col("doc_id") % 4) == 0, F.lit("a/b/c/d/e/f/g/h/i/j/k/l/m/"))
+            .otherwise(F.lit("docs/")),
+            F.when(
+                (F.col("doc_id") % 5) == 0,
+                F.concat(F.lit("img-"), F.col("doc_id").cast("string"), F.lit(".png")),
+            )
+            .when(
+                (F.col("doc_id") % 7) == 0,
+                F.concat(
+                    F.lit("page-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?phpsessid=abc123"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))),
+        )
+        return d.select(
+            "doc_id",
+            url.alias("url"),
+            X.url_quality_keep(url).alias("keep"),
+        )
+
+    q["q57_url_quality_filter"] = q57_url_quality_filter
+
     return q
 
 
@@ -2392,6 +2469,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM((k * 5) % 256 + (k * 7) % 256 + (k * 11) % 256)
                     AS BIGINT) AS pixel_sum
         FROM px GROUP BY media_id, width, height
+    """
+
+    # q56: PII scrub — RE2 (no lookarounds) versions of the core patterns;
+    # the fixtures keep PII clear of adjacent digits/dots where the two
+    # pattern families agree
+    _email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _ip_re = (
+        "(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+        "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    )
+    _phone_re = (
+        "\\+?[0-9]{1,3}[-. (]?[0-9]{2,4}[-. )]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+    )
+    o["q56_pii_redaction"] = f"""
+        WITH synth AS (
+          SELECT doc_id,
+                 concat_ws(' ',
+                   substr(text, 1, 60),
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example-site.org now' END,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'server at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                             || '.17 responded' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'call +1 555-123-4567 today' END,
+                   substr(text, 61, 40)
+                 ) AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_email_re}', '<EMAIL>', 'g'),
+                 '{_ip_re}', '<IP>', 'g'),
+                 '{_phone_re}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_email_re}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_ip_re}')) AS INT) AS n_ips
+        FROM synth
+    """
+
+    # q57: URL-only quality cut
+    o["q57_url_quality_filter"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN 'a/b/c/d/e/f/g/h/i/j/k/l/m/' ELSE 'docs/' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN 'img-' || CAST(doc_id AS VARCHAR) || '.png'
+                         WHEN doc_id % 7 = 0
+                         THEN 'page-' || CAST(doc_id AS VARCHAR)
+                              || '?phpsessid=abc123'
+                         ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          FROM u
+        )
+        SELECT doc_id, url,
+               (length(url) <= 512
+                AND len(regexp_extract_all(path, '[0-9]'))
+                    <= greatest(length(path), 1) * 0.4
+                AND NOT regexp_matches(lower(url),
+                      '[?&](sessionid|sid|phpsessid|utm_[a-z]+)=')
+                AND len(string_split(path, '/')) <= 13
+                AND NOT regexp_matches(lower(path),
+                      '\\.(jpg|jpeg|png|gif|css|js|zip|exe|dmg|iso)$')) AS keep
+        FROM p
     """
 
     return o

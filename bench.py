@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "q53_c4_filter",
     "q54_image_resize",
     "q55_gif_decode",
+    "q56_pii_redaction",
+    "q57_url_quality_filter",
 ]
 
 

@@ -274,3 +274,60 @@ def paragraph_dedup(df, id_col: str, text_col: str):
     return paras.withColumn(
         "keep", F.row_number().over(w) == 1
     ).select(id_col, "para_pos", "para_hash", "keep")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the standard pre-training scrub: emails, phones, IPs)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone shapes: optional +CC, separators, 7+ digits total
+PII_PHONE_RE = r"(?<![\d.])\+?\d{1,3}[-. (]?\d{2,4}[-. )]?\d{3,4}[-. ]?\d{3,4}(?![\d.])"
+PII_IPV4_RE = (
+    r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])"
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens (the BigScience/ROOTS-style scrub). Order matters:
+    emails first (their local parts can look like phones), then IPs
+    (dotted digits would otherwise half-match the phone shape), then
+    phones. Pure JVM regexp_replace chain."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (for corpus audit dashboards)."""
+    return {
+        "emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filter (FineWeb/RefinedWeb-style, the pre-fetch cut)
+# ---------------------------------------------------------------------------
+
+
+def url_quality_keep(url: Column) -> Column:
+    """Cheap URL-only keep-decision applied BEFORE fetching (saves the
+    whole fetch+parse cost for junk): total length <= 512, <= 40% digits
+    in the path, no query-string session/tracking keys, path depth <= 12,
+    and not an obvious binary-asset extension."""
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    digits = F.regexp_count(path, F.lit(r"\d"))
+    return (
+        (F.length(url) <= 512)
+        & (
+            digits
+            <= F.greatest(F.length(path), F.lit(1)) * 0.4
+        )
+        & ~F.lower(url).rlike(r"[?&](sessionid|sid|phpsessid|utm_[a-z]+)=")
+        & (F.size(F.split(path, "/")) <= 13)
+        & ~F.lower(path).rlike(r"\.(jpg|jpeg|png|gif|css|js|zip|exe|dmg|iso)$")
+    )

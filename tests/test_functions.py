@@ -294,3 +294,49 @@ def test_paragraph_dedup_and_c4(spark):
     assert out[1]["cleaned"].count("\n") == 2  # three surviving lines
     assert out[1]["keep"] is True
     assert out[2]["keep"] is False  # lorem ipsum + braces
+
+
+def test_pii_redaction_and_url_filter(spark):
+    from pyspark.sql import functions as F
+
+    from markdown_lab_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.co.uk or call +44 20 7946 0958 ok"),
+            (2, "server 192.168.1.254 and 8.8.8.8 are up"),
+            (3, "version 1.2.3.4.5 is not an address and 999.1.1.1 is invalid"),
+            (4, "clean text with no contact details at all"),
+        ],
+        "doc_id long, t string",
+    )
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", X.redact_pii(F.col("t")).alias("red")
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1] and "jane" not in out[1]
+    assert "<PHONE>" in out[1]
+    assert out[2].count("<IP>") == 2
+    # lookaround guards: a 5-part dotted run is NOT an IPv4
+    assert "<IP>" not in out[3]
+    assert out[4] == "clean text with no contact details at all"
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example/docs/page-1"),
+            (2, "https://a.example/p?phpsessid=zz"),
+            (3, "https://a.example/assets/logo.png"),
+            (4, "https://a.example/" + "/".join("d" * 14)),
+            (5, "https://a.example/id/1234567890123456789012345678901234567890"),
+        ],
+        "doc_id long, url string",
+    )
+    keep = {
+        r["doc_id"]: r["k"]
+        for r in urls.select(
+            "doc_id", X.url_quality_keep(F.col("url")).alias("k")
+        ).collect()
+    }
+    assert keep == {1: True, 2: False, 3: False, 4: False, 5: False}
