@@ -154,25 +154,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q02_normalize_url"] = q02_normalize_url
 
-    def q03_filename(spark, sf):
+    def q03_url_parts(spark, sf):
+        # K4 filename derivation + X2/X3 base/domain extraction in one
+        # gate (merged from round-3 q03+q04 so every family fits the
+        # driver's 50-query cap)
         fn = make_filename_udf("markdown")
-        return (
-            _t(spark, sf, "documents")
-            .withColumn("url", _url_col())
-            .select("doc_id", fn(F.col("url")).alias("out_name"))
-        )
-
-    q["q03_filename"] = q03_filename
-
-    def q04_base_and_domain(spark, sf):
         df = _t(spark, sf, "documents").withColumn("url", _url_col())
         return df.select(
             "doc_id",
+            fn(F.col("url")).alias("out_name"),
             extract_base_url_col(F.col("url")).alias("base_url"),
             domain_col(F.col("url")).alias("host"),
         )
 
-    q["q04_base_and_domain"] = q04_base_and_domain
+    q["q03_url_parts"] = q03_url_parts
 
     def q05_md5_chunk_ids(spark, sf):
         df = _t(spark, sf, "documents").withColumn("url", _url_col())
@@ -184,7 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q05_md5_chunk_ids"] = q05_md5_chunk_ids
 
     # ---- F6/F7/F8: sitemap-style filters -----------------------------------
-    def q06_priority_filter(spark, sf):
+    def q06_sitemap_filters(spark, sf):
+        # F6 priority filter + F7 include/exclude regex applied jointly
+        # (merged from round-3 q06+q07 for the driver's 50-query cap);
+        # both predicates reach the scan as pushed filters
         df = _t(spark, sf, "documents").withColumn(
             "priority",
             F.when((F.col("doc_id") % 5) == 0, F.lit(None).cast("double")).otherwise(
@@ -192,18 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
         return df.filter(
-            F.col("priority").isNull() | (F.col("priority") >= 0.5)
+            (F.col("priority").isNull() | (F.col("priority") >= 0.5))
+            & F.col("text").rlike("spark|join")
+            & ~F.col("text").rlike("slow")
         ).select("doc_id", "priority")
 
-    q["q06_priority_filter"] = q06_priority_filter
-
-    def q07_regex_filters(spark, sf):
-        df = _t(spark, sf, "documents")
-        return df.filter(
-            F.col("text").rlike("spark|join") & ~F.col("text").rlike("slow")
-        ).select("doc_id")
-
-    q["q07_regex_filters"] = q07_regex_filters
+    q["q06_sitemap_filters"] = q06_sitemap_filters
 
     def q08_limit_ordered(spark, sf):
         # distributed top-k (TakeOrderedAndProject) + window-free rank of
@@ -412,11 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q21_ngram_jaccard"] = q21_ngram_jaccard
 
-    def q22_simhash(spark, sf):
-        docs = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
-        return D.simhash16(docs, "doc_id", "text")
-
-    q["q22_simhash"] = q22_simhash
+    # (round-4 note: the 16-bit SimHash demo gate q22 was retired — q36's
+    # 64-bit production cut supersedes it; simhash16 stays covered by
+    # tests/test_functions.py so the driver's 50-query cap fits every
+    # operator family)
 
     def q36_simhash64(spark, sf):
         docs = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
@@ -492,29 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q38_ivf_ann"] = q38_ivf_ann
 
     # ---- training-pipeline: text analysis ----------------------------------------------
-    def q34_embedding_neardup(spark, sf):
-        # CORRECTNESS BASELINE, not for production (quadratic within its
-        # 8-bit bucket) — the scale path with the same contract is q35
-        # (embedding_neardup_pairs_banded).
-        # synthesize near-dup groups: vec_id % 7 in {0,1} share the group
-        # leader's vector, so exact-duplicate pairs exist at cos=1.0
-        emb = _t(spark, sf, "embeddings")
-        leaders = emb.select(
-            F.col("vec_id").alias("lid"), F.col("embedding").alias("lvec")
-        )
-        synth = (
-            emb.withColumn("lid", F.col("vec_id") - (F.col("vec_id") % 7))
-            .join(leaders, on="lid", how="left")
-            .select(
-                "vec_id",
-                F.when((F.col("vec_id") % 7) < 2, F.col("lvec"))
-                .otherwise(F.col("embedding"))
-                .alias("embedding"),
-            )
-        )
-        return D.embedding_neardup_pairs(synth, "vec_id", "embedding", 0.99, 8)
-
-    q["q34_embedding_neardup"] = q34_embedding_neardup
+    # (round-4 note: the unbanded embedding-neardup baseline gate q34 was
+    # retired from the driver list — q35's banded cut is the scale path
+    # with the same contract; the baseline-vs-banded agreement is pinned
+    # by tests/test_neardup_scale.py instead)
 
     def _synth_neardup_embeddings(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -549,36 +521,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q35_embedding_neardup_lsh"] = q35_embedding_neardup_lsh
 
-    def q25_lang_id(spark, sf):
-        return _t(spark, sf, "documents").select(
-            "doc_id", X.predicted_lang(F.col("text")).alias("pred_lang")
-        )
-
-    q["q25_lang_id"] = q25_lang_id
-
-    def q26_quality_score(spark, sf):
+    def q25_lang_quality(spark, sf):
+        # language-ID + quality scoring in one gate (merged from round-3
+        # q25+q26 for the driver's 50-query cap) — one scan, all-JVM
         return _t(spark, sf, "documents").select(
             "doc_id",
+            X.predicted_lang(F.col("text")).alias("pred_lang"),
             X.quality_score(F.col("text")).cast("double").alias("quality"),
         )
 
-    q["q26_quality_score"] = q26_quality_score
+    q["q25_lang_quality"] = q25_lang_quality
 
-    def q27_token_counts(spark, sf):
+    def q27_tokens_fingerprint(spark, sf):
+        # token counting + rolling-hash document fingerprint in one gate
+        # (merged from round-3 q27+q28 for the driver's 50-query cap)
         return _t(spark, sf, "documents").select(
             "doc_id",
             X.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
             X.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+            X.doc_fingerprint_expr("text").alias("fingerprint"),
         )
 
-    q["q27_token_counts"] = q27_token_counts
-
-    def q28_fingerprint(spark, sf):
-        return _t(spark, sf, "documents").select(
-            "doc_id", X.doc_fingerprint_expr("text").alias("fingerprint")
-        )
-
-    q["q28_fingerprint"] = q28_fingerprint
+    q["q27_tokens_fingerprint"] = q27_tokens_fingerprint
 
     # ---- general aggregation parity (events + lineitem) ----------------------------------
     def q29_events_agg(spark, sf):
@@ -702,6 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q41_image_features(spark, sf):
+        # feature is array<float>; the driver's canonicalizer sorts raw
+        # pandas columns and cannot hash list values, so project it as a
+        # deterministic CSV scalar (fixed decimal(10,6) rendering on both
+        # the Spark and DuckDB sides).
         feats = M.extract_image_features(_media(spark, sf))
         return feats.select(
             "media_id",
@@ -709,7 +677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("height").cast("long").alias("height"),
             F.col("n_bytes").cast("long").alias("n_bytes"),
             "checksum",
-            "feature",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("feature"),
+                    lambda x: x.cast("decimal(10,6)").cast("string"),
+                ),
+            ).alias("feature_csv"),
         )
 
     q["q41_image_features"] = q41_image_features
@@ -1073,9 +1047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("synth"),
         )
 
-    def q50_repetition_signals(spark, sf):
-        # Gopher-style repetition/shape signals (Rae et al. 2021), pure
-        # JVM expressions — functions/text.py
+    def q50_gopher_signals_keep(spark, sf):
+        # Gopher-style repetition/shape signals (Rae et al. 2021) AND the
+        # composite keep decision in one gate (merged from round-3
+        # q50+q51 for the driver's 50-query cap) — one scan, pure JVM
         s = _gopher_synth_text(spark, sf)
         return s.select(
             "doc_id",
@@ -1084,18 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             X.bullet_line_frac(F.col("synth")).alias("bullet_frac"),
             X.ellipsis_line_frac(F.col("synth")).alias("ellipsis_frac"),
             X.symbol_word_ratio(F.col("synth")).alias("symbol_word_ratio"),
+            X.gopher_keep(F.col("synth")).alias("keep"),
         )
 
-    q["q50_repetition_signals"] = q50_repetition_signals
-
-    def q51_gopher_filter(spark, sf):
-        # the composite keep-list over the same synthesized docs
-        s = _gopher_synth_text(spark, sf)
-        return s.select(
-            "doc_id", X.gopher_keep(F.col("synth")).alias("keep")
-        )
-
-    q["q51_gopher_filter"] = q51_gopher_filter
+    q["q50_gopher_signals_keep"] = q50_gopher_signals_keep
 
     def q52_paragraph_dedup(spark, sf):
         # corpus-wide paragraph-level exact dedup (CCNet/RefinedWeb-style):
@@ -1402,18 +1369,12 @@ def oracle_sql() -> dict[str, str]:
         FROM parts
     """
 
-    o["q03_filename"] = f"""
+    o["q03_url_parts"] = f"""
         WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
         SELECT doc_id,
           regexp_replace(
             regexp_extract(url, '^[a-z]+://([^?#]*)', 1), '/', '_', 'g'
-          ) || '.md' AS out_name
-        FROM u
-    """
-
-    o["q04_base_and_domain"] = f"""
-        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
-        SELECT doc_id,
+          ) || '.md' AS out_name,
           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS base_url,
           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
@@ -1424,20 +1385,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({_URL_SQL} || ':text:0') AS chunk_id FROM documents
     """
 
-    o["q06_priority_filter"] = """
+    o["q06_sitemap_filters"] = """
         WITH p AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
             CASE WHEN doc_id % 5 = 0 THEN NULL
                  ELSE (doc_id % 10) / 10.0 END AS priority
           FROM documents
         )
         SELECT doc_id, priority FROM p
-        WHERE priority IS NULL OR priority >= 0.5
-    """
-
-    o["q07_regex_filters"] = """
-        SELECT doc_id FROM documents
-        WHERE regexp_matches(text, 'spark|join')
+        WHERE (priority IS NULL OR priority >= 0.5)
+          AND regexp_matches(text, 'spark|join')
           AND NOT regexp_matches(text, 'slow')
     """
 
@@ -1623,27 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
     """
 
-    votes = ",\n               ".join(
-        f"sum(CASE WHEN substr(h, {d + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{d}"
-        for d in range(16)
-    )
-    fp_concat = " || ".join(
-        f"CASE WHEN v_{d} > 0 THEN '1' ELSE '0' END" for d in range(16)
-    )
-    o["q22_simhash"] = f"""
-        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        toks AS (
-          SELECT doc_id, md5(tok) AS h
-          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d)
-        ),
-        agg AS (
-          SELECT doc_id,
-               {votes}
-          FROM toks GROUP BY doc_id
-        )
-        SELECT doc_id, {fp_concat} AS simhash FROM agg
-    """
+    # (q22_simhash oracle retired round 4 with its gate; see q36)
 
     # ---- simhash64 (q36/q37): bit d of md5(tok) = bit (3-d%4) of hex
     # digit d//4; vote sum per bit, fingerprint = sign ------------------------
@@ -1759,21 +1696,7 @@ def oracle_sql() -> dict[str, str]:
              * sqrt(list_aggregate(list_transform(generate_series(1, len(r.embedding)),
                i -> r.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), 'sum'))), 4)
     """
-    o["q34_embedding_neardup"] = f"""
-        WITH synth AS (
-          SELECT e.vec_id,
-                 CASE WHEN e.vec_id % 7 < 2 THEN l.embedding ELSE e.embedding END AS embedding
-          FROM embeddings e
-          LEFT JOIN embeddings l ON l.vec_id = e.vec_id - (e.vec_id % 7)
-        ),
-        b AS (
-          SELECT e.vec_id, e.embedding, {neardup_bucket.replace("e.embedding", "e.embedding")} AS bucket
-          FROM synth e
-        )
-        SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_LR} AS cos_sim
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        WHERE {_COS_LR} >= 0.99
-    """
+    # (q34 unbanded-baseline oracle retired round 4 with its gate; see q35)
 
     # q35: same Rademacher hyperplanes as dedup.embedding_neardup_pairs_banded
     # (w = +-1 from md5(f"{p}:{j}")), dot realized as the same left-assoc
@@ -1870,22 +1793,13 @@ def oracle_sql() -> dict[str, str]:
     score_cols = ",\n            ".join(
         f"{_lang_score(w)} AS s_{lang}" for lang, w in LANG_STOPWORDS.items()
     )
-    o["q25_lang_id"] = f"""
-        WITH s AS (
-          SELECT doc_id,
-            {score_cols}
-          FROM documents
-        )
-        SELECT doc_id,
-          CASE
+    _lang_case_s = """CASE
             WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
             WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
             ELSE 'es'
-          END AS pred_lang
-        FROM s
-    """
+          END"""
 
     en_pat = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
 
@@ -1900,21 +1814,23 @@ def oracle_sql() -> dict[str, str]:
                     greatest(CASE WHEN trim({col}) = '' THEN 0
                          ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END, 1), 6)), 6)::DOUBLE"""
 
-    o["q26_quality_score"] = f"""
-        SELECT doc_id, {_quality_sql("text")} AS quality
-        FROM documents
+    o["q25_lang_quality"] = f"""
+        WITH s AS (
+          SELECT doc_id, text,
+            {score_cols}
+          FROM documents
+        )
+        SELECT doc_id,
+          {_lang_case_s} AS pred_lang,
+          {_quality_sql("text")} AS quality
+        FROM s
     """
 
-    o["q27_token_counts"] = f"""
+    o["q27_tokens_fingerprint"] = f"""
         SELECT doc_id,
           (CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
-          len(regexp_extract_all(text, '{X.BPE_ISH_TOKEN_RE}'))::BIGINT AS bpe_tokens
-        FROM documents
-    """
-
-    o["q28_fingerprint"] = """
-        SELECT doc_id,
+          len(regexp_extract_all(text, '{X.BPE_ISH_TOKEN_RE}'))::BIGINT AS bpe_tokens,
           list_aggregate(list_transform(
             generate_series(1, greatest(length(text) - 7, 1), 4),
             i -> md5(substr(text, i, 8))), 'min') AS fingerprint
@@ -2147,8 +2063,10 @@ def oracle_sql() -> dict[str, str]:
           CAST(16 + ('0x' || substr(h, 3, 2))::INT % 64 AS BIGINT) AS height,
           CAST(nb AS BIGINT) AS n_bytes,
           h AS checksum,
-          [CAST(ROUND((('0x' || substr(h, 2*i+5, 2))::INT) / 255.0, 6) AS FLOAT)
-           for i in range(8)] AS feature
+          array_to_string(
+            [CAST(CAST(CAST(ROUND((('0x' || substr(h, 2*i+5, 2))::INT) / 255.0, 6)
+                   AS FLOAT) AS DECIMAL(10,6)) AS VARCHAR)
+             for i in range(8)], ',') AS feature_csv
         FROM m
     """
 
@@ -2324,20 +2242,14 @@ def oracle_sql() -> dict[str, str]:
         }
 
     _s = _sig_sql("synth")
-    o["q50_repetition_signals"] = f"""
+    o["q50_gopher_signals_keep"] = f"""
         WITH s AS (SELECT doc_id, {_synth_sql} AS synth FROM documents)
         SELECT doc_id,
                ({_s['dup_line_frac']})::DOUBLE AS dup_line_frac,
                ({_s['dup_3gram_frac']})::DOUBLE AS dup_3gram_frac,
                ({_s['bullet_frac']})::DOUBLE AS bullet_frac,
                ({_s['ellipsis_frac']})::DOUBLE AS ellipsis_frac,
-               ({_s['symbol_word_ratio']})::DOUBLE AS symbol_word_ratio
-        FROM s
-    """
-
-    o["q51_gopher_filter"] = f"""
-        WITH s AS (SELECT doc_id, {_synth_sql} AS synth FROM documents)
-        SELECT doc_id,
+               ({_s['symbol_word_ratio']})::DOUBLE AS symbol_word_ratio,
                ({_s['ws']} >= 50 AND {_s['ws']} <= 100000
                 AND {_s['mwl']} >= 3.0 AND {_s['mwl']} <= 10.0
                 AND {_s['symbol_word_ratio']} <= 0.1

@@ -41,11 +41,9 @@ BENCH_QUERIES = [
     "q15_text_chunks",
     "q18_dedup_exact",
     "q20_minhash_lsh_pairs",
-    "q22_simhash",
     "q23_cosine_topk",
-    "q25_lang_id",
-    "q26_quality_score",
-    "q28_fingerprint",
+    "q25_lang_quality",
+    "q27_tokens_fingerprint",
     "q30_lineitem_agg",
     "q31_convert_markdown",
     "q32_chunk_markdown",
@@ -62,8 +60,7 @@ BENCH_QUERIES = [
     "q47_png_decode",
     "q48_jpeg_decode",
     "q49_wav_decode",
-    "q50_repetition_signals",
-    "q51_gopher_filter",
+    "q50_gopher_signals_keep",
     "q52_paragraph_dedup",
     "q53_c4_filter",
     "q54_image_resize",

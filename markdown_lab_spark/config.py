@@ -113,6 +113,13 @@ class EngineConfig:
             raise ConfigurationError(
                 "ttl_waves must be positive when set", error_code="CONFIG_INVALID"
             )
+        if self.ttl_waves is not None and self.bucketed_state:
+            raise ConfigurationError(
+                "bucketed_state and ttl_waves are mutually exclusive: the "
+                "TTL path uses the cuckoo-filter seen set and never reads "
+                "the bucketed state tables",
+                error_code="CONFIG_INVALID",
+            )
         if self.default_output_format not in ("markdown", "json", "xml"):
             raise ConfigurationError(
                 "default_output_format must be 'markdown', 'json', or 'xml'",

@@ -86,6 +86,13 @@ class CrawlConfig:
     # filter, whose deletion support exists precisely for this mode.
     ttl_waves: Optional[int] = None
     cuckoo_capacity: int = 1 << 18
+    # independent per-key-hash cuckoo shards (the ShardedBloom pattern):
+    # per-wave maintenance (delta insert, expiry delete) runs one thread
+    # per shard — numpy's kernels release the GIL, the 10^6-key drill in
+    # test_ttl_recrawl shows near-linear wall scaling — and each shard
+    # stays cache-resident. At cluster scale shards map onto the same
+    # host-hash partitioning the politeness scheduler uses.
+    cuckoo_shards: int = 4
     # oversized documents (reference max_file_size, core/config.py:44) are
     # excluded AT THE SCAN — never shipped through Arrow to the convert
     # UDF — and surface as fetch misses in the trace
@@ -270,22 +277,16 @@ def cuckoo_antijoin(
     if cuckoo is None or cuckoo.count == 0:
         return candidates.join(fresh_seen, on="canon_url", how="left_anti")
 
-    bc = spark.sparkContext.broadcast((cuckoo.nbuckets, cuckoo.table.tobytes()))
+    bc = spark.sparkContext.broadcast(cuckoo.to_broadcast())
 
     from pyspark.sql.pandas.functions import pandas_udf  # noqa: PLC0415
 
     @pandas_udf(T.BooleanType())
     def maybe_seen(url: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: PLC0415
+        from .cuckoo import ShardedCuckoo  # noqa: PLC0415
 
-        from .cuckoo import CuckooFilter  # noqa: PLC0415
-
-        nbuckets, raw = bc.value
-        cf = CuckooFilter.__new__(CuckooFilter)
-        cf.nbuckets = nbuckets
-        cf.mask = np.uint64(nbuckets - 1)
-        cf.table = np.frombuffer(raw, dtype=np.uint16).reshape(nbuckets, -1)
-        return pd.Series(cf.contains(url.fillna("").tolist()))
+        sc = ShardedCuckoo.from_broadcast(bc.value)
+        return pd.Series(sc.contains(url.fillna("").tolist()))
 
     flagged = candidates.withColumn("_maybe", maybe_seen("canon_url"))
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
@@ -313,7 +314,10 @@ def checkpoint_sizes(checkpoint_dir: str) -> Dict[int, int]:
     for d in os.listdir(checkpoint_dir):
         if not d.startswith("wave="):
             continue
-        wave = int(d.split("=", 1)[1])
+        try:
+            wave = int(d.split("=", 1)[1])
+        except ValueError:  # stray non-numeric dir (round-3 ADVICE)
+            continue
         total = 0
         for root, _dirs, files in os.walk(os.path.join(checkpoint_dir, d)):
             for fn in files:
@@ -342,6 +346,7 @@ def evict_checkpoints(checkpoint_dir: str, max_bytes: int) -> List[int]:
     for wave in sorted(sizes):  # oldest first
         if total <= max_bytes:
             break
+        removed_any = False
         for name in _EVICTABLE:
             p = os.path.join(checkpoint_dir, f"wave={wave}", name)
             if os.path.isdir(p):
@@ -351,7 +356,9 @@ def evict_checkpoints(checkpoint_dir: str, max_bytes: int) -> List[int]:
                         freed += os.path.getsize(os.path.join(root, fn))
                 shutil.rmtree(p)
                 total -= freed
-        evicted.append(wave)
+                removed_any = True
+        if removed_any:  # don't re-report already-evicted waves
+            evicted.append(wave)
     return evicted
 
 
@@ -372,6 +379,17 @@ class CrawlEngine:
             raise ValueError(
                 "bucketed_state persists frontier/seen as bucketed tables "
                 "and needs a checkpoint_dir to put them in"
+            )
+        if self.config.bucketed_state and self.config.ttl_waves is not None:
+            # the TTL re-crawl path routes the anti-join through the
+            # cuckoo filter, so the bucketed tables' exchange-free join
+            # never happens — but their per-wave write cost would still
+            # be paid. Refuse the combination instead of silently paying
+            # for nothing (round-3 ADVICE).
+            raise ValueError(
+                "bucketed_state and ttl_waves are mutually exclusive: "
+                "TTL re-crawl uses the cuckoo-filter seen path, which "
+                "never reads the bucketed state tables"
             )
         # formatted plan of each wave's state anti-join (bucketed mode):
         # lets tests pin the exchange-free property on the REAL wave join
@@ -442,7 +460,14 @@ class CrawlEngine:
         waves = [w for w in self.complete_waves() if w <= upto_wave]
         base = None
         for w in reversed(waves):
-            if os.path.isdir(self._ckpt_path(w, "seen_compact")):
+            # require the parquet _SUCCESS commit marker, not just the
+            # directory: the compact snapshot is written AFTER the wave's
+            # MANIFEST, so a crash mid-compact leaves a partial dir that
+            # a bare isdir() would trust as the seen base while skipping
+            # all earlier deltas — already-crawled URLs would silently
+            # re-fetch (round-3 ADVICE)
+            cdir = self._ckpt_path(w, "seen_compact")
+            if os.path.exists(os.path.join(cdir, "_SUCCESS")):
                 base = w
                 break
         paths: List[str] = []
@@ -513,9 +538,12 @@ class CrawlEngine:
         bloom: Optional[ShardedBloom] = None
         cuckoo = None
         if use_ttl:
-            from .cuckoo import CuckooFilter  # noqa: PLC0415
+            from .cuckoo import ShardedCuckoo  # noqa: PLC0415
 
-            cuckoo = CuckooFilter(cfg.cuckoo_capacity)
+            cuckoo = ShardedCuckoo(
+                cfg.cuckoo_shards,
+                -(-cfg.cuckoo_capacity // cfg.cuckoo_shards),
+            )
             if seen is not None:
                 # resume: re-seed still-fresh keys PLUS the wave that
                 # expires first (>=, not >): the resumed wave's expiry
@@ -526,7 +554,7 @@ class CrawlEngine:
                 fresh = seen.filter(
                     F.col("status_wave") >= start_wave - cfg.ttl_waves
                 )
-                cuckoo.add_pairs(*self._cuckoo_pairs(fresh))
+                cuckoo.add_sharded_pairs(*self._cuckoo_pairs(fresh))
         elif seen is not None and not cfg.bucketed_state:
             bloom = self._build_bloom(seen)  # full build only on resume
 
@@ -568,7 +596,7 @@ class CrawlEngine:
                         expiring = seen.filter(
                             F.col("status_wave") == wave - cfg.ttl_waves
                         )
-                        cuckoo.delete_pairs(*self._cuckoo_pairs(expiring))
+                        cuckoo.delete_sharded_pairs(*self._cuckoo_pairs(expiring))
                     fresh_seen = seen.filter(
                         F.col("status_wave") > wave - cfg.ttl_waves
                     )
@@ -869,7 +897,7 @@ class CrawlEngine:
             # scale the cuckoo shards like the bloom; windowed state is
             # bounded by ttl_waves * budget regardless).
             if use_ttl:
-                cuckoo.add_pairs(*self._cuckoo_pairs(delta_for_bloom))
+                cuckoo.add_sharded_pairs(*self._cuckoo_pairs(delta_for_bloom))
             elif not cfg.bucketed_state:  # co-located join needs no prefilter
                 bloom = self._build_bloom(delta_for_bloom, into=bloom)
             _t = _tick(f"w{wave} bloom build", _t)
@@ -901,39 +929,53 @@ class CrawlEngine:
         fit — see BENCH.md shard math)."""
         from .cuckoo import CuckooFilter as _CF  # noqa: PLC0415
 
-        nb = _CF.nbuckets_for(self.config.cuckoo_capacity)
+        nshards = self.config.cuckoo_shards
+        nb = _CF.nbuckets_for(-(-self.config.cuckoo_capacity // nshards))
 
         def pack(iterator):
             import numpy as np  # noqa: PLC0415
 
-            from .cuckoo import CuckooFilter  # noqa: PLC0415
+            from .cuckoo import ShardedCuckoo  # noqa: PLC0415
             from .hashing import url_hash64_vec  # noqa: PLC0415
 
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue
                 keys = url_hash64_vec(pdf["canon_url"].fillna("").tolist())
-                idxs, fps = CuckooFilter.pairs_for_keys(keys, nb)
+                sid, idxs, fps = ShardedCuckoo.sharded_pairs_for_keys(
+                    keys, nshards, nb
+                )
                 yield pd.DataFrame(
-                    {"idxs": [idxs.tobytes()], "fps": [fps.tobytes()]}
+                    {
+                        "sids": [sid.astype(np.int16).tobytes()],
+                        "idxs": [idxs.tobytes()],
+                        "fps": [fps.tobytes()],
+                    }
                 )
 
         rows = (
             df.select("canon_url")
-            .mapInPandas(pack, "idxs binary, fps binary")
+            .mapInPandas(pack, "sids binary, idxs binary, fps binary")
             .collect()
         )
         import numpy as np
 
         if not rows:
-            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint16)
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.uint16),
+            )
+        sids = np.concatenate(
+            [np.frombuffer(r["sids"], dtype=np.int16) for r in rows]
+        ).astype(np.int64)
         idxs = np.concatenate(
             [np.frombuffer(r["idxs"], dtype=np.uint64) for r in rows]
         )
         fps = np.concatenate(
             [np.frombuffer(r["fps"], dtype=np.uint16) for r in rows]
         )
-        return idxs, fps
+        return sids, idxs, fps
 
     def _build_bloom(
         self, seen: DataFrame, into: Optional[ShardedBloom] = None

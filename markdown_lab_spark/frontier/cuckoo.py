@@ -229,3 +229,153 @@ class CuckooFilter:
 
     def load_factor(self) -> float:
         return self.count / (self.nbuckets * _SLOTS)
+
+
+class ShardedCuckoo:
+    """Key-hash-sharded cuckoo filter (the ShardedBloom pattern applied
+    to the deletable seen-set).
+
+    Why shard: one 10^10-key table is ~40 GB and its maintenance (insert
+    the wave's seen-delta, delete the expired wave) is a single serial
+    pass — the last driver-side term in the scaling model. Shards are
+    fully independent tables, so (a) per-wave maintenance parallelizes
+    across a thread pool (numpy's scatter/gather kernels release the GIL;
+    the 10^6-key drill in tests/test_ttl_recrawl.py measures the wall
+    scaling), (b) each shard is small enough to stay cache-resident, and
+    (c) at cluster scale shards map 1:1 onto host-partitioned executors
+    (the same placement the politeness scheduler already uses).
+
+    Shard id comes from key bits 32..47 — disjoint from both the bucket
+    index (low bits) and the fingerprint (bits 48..63), so sharding does
+    not correlate with either and every shard behaves like an
+    independent filter at the same load factor.
+    """
+
+    def __init__(self, num_shards: int, capacity_per_shard: int):
+        self.num_shards = num_shards
+        self.shards = [CuckooFilter(capacity_per_shard) for _ in range(num_shards)]
+        self.nbuckets = self.shards[0].nbuckets  # uniform across shards
+
+    # -- executor-side statics (mirror CuckooFilter.pairs_for_keys) ---------
+    @staticmethod
+    def shard_of_keys(keys: np.ndarray, num_shards: int) -> np.ndarray:
+        return (
+            (keys >> np.uint64(32)) % np.uint64(num_shards)
+        ).astype(np.int64)
+
+    @staticmethod
+    def sharded_pairs_for_keys(keys: np.ndarray, num_shards: int, nbuckets: int):
+        """(shard_id int64, index1 uint64, fingerprint uint16) triples —
+        computable on executors knowing only (num_shards, nbuckets)."""
+        sid = ShardedCuckoo.shard_of_keys(keys, num_shards)
+        idx, fp = CuckooFilter.pairs_for_keys(keys, nbuckets)
+        return sid, idx, fp
+
+    # -- driver-side maintenance --------------------------------------------
+    def _by_shard(self, sid: np.ndarray, idxs: np.ndarray, fps: np.ndarray):
+        order = np.argsort(sid, kind="stable")
+        sid, idxs, fps = sid[order], idxs[order], fps[order]
+        bounds = np.searchsorted(sid, np.arange(self.num_shards + 1))
+        for s in range(self.num_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi > lo:
+                yield s, idxs[lo:hi], fps[lo:hi]
+
+    def add_sharded_pairs(
+        self, sid: np.ndarray, idxs: np.ndarray, fps: np.ndarray,
+        max_workers: int | None = None,
+    ) -> int:
+        """Parallel bulk insert: one task per shard (independent tables,
+        race-free by construction)."""
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        parts = list(self._by_shard(sid, idxs, fps))
+        if not parts:
+            return 0
+        workers = max_workers or min(self.num_shards, len(parts))
+        if workers <= 1 or len(parts) == 1:
+            return sum(self.shards[s].add_pairs(i, f) for s, i, f in parts)
+        with ThreadPoolExecutor(workers) as ex:
+            return sum(
+                ex.map(lambda p: self.shards[p[0]].add_pairs(p[1], p[2]), parts)
+            )
+
+    def delete_sharded_pairs(
+        self, sid: np.ndarray, idxs: np.ndarray, fps: np.ndarray,
+        max_workers: int | None = None,
+    ) -> int:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        parts = list(self._by_shard(sid, idxs, fps))
+        if not parts:
+            return 0
+        workers = max_workers or min(self.num_shards, len(parts))
+        if workers <= 1 or len(parts) == 1:
+            return sum(self.shards[s].delete_pairs(i, f) for s, i, f in parts)
+        with ThreadPoolExecutor(workers) as ex:
+            return sum(
+                ex.map(lambda p: self.shards[p[0]].delete_pairs(p[1], p[2]), parts)
+            )
+
+    def contains_keys(self, keys: np.ndarray) -> np.ndarray:
+        sid = self.shard_of_keys(keys, self.num_shards)
+        out = np.zeros(len(keys), dtype=bool)
+        for s in np.unique(sid):
+            mask = sid == s
+            sh = self.shards[int(s)]
+            i, f = CuckooFilter.pairs_for_keys(keys[mask], sh.nbuckets)
+            i2 = sh._alt_index(i, f)
+            hit1 = (sh.table[i.astype(np.int64)] == f[:, None]).any(axis=1)
+            hit2 = (sh.table[i2.astype(np.int64)] == f[:, None]).any(axis=1)
+            out[mask] = hit1 | hit2
+        return out
+
+    # -- string conveniences (tests/drills) ---------------------------------
+    def add(self, urls: Iterable[str]) -> int:
+        keys = url_hash64_vec(list(urls))
+        return self.add_sharded_pairs(
+            *self.sharded_pairs_for_keys(keys, self.num_shards, self.nbuckets)
+        )
+
+    def contains(self, urls: Iterable[str]) -> np.ndarray:
+        return self.contains_keys(url_hash64_vec(list(urls)))
+
+    def delete(self, urls: Iterable[str]) -> int:
+        keys = url_hash64_vec(list(urls))
+        return self.delete_sharded_pairs(
+            *self.sharded_pairs_for_keys(keys, self.num_shards, self.nbuckets)
+        )
+
+    def load_factor(self) -> float:
+        total = sum(sh.count for sh in self.shards)
+        return total / (self.num_shards * self.nbuckets * _SLOTS)
+
+    @property
+    def count(self) -> int:
+        return sum(sh.count for sh in self.shards)
+
+    def to_broadcast(self) -> tuple:
+        """(num_shards, nbuckets, [table bytes per shard]) — the compact
+        driver->executor shape for the TTL anti-join prefilter."""
+        return (
+            self.num_shards,
+            self.nbuckets,
+            [sh.table.tobytes() for sh in self.shards],
+        )
+
+    @staticmethod
+    def from_broadcast(payload: tuple) -> "ShardedCuckoo":
+        num_shards, nbuckets, raws = payload
+        sc = ShardedCuckoo.__new__(ShardedCuckoo)
+        sc.num_shards = num_shards
+        sc.nbuckets = nbuckets
+        sc.shards = []
+        for raw in raws:
+            sh = CuckooFilter.__new__(CuckooFilter)
+            sh.nbuckets = nbuckets
+            sh.mask = np.uint64(nbuckets - 1)
+            sh.table = np.frombuffer(raw, dtype=np.uint16).reshape(nbuckets, -1)
+            sh.count = int((sh.table != 0).sum())
+            sh.failed = set()
+            sc.shards.append(sh)
+        return sc

@@ -28,6 +28,30 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def normalize_decode_errors(fmt: str):
+    """Decorator: the decoder-boundary contract is 'malformed payload ->
+    ValueError' so mapInPandas callers can fall back to the stub with one
+    narrow except. Adversarial web media otherwise leaks struct.error
+    (truncated IHDR), zlib.error (corrupt IDAT), wave.Error, IndexError
+    (truncated GIF/JPEG) etc., and ONE bad row would abort the whole
+    Spark task/job (round-3 ADVICE)."""
+
+    def wrap(fn):
+        def inner(payload, *args, **kwargs):
+            try:
+                return fn(payload, *args, **kwargs)
+            except ValueError:
+                raise
+            except Exception as exc:  # noqa: BLE001 — boundary normalization
+                raise ValueError(f"malformed {fmt}: {type(exc).__name__}: {exc}")
+
+        inner.__name__ = fn.__name__
+        inner.__doc__ = fn.__doc__
+        return inner
+
+    return wrap
+
+
 def is_png(payload: bytes) -> bool:
     return payload[:8] == PNG_MAGIC
 
@@ -36,6 +60,7 @@ def is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 
+@normalize_decode_errors("PNG")
 def decode_png(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     """(width, height, channels, HxWxC uint8 array) for an 8-bit-depth,
     non-interlaced PNG of color type gray/RGB/gray+alpha/RGBA.
@@ -190,6 +215,7 @@ def image_features_from_pixels(
     return [round(v, 6) for v in feat]
 
 
+@normalize_decode_errors("WAV")
 def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
     """(sample_rate, n_channels, samples int16 [n_frames, n_channels])
     for 16-bit PCM WAV. Raises ValueError otherwise."""
@@ -312,6 +338,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+@normalize_decode_errors("GIF")
 def decode_gif(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     """(width, height, 3, HxWx3 uint8 RGB) of the FIRST frame.
 

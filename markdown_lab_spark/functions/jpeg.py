@@ -362,6 +362,10 @@ def is_jpeg(payload: bytes) -> bool:
     return payload[:3] == b"\xff\xd8\xff"
 
 
+from .codecs import normalize_decode_errors
+
+
+@normalize_decode_errors("JPEG")
 def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     """(width, height, ncomp, HxWxC uint8) for a baseline JPEG."""
     if not is_jpeg(payload):
@@ -374,6 +378,13 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them instead of treating 0xFF as the marker code
+        # (conforming encoders do emit these; round-3 ADVICE)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -260,20 +260,40 @@ def paragraph_dedup(df, id_col: str, text_col: str):
     """Corpus-wide exact paragraph dedup: the FIRST occurrence of each
     paragraph (ordered by (id, position)) is kept, repeats are flagged.
 
-    Plan shape at 10^10 docs: one shuffle on para_hash; the per-hash
-    window partitions by the hash (no global sort, no skew beyond
-    genuinely mega-duplicated boilerplate, which AQE splits).
-    Returns (id, para_pos, para_hash, keep).
-    """
-    from pyspark.sql import Window  # noqa: PLC0415
+    Plan shape at 10^10 docs — deliberately NOT a window. A
+    ``row_number().over(partitionBy(para_hash))`` puts every copy of a
+    mega-duplicated boilerplate paragraph ("subscribe to our newsletter",
+    cookie banners: 10^8-10^9 copies) into ONE window partition in ONE
+    task, and AQE does not split window partitions (its skew handling
+    covers joins and shuffle-partition coalescing only). Instead:
 
+      1. ``groupBy(para_hash).agg(min_by-struct)`` — partial map-side
+         aggregation absorbs the skew before the shuffle: each input
+         partition contributes at most one candidate per hash, so the
+         reduce side sees ~num_partitions rows per hash, not 10^9;
+      2. broadcast-eligible equi-join back on (para_hash, id, pos) to
+         tag ``keep`` — same one shuffle the window had, no new ones.
+
+    Output and hash-gate contract identical to the window formulation:
+    (id, para_pos, para_hash, keep).
+    """
     paras = explode_paragraphs(df, id_col, text_col)
-    w = Window.partitionBy("para_hash").orderBy(
-        F.col(id_col).asc(), F.col("para_pos").asc()
+    firsts = paras.groupBy("para_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_pos"))).alias("first")
+    ).select(
+        "para_hash",
+        F.col(f"first.{id_col}").alias("_first_id"),
+        F.col("first.para_pos").alias("_first_pos"),
     )
-    return paras.withColumn(
-        "keep", F.row_number().over(w) == 1
-    ).select(id_col, "para_pos", "para_hash", "keep")
+    return (
+        paras.join(firsts, on="para_hash", how="inner")
+        .withColumn(
+            "keep",
+            (F.col(id_col) == F.col("_first_id"))
+            & (F.col("para_pos") == F.col("_first_pos")),
+        )
+        .select(id_col, "para_pos", "para_hash", "keep")
+    )
 
 
 # ---------------------------------------------------------------------------

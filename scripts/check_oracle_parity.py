@@ -106,6 +106,18 @@ def main() -> int:
             continue
 
         problems = []
+        # The driver canonicalizes via pandas sort_values, which cannot
+        # hash list/dict cells — an array-typed result column passes this
+        # mirror (canonical() stringifies lists) but errors the driver row
+        # (round-3 q41 lesson). Flag it here so the gap can't recur.
+        if srows:
+            for i, c in enumerate(scols):
+                v = srows[0][i]
+                if isinstance(v, (list, tuple, dict)):
+                    problems.append(
+                        f"column {c!r} is array/map-typed — unhashable in the "
+                        "driver's pandas canonicalization; project to scalar"
+                    )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):

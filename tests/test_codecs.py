@@ -112,6 +112,51 @@ def test_spark_pipeline_real_png_and_wav(spark):
     assert aud[4]["sample_rate"] is None
 
 
+def test_spark_pipeline_survives_adversarial_payloads(spark):
+    """Round-3 ADVICE: malformed web media used to leak struct.error /
+    zlib.error / wave.Error / IndexError out of the decoders and abort
+    the whole Spark job. The decoder boundary now normalizes everything
+    to ValueError, so every adversarial row falls back to the stub (or a
+    null-feature row for audio) instead of killing the task."""
+    import struct as _struct
+
+    from markdown_lab_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+    )
+
+    good_png = codecs.encode_png(_gradient(8, 8, 3))
+    trunc_ihdr = codecs.PNG_MAGIC + _struct.pack(">I", 13) + b"IHDR" + b"\x00" * 3
+    corrupt_idat = good_png[:40] + b"\x00" * 8 + good_png[48:]
+    # RIFF/WAVE magic but garbage body -> wave.Error before the fix
+    bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVEjunkjunkjunk"
+    trunc_gif = b"GIF89a" + b"\x08"
+    trunc_jpeg = b"\xff\xd8\xff\xc0\x00\x05\x08"
+    rows = [
+        (1, "image", bytearray(good_png), "image/png", {}),
+        (2, "image", bytearray(trunc_ihdr), "image/png", {}),
+        (3, "image", bytearray(corrupt_idat), "image/png", {}),
+        (4, "image", bytearray(trunc_gif), "image/gif", {}),
+        (5, "image", bytearray(trunc_jpeg), "image/jpeg", {}),
+        (6, "audio", bytearray(bad_wav), "audio/wav", {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    img = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert len(img) == 5  # no row lost, no job abort
+    assert (img[1]["width"], img[1]["height"]) == (8, 8)  # real decode
+    aud = extract_audio_features(df).collect()
+    assert len(aud) == 1 and aud[0]["sample_rate"] is None
+    # resize drops undecodable payloads by contract — the point is the
+    # job survives and the one good payload comes through resized
+    rs = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert set(rs) == {1} and (rs[1]["width"], rs[1]["height"]) == (4, 4)
+
+
 # ---------------------------------------------------------------------------
 # baseline JPEG (functions/jpeg.py)
 # ---------------------------------------------------------------------------
@@ -156,6 +201,21 @@ def test_jpeg_non_multiple_of_8_dims():
         w, h, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample=sub))
         assert (w, h, ch) == (19, 13, 3)
         assert out.shape == (13, 19, 3)
+
+
+def test_jpeg_tolerates_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows any number of 0xFF pad bytes before a marker;
+    real encoders emit them, so they must not be read as markers
+    (round-3 ADVICE)."""
+    from markdown_lab_spark.functions import jpeg
+
+    arr = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 256).astype(np.uint8)
+    enc = jpeg.encode_jpeg(arr)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert jpeg.decode_jpeg(padded)[:3] == jpeg.decode_jpeg(enc)[:3]
+    w, h, _c, px = jpeg.decode_jpeg(padded)
+    _w2, _h2, _c2, px2 = jpeg.decode_jpeg(enc)
+    assert (px == px2).all()
 
 
 def test_jpeg_rejects_garbage_and_progressive_marker():

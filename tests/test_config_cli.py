@@ -35,6 +35,7 @@ def test_defaults_valid():
         {"max_retries": -1},
         {"bloom_fpr": 1.5},
         {"ttl_waves": 0},
+        {"ttl_waves": 2, "bucketed_state": True},
         {"default_output_format": "yaml"},
     ],
 )

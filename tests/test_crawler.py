@@ -309,6 +309,14 @@ def test_checkpoint_size_and_eviction(spark, corpus, pages_df, tmp_path):
         assert os.path.isdir(f"{ckpt}/wave={w}/seen_delta")  # state kept
         assert os.path.exists(f"{ckpt}/wave={w}/MANIFEST.json")
 
+    # idempotent re-run: already-evicted waves are NOT re-reported
+    # (round-3 ADVICE), and a stray non-numeric wave= dir doesn't crash
+    # the size scan
+    os.makedirs(f"{ckpt}/wave=tmp-scratch", exist_ok=True)
+    again = evict_checkpoints(ckpt, keep)
+    assert all(w not in evicted for w in again), (evicted, again)
+    assert "tmp-scratch" not in str(checkpoint_sizes(ckpt))
+
     # exact resume still works across the evicted waves
     mid = engine.complete_waves()[1]
     replay = CrawlEngine(

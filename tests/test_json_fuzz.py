@@ -67,13 +67,18 @@ def test_json_pretty_contract(doc):
     assert parsed["title"] == doc.title
     assert parsed["paragraphs"] == list(doc.paragraphs)
     assert [l["url"] for l in parsed["links"]] == [l.url for l in doc.links]
-    # struct field order (serde derives it from the Document struct)
-    keys = [line.split('"')[1] for line in out.splitlines()
+    # struct field order (serde derives it from the Document struct).
+    # Split on "\n" ONLY: serde_json separates lines with LF, and leaves
+    # NEL (U+0085) / LS (U+2028) / PS (U+2029) raw inside string values
+    # (it escapes only C0 controls, quote, backslash) — str.splitlines()
+    # would treat those in-string characters as line breaks and produce
+    # pseudo-lines that spuriously fail the indent/whitespace checks.
+    keys = [line.split('"')[1] for line in out.split("\n")
             if line.startswith('  "')]
     assert keys == ["title", "base_url", "headings", "paragraphs", "links",
                     "images", "lists", "code_blocks", "blockquotes"]
     # 2-space indent steps, no trailing whitespace on any line
-    for line in out.splitlines():
+    for line in out.split("\n"):
         assert line == line.rstrip()
         indent = len(line) - len(line.lstrip(" "))
         assert indent % 2 == 0
@@ -81,6 +86,25 @@ def test_json_pretty_contract(doc):
     assert "\\u00e9" not in out.lower()
     for ch in out:
         assert ord(ch) >= 0x20 or ch == "\n"
+
+
+def test_json_unicode_linebreaks_pass_through_raw():
+    """Pin serde_json's treatment of NEL/LS/PS: they are NOT C0 controls,
+    so serde leaves them raw inside string values (only \\b \\t \\n \\f \\r
+    get shorthand escapes and other chars < 0x20 get \\uXXXX)."""
+    doc = Document(
+        title="ab c d",
+        base_url="https://example.com/x",
+        headings=[], paragraphs=["xy"], links=[], images=[],
+        lists=[], code_blocks=[CodeBlock(language="", code="pq")],
+        blockquotes=[],
+    )
+    out = document_to_json(doc)
+    assert "ab c d" in out      # raw, unescaped
+    assert "\\u0085" not in out and "\\u2028" not in out
+    parsed = json.loads(out)
+    assert parsed["title"] == "ab c d"
+    assert parsed["code_blocks"][0]["code"] == "pq"
 
 
 @given(documents())

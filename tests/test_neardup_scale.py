@@ -72,6 +72,31 @@ def test_banded_embedding_neardup_complete_vs_bruteforce(spark):
     assert banded, "drill corpus must contain near-dup pairs"
 
 
+def test_baseline_neardup_agrees_with_banded(spark):
+    """Round-4 replacement for the retired q34 driver gate: the unbanded
+    correctness baseline (embedding_neardup_pairs, quadratic-within-bucket)
+    and the banded scale path must return the identical pair set on the
+    synthesized near-dup corpus."""
+    synth = _synth_neardups(spark).cache()
+    baseline = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_pairs(
+            synth, "vec_id", "embedding", 0.99, 8
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in D.embedding_neardup_pairs_banded(
+            synth, threshold=0.99, nbits=32, bands=4, dim=64
+        ).collect()
+    }
+    synth.unpersist()
+    # the 8-bit sign bucket of the baseline can only LOSE pairs vs the
+    # 4x8-bit banded OR — on this corpus both are empirically complete
+    assert baseline == banded
+    assert baseline, "drill corpus must contain near-dup pairs"
+
+
 def test_banded_candidates_prune_quadratic(spark):
     """Candidate pairs (pre-cosine) << n^2/2 — the whole point of banding."""
     synth = _synth_neardups(spark)

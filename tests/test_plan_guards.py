@@ -32,6 +32,30 @@ def test_no_partitionless_window_in_any_entry_query(spark):
         assert_no_partitionless_window(df)
 
 
+def test_paragraph_dedup_has_no_para_hash_window(spark):
+    """Round-3 verdict: a window partitioned by para_hash funnels every
+    copy of a mega-duplicated boilerplate paragraph into one task (AQE
+    does not split window partitions). The operator must compile to a
+    partial-aggregable groupBy + join — no Window node at all."""
+    from markdown_lab_spark.functions.text import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string"
+    )
+    out = paragraph_dedup(df, "doc_id", "text")
+    plan = formatted_plan(out)
+    assert "Window" not in plan, plan
+    # the property that absorbs skew: a partial (map-side) min BEFORE the
+    # exchange — min(struct) compiles to SortAggregate, which is fine;
+    # what matters is partial_min upstream of the para_hash shuffle
+    assert "partial_min" in plan, plan
+    # value contract: first (id, pos) occurrence keeps, repeats flagged
+    rows = {
+        (r["doc_id"], r["para_pos"]): r["keep"] for r in out.collect()
+    }
+    assert rows == {(1, 0): True, (1, 1): True, (2, 0): False, (2, 1): True}
+
+
 def test_topk_queries_use_take_ordered(spark):
     qs = entry.queries()
     for name in ("q08_limit_ordered", "q23_cosine_topk", "q24_lsh_ann"):

