@@ -43,6 +43,62 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def native_image_backend():
+    """Conditional native-decoder loader: returns a callable
+    ``payload -> (width, height, channels, HxWxC uint8)`` backed by PIL
+    when it is importable, else None. This is the seam a production
+    deployment plugs libjpeg-turbo/libvips into — the pure-numpy codecs
+    stay as the correctness oracle (tests cross-check the two whenever a
+    native backend exists in the environment). The returned callable
+    honors the decoder-boundary contract: malformed payload -> ValueError.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415, F401
+    except ImportError:
+        return None
+
+    def decode(payload: bytes):
+        import io as _io  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        from PIL import Image as _Image  # noqa: PLC0415
+
+        try:
+            im = _Image.open(_io.BytesIO(payload))
+            im.load()
+            if im.mode not in ("L", "RGB", "LA", "RGBA"):
+                im = im.convert("RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+        except Exception as exc:  # noqa: BLE001 — boundary normalization
+            raise ValueError(f"native decode failed: {type(exc).__name__}: {exc}")
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return w, h, c, arr
+
+    return decode
+
+
+def _decode_image_any(payload: bytes, backend=None):
+    """The one decode dispatch both pipelines use: injected native
+    backend first (when provided), then the pure-numpy codecs by magic
+    sniff. Raises ValueError when nothing can decode the payload."""
+    from . import codecs, jpeg  # noqa: PLC0415
+
+    if backend is not None:
+        try:
+            return backend(payload)
+        except ValueError:
+            pass  # fall through to the pure decoders
+    if codecs.is_png(payload):
+        return codecs.decode_png(payload)
+    if jpeg.is_jpeg(payload):
+        return jpeg.decode_jpeg(payload)
+    if codecs.is_gif(payload):
+        return codecs.decode_gif(payload)
+    raise ValueError("no decoder for payload")
+
+
 def decode_image_stub(payload: bytes, strict: bool = False):
     """STUB decode. Real implementation would use PIL/libvips (not in this
     container). The deterministic fake derives (width, height, 8-dim
@@ -58,15 +114,20 @@ def decode_image_stub(payload: bytes, strict: bool = False):
     return width, height, feature
 
 
-def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def extract_image_features(
+    media: DataFrame, batch_rows: int = 64, image_decoder=None
+) -> DataFrame:
     """mapInPandas decode/feature pipeline with byte-aware batching.
 
-    PNG payloads (magic-sniffed) are decoded for real — width/height from
-    IHDR, feature from the un-filtered pixels; other payloads use the
-    deterministic stub (no codec libs in this environment)."""
+    PNG/baseline-JPEG/GIF payloads (magic-sniffed) are decoded for real;
+    other payloads use the deterministic stub. ``image_decoder`` injects
+    a native backend (``payload -> (w, h, c, pixels)``, ValueError on
+    failure) ahead of the pure decoders — pass
+    ``native_image_backend()``'s result, or leave None for the pure path.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import codecs, jpeg  # noqa: PLC0415
+        from . import codecs  # noqa: PLC0415
 
         for pdf in batches:
             # guard: re-split oversize Arrow batches by payload bytes
@@ -85,17 +146,8 @@ def extract_image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
                     try:
-                        if codecs.is_png(payload):
-                            w, h, ch, px = codecs.decode_png(payload)
-                            feat = codecs.image_features_from_pixels(w, h, ch, px)
-                        elif jpeg.is_jpeg(payload):
-                            w, h, ch, px = jpeg.decode_jpeg(payload)
-                            feat = codecs.image_features_from_pixels(w, h, ch, px)
-                        elif codecs.is_gif(payload):
-                            w, h, ch, px = codecs.decode_gif(payload)
-                            feat = codecs.image_features_from_pixels(w, h, ch, px)
-                        else:
-                            w, h, feat = decode_image_stub(payload)
+                        w, h, ch, px = _decode_image_any(payload, image_decoder)
+                        feat = codecs.image_features_from_pixels(w, h, ch, px)
                     except ValueError:
                         w, h, feat = decode_image_stub(payload)
                     out["media_id"].append(media_id)
@@ -192,18 +244,20 @@ RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(
-    media: DataFrame, out_w: int, out_h: int, batch_rows: int = 64
+    media: DataFrame, out_w: int, out_h: int, batch_rows: int = 64,
+    image_decoder=None,
 ) -> DataFrame:
-    """Decode (PNG/JPEG) -> nearest-neighbor resize -> re-encode as PNG.
+    """Decode (PNG/JPEG/GIF) -> nearest-neighbor resize -> re-encode PNG.
 
     The standard pre-training normalization step (fixed input dims).
     Payloads the codecs cannot decode are dropped (they'd need the
     stubbed native path); output payloads are always PNG so downstream
-    stages face ONE format.
+    stages face ONE format. ``image_decoder`` injects a native backend
+    ahead of the pure decoders (see native_image_backend).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import codecs, jpeg  # noqa: PLC0415
+        from . import codecs  # noqa: PLC0415
 
         for pdf in batches:
             start = 0
@@ -214,14 +268,9 @@ def resize_images(
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
                     try:
-                        if codecs.is_png(payload):
-                            _w, _h, _c, px = codecs.decode_png(payload)
-                        elif jpeg.is_jpeg(payload):
-                            _w, _h, _c, px = jpeg.decode_jpeg(payload)
-                        elif codecs.is_gif(payload):
-                            _w, _h, _c, px = codecs.decode_gif(payload)
-                        else:
-                            continue
+                        _w, _h, _c, px = _decode_image_any(
+                            payload, image_decoder
+                        )
                     except ValueError:
                         continue
                     resized = codecs.resize_nearest(px, out_w, out_h)

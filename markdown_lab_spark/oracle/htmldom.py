@@ -343,6 +343,12 @@ def serialize_with_spans(root: Element, want_ids) -> Tuple[str, dict]:
     return "".join(out), spans
 
 
+# scope marker in the active-formatting-elements list (spec 13.2.4.3):
+# pushed when a td/th/caption opens, so formatting context never leaks
+# across cell boundaries during reconstruction
+_AFE_MARKER = object()
+
+
 class _TreeBuilder(HTMLParser):
     """Simplified HTML5 tree construction (implied html/head/body)."""
 
@@ -355,6 +361,79 @@ class _TreeBuilder(HTMLParser):
         self.mode = "before_head"
         self.stack: List[Element] = [self.html_el]
         self.saw_explicit_html = False
+        # active formatting elements (spec 13.2.4.3): formatting elements
+        # whose tags are still "open" for RECONSTRUCTION even after a
+        # block boundary popped them off the stack (<p><b>x<p>y puts the
+        # second paragraph's y back inside a fresh <b>). html5ever gives
+        # the reference this via the spec (src/markdown_converter.rs:78-86).
+        self.afe: List = []
+
+    # -- active formatting elements ------------------------------------------
+    def _on_stack(self, el: Element) -> bool:
+        return any(s is el for s in self.stack)
+
+    def _afe_push(self, el: Element) -> None:
+        # Noah's Ark clause: at most 3 entries with identical tag+attrs
+        # after the last marker; pushing a 4th drops the EARLIEST
+        matches = []
+        key = sorted(el.attrs)
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is _AFE_MARKER:
+                break
+            if e.tag == el.tag and sorted(e.attrs) == key:
+                matches.append(i)
+        if len(matches) >= 3:
+            del self.afe[matches[-1]]
+        self.afe.append(el)
+
+    def _afe_remove(self, el: Element) -> None:
+        for i in range(len(self.afe) - 1, -1, -1):
+            if self.afe[i] is el:
+                del self.afe[i]
+                return
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            e = self.afe.pop()
+            if e is _AFE_MARKER:
+                return
+
+    def _stack_del(self, idx: int) -> None:
+        """Pop stack[idx:], clearing formatting context when a cell
+        boundary (td/th/caption) closes — the spec's 'close the cell'
+        clears the AFE list to the last marker."""
+        for el in self.stack[idx:]:
+            if el.tag in ("td", "th", "caption"):
+                self._afe_clear_to_marker()
+                break
+        del self.stack[idx:]
+
+    def _reconstruct_afe(self) -> None:
+        """Spec 13.2.4.3 'reconstruct the active formatting elements':
+        re-open (as clones) every AFE entry that a block boundary popped
+        off the open-elements stack, innermost context first."""
+        if not self.afe:
+            return  # the overwhelmingly common case: well-formed markup
+        last = self.afe[-1]
+        if last is _AFE_MARKER or self._on_stack(last):
+            return
+        i = len(self.afe) - 1
+        while i > 0:
+            e = self.afe[i - 1]
+            if e is _AFE_MARKER or self._on_stack(e):
+                break
+            i -= 1
+        for j in range(i, len(self.afe)):
+            entry = self.afe[j]
+            clone = Element(entry.tag, list(entry.attrs))
+            cur = self._current()
+            if cur.tag in TABLE_CONTEXT:
+                self._foster_insert(clone)
+            else:
+                cur.append(clone)
+            self.stack.append(clone)
+            self.afe[j] = clone
 
     # -- mode helpers --------------------------------------------------------
     def _ensure_head(self) -> Element:
@@ -378,15 +457,22 @@ class _TreeBuilder(HTMLParser):
         attrs = [(k, v if v is not None else "") for k, v in attrs]
         if self.mode == "in_body" and tag not in _SPECIAL_START:
             # plain in-body tag: the common case, none of the mode /
-            # close-implication / adoption logic below applies
-            el = Element(tag, attrs)
+            # close-implication / adoption logic below applies. Spec: 'any
+            # other start tag' (and every formatting start tag) first
+            # reconstructs the active formatting elements.
             cur = self.stack[-1]
+            if cur.tag not in TABLE_CONTEXT:
+                self._reconstruct_afe()
+                cur = self.stack[-1]
+            el = Element(tag, attrs)
             if cur.tag in TABLE_CONTEXT and tag not in IN_TABLE_OK:
                 self._foster_insert(el)
             else:
                 cur.append(el)
             if tag not in VOID_ELEMENTS:
                 self.stack.append(el)
+            if tag in FORMATTING_ELEMENTS:
+                self._afe_push(el)
             return
         if tag == "html":
             self.saw_explicit_html = True
@@ -429,6 +515,8 @@ class _TreeBuilder(HTMLParser):
             self._current().append(el)
             if tag not in VOID_ELEMENTS:  # col is void
                 self.stack.append(el)
+            if tag in ("td", "th", "caption"):
+                self.afe.append(_AFE_MARKER)  # formatting scope boundary
             return
         if tag in P_CLOSERS:
             self._close_if_open("p")
@@ -438,6 +526,8 @@ class _TreeBuilder(HTMLParser):
             self.stack.pop()  # spec: h_n start with a heading as current node pops it
         if tag == "a":
             self._close_open_a()  # nested <a> is illegal; adoption agency closes it
+            if self._current().tag not in TABLE_CONTEXT:
+                self._reconstruct_afe()  # <a> is a formatting element
         el = Element(tag, attrs)
         cur = self._current()
         if cur.tag in TABLE_CONTEXT and tag not in IN_TABLE_OK:
@@ -446,6 +536,8 @@ class _TreeBuilder(HTMLParser):
             cur.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
+        if tag == "a":
+            self._afe_push(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # HTML5: a self-closing slash on a non-void element is ignored —
@@ -467,7 +559,7 @@ class _TreeBuilder(HTMLParser):
         if tag == "tr":
             for i in range(len(self.stack) - 1, ti - 1, -1):
                 if self.stack[i].tag in ("tbody", "thead", "tfoot", "table"):
-                    del self.stack[i + 1 :]
+                    self._stack_del(i + 1)
                     break
             if self._current().tag == "table":
                 tb = Element("tbody", [])
@@ -476,7 +568,7 @@ class _TreeBuilder(HTMLParser):
         elif tag in ("td", "th"):
             for i in range(len(self.stack) - 1, ti - 1, -1):
                 if self.stack[i].tag in ("tr", "tbody", "thead", "tfoot", "table"):
-                    del self.stack[i + 1 :]
+                    self._stack_del(i + 1)
                     break
             if self._current().tag == "table":
                 tb = Element("tbody", [])
@@ -487,7 +579,7 @@ class _TreeBuilder(HTMLParser):
                 self._current().append(tr)
                 self.stack.append(tr)
         else:  # caption/colgroup/col/tbody/thead/tfoot
-            del self.stack[ti + 1 :]
+            self._stack_del(ti + 1)
 
     def _foster_insert(self, node: Node) -> None:
         """Insert before the innermost open table (foster parenting)."""
@@ -548,6 +640,15 @@ class _TreeBuilder(HTMLParser):
             if t in _SCOPE_BOUNDARY:
                 return  # parse error per spec: not in scope, token ignored
         if fe_idx is None:
+            # spec: a matching AFE entry NOT on the stack is simply
+            # removed (the end tag "closes" the pending reconstruction)
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is _AFE_MARKER:
+                    break
+                if e.tag == tag:
+                    del self.afe[i]
+                    break
             return  # unmatched end tag: ignored
         # furthest block: topmost special element below the formatting one
         fb_idx = None
@@ -557,7 +658,9 @@ class _TreeBuilder(HTMLParser):
                 break
         if fb_idx is None:
             # inline-only misnesting: pop through (spec's no-furthest-block
-            # branch pops all nodes up to and including the element)
+            # branch pops all nodes up to and including the element, and
+            # removes the element from the AFE list)
+            self._afe_remove(self.stack[fe_idx])
             del self.stack[fe_idx:]
             return
         fe = self.stack[fe_idx]
@@ -575,6 +678,11 @@ class _TreeBuilder(HTMLParser):
                 clone.append(last)
                 last = clone
                 mid_clones.append(clone)
+                # the clone replaces the original in the AFE list too
+                for a in range(len(self.afe) - 1, -1, -1):
+                    if self.afe[a] is node:
+                        self.afe[a] = clone
+                        break
         self._detach(last)
         if common.tag in TABLE_CONTEXT:
             self._foster_insert(last)
@@ -588,6 +696,14 @@ class _TreeBuilder(HTMLParser):
         fe_clone.children = fb.children
         fb.children = []
         fb.append(fe_clone)
+        # AFE bookkeeping: the spec's step 19 would put fe_clone into the
+        # AFE (and the stack), but its SECOND outer iteration immediately
+        # hits the no-furthest-block branch for that clone — popping it
+        # and removing it from the AFE. Net effect after both iterations:
+        # fe is gone from the AFE and the clone never survives in it,
+        # which is why browsers put trailing text ("<b><p>a</b>b") in the
+        # paragraph bare, not inside another reconstructed <b>.
+        self._afe_remove(fe)
         # stack: drop fe + ordinary intermediates, keep clones outer->inner
         self.stack[fe_idx:fb_idx] = list(reversed(mid_clones))
 
@@ -607,7 +723,7 @@ class _TreeBuilder(HTMLParser):
         # pop to matching open tag; ignore unmatched
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                self._stack_del(i)
                 return
 
     def _close_if_open(self, tag: str) -> None:
@@ -652,6 +768,12 @@ class _TreeBuilder(HTMLParser):
             # batch, which is exact for every corpus chunking seen
             self._foster_insert(TextNode(data))
             return
+        # spec: character tokens in body reconstruct the active
+        # formatting elements first (whitespace-only text inside a table
+        # stays in the table without reconstruction)
+        if cur.tag not in TABLE_CONTEXT:
+            self._reconstruct_afe()
+            cur = self._current()
         # merge adjacent text nodes so serialization is stable
         if cur.children and isinstance(cur.children[-1], TextNode):
             cur.children[-1].data += data

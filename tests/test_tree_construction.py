@@ -96,6 +96,42 @@ BODY = [
         '<a href="1">1<p>2<a href="2">3',
         '<a href="1">1</a><p><a href="1">2</a><a href="2">3</a></p>',
     ),
+    # ---- active-formatting-elements RECONSTRUCTION (round-4; the one
+    # html5ever tree-builder behavior round 3 left unmodeled). A block
+    # boundary pops a formatting element off the open stack but not out
+    # of the AFE list, so later siblings re-open it as a clone. --------------
+    (  # the canonical case: <b> re-opens inside the second paragraph
+        "<p>1<b>2<p>3",
+        "<p>1<b>2</b></p><p><b>3</b></p>",
+    ),
+    (  # text directly in body after the paragraph closes reconstructs
+        # too; the final </b> then adopts the last paragraph back out of
+        # the reconstructed clone, leaving "4" in it bare
+        "<p><b>1</p>2<p>3</b>4",
+        "<p><b>1</b></p><b>2</b><p><b>3</b>4</p>",
+    ),
+    (  # nested formatting reconstructs in order (outermost first)
+        "<p><b><i>1<p>2",
+        "<p><b><i>1</i></b></p><p><b><i>2</i></b></p>",
+    ),
+    (  # li boundaries behave like p boundaries
+        "<ul><li><b>1<li>2</ul>",
+        "<ul><li><b>1</b></li><li><b>2</b></li></ul>",
+    ),
+    (  # heading variant
+        "<b>x<h1>y</h1>z",
+        "<b>x<h1>y</h1>z</b>",
+    ),
+    (  # cell boundary is an AFE scope MARKER: formatting opened in one
+        # cell must not reconstruct into the next cell
+        "<table><tr><td><b>1</td><td>2</td></tr></table>",
+        "<table><tbody><tr><td><b>1</b></td><td>2</td></tr></tbody></table>",
+    ),
+    (  # an end tag whose element is in the AFE but no longer on the
+        # stack cancels the pending reconstruction (spec: remove entry)
+        "<p><b>1</p></b>2",
+        "<p><b>1</b></p>2",
+    ),
 ]
 
 
