@@ -1684,9 +1684,6 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    neardup_bucket = " || ".join(
-        f"CASE WHEN e.embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in range(8)
-    )
     _COS_LR = """
         round(
           list_aggregate(list_transform(generate_series(1, len(l.embedding)),

@@ -491,3 +491,64 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = 13) -> DataFrame:
+    """Distinct word n-grams of an eval benchmark, lowercased +
+    whitespace-normalized (the GPT-3 appendix-C / PaLM decontamination
+    shape: 13-gram membership against the eval sets). One narrow
+    transform + explode + distinct — the result is small (benchmarks are
+    MBs) and is meant to be broadcast."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        bench.select(F.explode(shingles(norm, n)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_ngrams: DataFrame,
+    n: int = 13,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Flag training docs that collide with benchmark n-grams.
+
+    Plan shape at 10^10 docs: corpus side is one narrow
+    normalize+shingle+explode (no shuffle), the membership test is a
+    BROADCAST semi-join against the distinct benchmark n-grams (small by
+    construction), and the per-doc tally is one groupBy(id) with partial
+    aggregation. Docs with zero hits never survive the inner join, so
+    the final left join restores them with hits=0. Returns
+    (id, contam_hits, keep) where keep = hits <= max_hits.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    grams = corpus.select(
+        F.col(id_col), F.explode(shingles(norm, n)).alias("ngram")
+    ).filter(F.col("ngram") != "")
+    hits = (
+        grams.join(F.broadcast(bench_ngrams), on="ngram", how="inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contam_hits"), F.lit(0))
+            .cast("long")
+            .alias("contam_hits"),
+            (
+                F.coalesce(F.col("contam_hits"), F.lit(0)) <= max_hits
+            ).alias("keep"),
+        )
+    )

@@ -340,3 +340,31 @@ def test_pii_redaction_and_url_filter(spark):
         ).collect()
     }
     assert keep == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_decontaminate_benchmark_overlap(spark):
+    """Train/eval decontamination (GPT-3 appendix C / PaLM shape):
+    13-gram membership against the benchmark, case/whitespace
+    normalized; the membership join must broadcast the benchmark side."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today ok"),
+            (2, "completely unrelated text about spark partitions and shuffle behavior at scale"),
+            (3, "THE  Quick   brown fox JUMPS over the lazy dog near the river bank today ok extra"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog near the river bank today",)],
+        "q string",
+    )
+    bn = D.benchmark_ngrams(bench, "q", n=13)
+    out = D.decontaminate(corpus, "doc_id", "text", bn, n=13)
+    rows = {r["doc_id"]: (r["contam_hits"], r["keep"]) for r in out.collect()}
+    assert rows[1][0] > 0 and not rows[1][1]  # verbatim overlap flagged
+    assert rows[2] == (0, True)  # clean doc kept with zero hits
+    assert rows[3][0] > 0 and not rows[3][1]  # normalization catches it
+    assert rows[4] == (0, True)  # empty doc survives
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcast, corpus never shuffled for membership
