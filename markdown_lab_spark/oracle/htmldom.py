@@ -597,8 +597,28 @@ class _TreeBuilder(HTMLParser):
         parent.children.insert(idx, node)
 
     def _close_open_a(self) -> None:
-        # spec: an <a> start tag with an open <a> in scope runs the
-        # adoption agency for "a" (nested anchors are illegal)
+        # spec: an <a> start tag whose AFE list holds an "a" entry after
+        # the last marker is a parse error — run the adoption agency for
+        # "a", then remove any leftover entry from the list AND the
+        # stack. The AFE check (not a stack check) is what prevents a
+        # closed-by-block-boundary anchor from being reconstructed
+        # around the new one (<p><a href=1>x</p><a href=2> must NOT nest
+        # the second anchor in a clone of the first).
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is _AFE_MARKER:
+                break
+            if e.tag == "a":
+                if self._on_stack(e):
+                    self._adoption_agency("a")
+                self._afe_remove(e)  # idempotent if adoption removed it
+                for j in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[j] is e:
+                        del self.stack[j]
+                        break
+                return
+        # stack-only fallback (an <a> on the stack with no AFE entry —
+        # e.g. its entry was cleared by a cell marker): prior behavior
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t == "a":

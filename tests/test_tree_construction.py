@@ -132,6 +132,12 @@ BODY = [
         "<p><b>1</p></b>2",
         "<p><b>1</b></p>2",
     ),
+    (  # an <a> start tag consults the AFE (not the stack): the stale
+        # entry of a block-closed anchor is removed, NOT reconstructed
+        # around the new anchor
+        '<p><a href="1">x</p><a href="2">z',
+        '<p><a href="1">x</a></p><a href="2">z</a>',
+    ),
 ]
 
 
