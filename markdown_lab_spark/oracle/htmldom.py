@@ -79,7 +79,7 @@ IN_TABLE_OK = frozenset("script style template form".split())
 # start tags with NO special in-body tree-construction logic: everything
 # outside this set takes the plain append fast path in handle_starttag
 _SPECIAL_START = (
-    frozenset("html head body li a".split())
+    frozenset("html head body li a dd dt option optgroup".split())
     | TABLE_STRUCTURAL
     | P_CLOSERS
     | HEADINGS
@@ -522,6 +522,17 @@ class _TreeBuilder(HTMLParser):
             self._close_if_open("p")
         if tag == "li":
             self._close_li()
+        if tag in ("dd", "dt"):
+            # spec: a dd/dt start tag closes an open p and any open dd/dt
+            self._close_if_open("p")
+            self._close_dd_dt()
+        if tag == "option" and self._current().tag == "option":
+            self.stack.pop()  # spec: an option start tag pops an open option
+        if tag == "optgroup":
+            if self._current().tag == "option":
+                self.stack.pop()
+            if self._current().tag == "optgroup":
+                self.stack.pop()
         if tag in HEADINGS and self._current().tag in HEADINGS:
             self.stack.pop()  # spec: h_n start with a heading as current node pops it
         if tag == "a":
@@ -753,6 +764,15 @@ class _TreeBuilder(HTMLParser):
                 del self.stack[i:]
                 return
             if el.tag in ("ul", "ol", "table", "body", "html"):
+                return
+
+    def _close_dd_dt(self) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            el = self.stack[i]
+            if el.tag in ("dd", "dt"):
+                del self.stack[i:]
+                return
+            if el.tag in ("dl", "body", "html"):
                 return
 
     def _close_li(self) -> None:

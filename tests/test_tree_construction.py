@@ -138,6 +138,28 @@ BODY = [
         '<p><a href="1">x</p><a href="2">z',
         '<p><a href="1">x</a></p><a href="2">z</a>',
     ),
+    # ---- dd/dt/option auto-close (round-4; tests1.dat shapes) -------------
+    (
+        "<dl><dd>1<dd>2</dl>",
+        "<dl><dd>1</dd><dd>2</dd></dl>",
+    ),
+    (
+        "<dl><dt>a<dd>b</dl>",
+        "<dl><dt>a</dt><dd>b</dd></dl>",
+    ),
+    (
+        "<select><option>1<option>2</select>",
+        "<select><option>1</option><option>2</option></select>",
+    ),
+    (  # optgroup pops an open option AND an open optgroup
+        "<select><optgroup><option>1<optgroup><option>2</select>",
+        "<select><optgroup><option>1</option></optgroup>"
+        "<optgroup><option>2</option></optgroup></select>",
+    ),
+    (  # AFE reconstruction works across dd boundaries like p/li
+        "<dl><dd><b>1<dd>2</dl>",
+        "<dl><dd><b>1</b></dd><dd><b>2</b></dd></dl>",
+    ),
 ]
 
 
