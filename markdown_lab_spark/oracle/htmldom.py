@@ -79,7 +79,7 @@ IN_TABLE_OK = frozenset("script style template form".split())
 # start tags with NO special in-body tree-construction logic: everything
 # outside this set takes the plain append fast path in handle_starttag
 _SPECIAL_START = (
-    frozenset("html head body li a dd dt option optgroup".split())
+    frozenset("html head body li a dd dt option optgroup button".split())
     | TABLE_STRUCTURAL
     | P_CLOSERS
     | HEADINGS
@@ -455,6 +455,8 @@ class _TreeBuilder(HTMLParser):
     # -- parser callbacks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         attrs = [(k, v if v is not None else "") for k, v in attrs]
+        if tag == "image":
+            tag = "img"  # spec: the image start tag is retagged to img
         if self.mode == "in_body" and tag not in _SPECIAL_START:
             # plain in-body tag: the common case, none of the mode /
             # close-implication / adoption logic below applies. Spec: 'any
@@ -518,6 +520,8 @@ class _TreeBuilder(HTMLParser):
             if tag in ("td", "th", "caption"):
                 self.afe.append(_AFE_MARKER)  # formatting scope boundary
             return
+        if tag == "button":
+            self._close_if_open("button")
         if tag in P_CLOSERS:
             self._close_if_open("p")
         if tag == "li":
@@ -739,8 +743,24 @@ class _TreeBuilder(HTMLParser):
         self.stack[fe_idx:fb_idx] = list(reversed(mid_clones))
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "br":
+            # spec: an end tag br is treated as a br START tag (inserts
+            # the element); every other void end tag is dropped
+            self.handle_starttag("br", [])
+            return
         if tag in VOID_ELEMENTS:
             return
+        if tag == "p" and self.mode == "in_body":
+            # spec: an end tag p with NO p in button scope is a parse
+            # error handled by inserting an empty p first — so </p> in
+            # bare body yields <p></p>, like html5ever
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    break
+                if t in ("button", "table", "td", "th", "caption", "body", "html"):
+                    self.handle_starttag("p", [])
+                    break
         if tag in ("html", "head", "body"):
             if tag == "head" and self.mode == "in_head":
                 self.mode = "after_head"

@@ -160,6 +160,23 @@ BODY = [
         "<dl><dd><b>1<dd>2</dl>",
         "<dl><dd><b>1</b></dd><dd><b>2</b></dd></dl>",
     ),
+    # ---- end-tags-as-elements + retagging (round-4; tests1.dat shapes) ----
+    (  # </p> with no open p inserts an empty p (parse-error recovery)
+        "x</p>y",
+        "x<p></p>y",
+    ),
+    (  # </br> is treated as a br START tag
+        "x</br>y",
+        "x<br>y",
+    ),
+    (  # the image start tag is retagged to img (void)
+        '<image src="i.png">t',
+        '<img src="i.png">t',
+    ),
+    (  # a button start tag closes an open button
+        "<button>a<button>b",
+        "<button>a</button><button>b</button>",
+    ),
 ]
 
 
