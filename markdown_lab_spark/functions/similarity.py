@@ -199,3 +199,69 @@ def pairwise_topk_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def kmeans_train_centroids(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means producing the IVF centroid table
+    (cid, cvec) — the offline training step ivf_topk's docstring assumes.
+
+    Spark-first shape, per iteration:
+      1. assignment — ``ivf_assign``'s broadcast-crossJoin argmax (the
+         centroid set is k rows; the corpus is never shuffled for it);
+      2. update — ONE groupBy(cell) with ``array_agg``-free vectorized
+         mean: posexplode the vectors, avg per (cell, dim), rebuild the
+         array ordered by dim. Two shuffles per iteration total, both on
+         small keys; no driver-side loops over rows.
+
+    Initialization is deterministic: the k lowest ids (sorted) seed the
+    centroids, so results are reproducible across runs/cluster sizes.
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    """
+    # seed: the k lowest ids. Collecting k rows to the driver is the
+    # standard (and bounded) k-means shape — the centroid table must be
+    # broadcast every iteration anyway; no partition-less window needed.
+    seed_rows = (
+        embeddings.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
+    )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)],
+        "cid long, cvec array<float>",
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col).join(
+            embeddings, on=id_col
+        )
+        # per-(cell, dim) mean, rebuilt into an ordered array
+        dims = assigned.select(
+            F.col("cell"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        means = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_cvec")
+            )
+        )
+        # empty cells keep the previous centroid
+        cents = (
+            cents.join(means, cents.cid == means.cell, "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new_cvec"), F.col("cvec")).alias("cvec"),
+            )
+        )
+    return cents

@@ -368,3 +368,34 @@ def test_decontaminate_benchmark_overlap(spark):
     assert rows[4] == (0, True)  # empty doc survives
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # benchmark side broadcast, corpus never shuffled for membership
+
+
+def test_kmeans_trains_separating_centroids(spark):
+    """Distributed Lloyd's k-means (the IVF training step): on three
+    well-separated synthetic clusters the trained centroids must assign
+    each cluster to exactly one distinct cell, deterministically. Plan:
+    broadcast-assignment + per-(cell,dim) mean — no window, two small
+    shuffles per iteration."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    centers = [np.eye(8)[0] * 10, np.eye(8)[3] * 10, np.eye(8)[6] * 10]
+    for c, center in enumerate(centers):
+        for i in range(40):
+            v = center + rng.normal(0, 0.3, 8)
+            rows.append((c * 40 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.kmeans_train_centroids(df, k=3, iters=4)
+    assert "Window" not in cents._jdf.queryExecution().executedPlan().toString()
+    out = S.ivf_assign(df, cents).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r["vec_id"] // 40, set()).add(r["cell"])
+    assert all(len(v) == 1 for v in cells.values())  # cluster -> one cell
+    assert len(set.union(*cells.values())) == 3  # cells distinct
+    # determinism: retraining yields identical centroids
+    again = S.kmeans_train_centroids(df, k=3, iters=4)
+    a = sorted((r["cid"], tuple(r["cvec"])) for r in cents.collect())
+    b = sorted((r["cid"], tuple(r["cvec"])) for r in again.collect())
+    assert a == b
