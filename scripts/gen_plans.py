@@ -21,6 +21,7 @@ PICK = {
  "q37_simhash_hamming": "SimHash Hamming pairs: fingerprints from checkpoint scan both sides, bit_count(xor) JVM-side",
  "q40_corpus_curation": "curation composite: two hash-agg shuffles + one inner join, all JVM",
  "q30_lineitem_agg": "TPC-H-style agg: scan shows PushedFilters + pruned ReadSchema",
+ "q52_paragraph_dedup": "paragraph dedup (round-4 rewrite): partial_min BEFORE the para_hash exchange absorbs mega-duplicate skew; no Window node",
 }
 
 out = ["""# PLANS — frozen physical-plan evidence (regenerate: `python scripts/gen_plans.py`)

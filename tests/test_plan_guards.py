@@ -82,3 +82,16 @@ def test_ranked_topk_fewer_rows_than_k(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, score double")
     out = ranked_topk(df, 10, [(F.col("score"), True), (F.col("id"), False)])
     assert out.count() == 1
+
+
+def test_queries_fit_driver_gate_cap():
+    """The driver's correctness harness records only the FIRST 50 entries
+    of queries() (round-3 lesson: q51-q57 were invisible to the hard
+    signal). Keep the registry at exactly <= 50 and fully oracled so
+    every operator family stays driver-gated."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) <= 50, f"{len(qs)} queries exceed the driver's 50-row cap"
+    missing = [k for k in qs if k not in oracles]
+    # q46 stateful streaming is the one allowed rows-only check
+    assert missing == [] or missing == ["q46_stateful_first_seen"], missing
