@@ -57,7 +57,8 @@ FORMATTING_ELEMENTS = frozenset(
 )
 # block-ish "special" elements an adoption-agency end tag must not pop
 _SPECIAL_SCOPE = P_CLOSERS | frozenset(
-    "li dd dt td th caption tr tbody thead tfoot body html".split()
+    "li dd dt td th caption tr tbody thead tfoot body html "
+    "button applet marquee object select option optgroup".split()
 )
 # *has an element in scope* boundaries (spec 13.2.4.2): a formatting end
 # tag whose element sits above one of these is a parse error and IGNORED

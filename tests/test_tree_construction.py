@@ -177,6 +177,11 @@ BODY = [
         "<button>a<button>b",
         "<button>a</button><button>b</button>",
     ),
+    (  # button is a "special" element: it is a furthest block for the
+        # adoption agency, so trailing text stays INSIDE it
+        "<b><button>x</b>y",
+        "<b></b><button><b>x</b>y</button>",
+    ),
 ]
 
 
