@@ -463,6 +463,13 @@ class _TreeBuilder(HTMLParser):
             # close-implication / adoption logic below applies. Spec: 'any
             # other start tag' (and every formatting start tag) first
             # reconstructs the active formatting elements.
+            if tag == "nobr" and any(
+                e.tag == "nobr" for e in self.stack
+                if isinstance(e, Element)
+            ):
+                # spec: a nobr start tag with a nobr in scope runs the
+                # adoption agency (nesting nobr is a parse error)
+                self._adoption_agency("nobr")
             cur = self.stack[-1]
             if cur.tag not in TABLE_CONTEXT:
                 self._reconstruct_afe()

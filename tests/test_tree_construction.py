@@ -182,6 +182,10 @@ BODY = [
         "<b><button>x</b>y",
         "<b></b><button><b>x</b>y</button>",
     ),
+    (  # a nobr start tag with a nobr in scope runs the adoption agency
+        "<nobr>a<nobr>b",
+        "<nobr>a</nobr><nobr>b</nobr>",
+    ),
 ]
 
 
