@@ -1,0 +1,112 @@
+"""Link-graph PageRank for frontier prioritization.
+
+The reference orders its frontier by link-discovery depth (the
+politeness queues' ``depth ASC, priority DESC``); at web scale the
+``priority`` column itself needs a principled source. This module
+computes it from the crawl's OWN link graph (the per-wave
+``(src, dst)`` edges the engine already extracts) with the classic
+damped power iteration (Page et al. 1999 / the standard Spark example
+shape), expressed as DataFrame ops so Catalyst handles the physical
+strategy:
+
+- per iteration: ONE equi-join of ranks with the out-degree-weighted
+  edge list (both sides partitioned by the same key, so AQE reuses the
+  exchange), one groupBy(dst) sum — partial aggregation absorbs the
+  in-degree skew of popular pages the same way paragraph_dedup's agg
+  absorbs boilerplate skew;
+- dangling nodes (no out-links) redistribute uniformly via one scalar
+  aggregate per iteration (a broadcast-sized value, not a join);
+- iterations are bounded and each materializes nothing driver-side.
+
+At 10^10 edges the join is the dominant shuffle; pre-partitioning both
+``ranks`` and ``edges`` by src (bucketed tables at warehouse scale, the
+same layout ``bucketed_state`` uses for the seen set) makes every
+iteration's join exchange-free on the static edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) over the directed edge list, sum(rank) == n_nodes.
+
+    Deterministic: no sampling, no floating-point-order dependence
+    beyond Spark's usual aggregate reassociation (values are summed
+    per-dst; at test scale the sums are exact to ~1e-12).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    # static per-iteration join input: each edge carries 1/out_deg(src)
+    weighted = edges.join(out_deg, on=src_col).select(
+        F.col(src_col).alias("node"),
+        F.col(dst_col).alias("dst"),
+        (F.lit(1.0) / F.col("out_deg")).alias("w"),
+    )
+    weighted = weighted.localCheckpoint()  # static across iterations
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            ranks.join(weighted, on="node", how="inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no out-edges is
+        # redistributed uniformly (ONE scalar per iteration)
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed(src_col, "node"), on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # truncate lineage: without this each iteration's plan embeds
+            # the whole previous chain and analysis cost grows
+            # exponentially (the standard Spark iterative-algorithm trap)
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def host_pagerank_priorities(
+    links: DataFrame,
+    iters: int = 5,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """(host, priority in [0, 1]) — host-graph PageRank min-max scaled
+    into the frontier's ``priority`` column domain (politeness orders by
+    ``priority DESC``). Host-level (not URL-level) because the frontier
+    partitions by host anyway, so one rank per host is both cheaper by
+    ~3 orders of magnitude and exactly the granularity the politeness
+    scheduler consumes."""
+    pr = pagerank(links, iters=iters, src_col=src_col, dst_col=dst_col)
+    lohi = pr.agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi")
+    ).collect()[0]
+    span = (lohi["hi"] - lohi["lo"]) or 1.0
+    return pr.select(
+        F.col("node").alias("host"),
+        ((F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)).alias("priority"),
+    )
