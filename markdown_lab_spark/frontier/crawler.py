@@ -517,8 +517,18 @@ class CrawlEngine:
 
     # -- the loop ---------------------------------------------------------------
     def crawl(
-        self, seeds, resume: bool = False, from_wave: Optional[int] = None
+        self,
+        seeds,
+        resume: bool = False,
+        from_wave: Optional[int] = None,
+        host_priorities: Optional[DataFrame] = None,
     ) -> Dict[str, DataFrame]:
+        """``host_priorities``: optional (host, priority) table — e.g.
+        ``rank.host_pagerank_priorities`` over a previous crawl's link
+        graph — consumed at link discovery so newly found URLs enter the
+        frontier with their host's score instead of the flat 0.5 (the
+        politeness queues order by priority DESC within a depth). Tiny
+        table (one row per host): AQE broadcasts the join."""
         cfg = self.config
         frontier: Optional[DataFrame]
         seen: Optional[DataFrame]
@@ -717,6 +727,18 @@ class CrawlEngine:
                     F.lit(0).alias("attempt"),
                 )
             )
+            if host_priorities is not None:
+                hp = host_priorities.select(
+                    "host", F.col("priority").alias("_host_prio")
+                )
+                discovered = (
+                    discovered.join(hp, on="host", how="left")
+                    .withColumn(
+                        "priority",
+                        F.coalesce(F.col("_host_prio"), F.col("priority")),
+                    )
+                    .drop("_host_prio")
+                )
 
             # 7. bookkeeping — retrying rows are NOT seen yet
             seen_delta = (

@@ -110,3 +110,24 @@ def host_pagerank_priorities(
         F.col("node").alias("host"),
         ((F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)).alias("priority"),
     )
+
+
+def host_edges_from_docs(docs: DataFrame) -> DataFrame:
+    """(src_host, dst_host) edge list from a crawl's docs output (the
+    per-wave ``links`` arrays the engine already extracts) — the input
+    ``pagerank`` wants for the next crawl's priorities. Distinct at host
+    granularity, so the result is tiny relative to the URL-level graph."""
+    from ..functions.udfs import domain_col, normalize_url_col  # noqa: PLC0415
+
+    return (
+        docs.select(
+            F.col("host").alias("src_host"), F.explode("links").alias("link")
+        )
+        .filter(F.col("link").rlike(r"^https?://[^/\s]+"))
+        .select(
+            "src_host",
+            domain_col(normalize_url_col(F.col("link"))).alias("dst_host"),
+        )
+        .filter(F.col("dst_host") != "")
+        .distinct()
+    )

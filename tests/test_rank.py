@@ -48,3 +48,50 @@ def test_host_pagerank_priorities_scaled(spark):
     )
     ordered = f.orderBy(F.col("depth").asc(), F.col("priority").desc()).collect()
     assert ordered[0]["host"] == max(hp, key=hp.get) or ordered[0]["priority"] >= ordered[1]["priority"]
+
+
+def test_crawl_consumes_host_priorities(spark, tmp_path):
+    """End-to-end: priorities from host_pagerank_priorities flow into the
+    frontier at link discovery, so discovered URLs of a high-rank host
+    outrank the flat 0.5 default in the politeness ordering."""
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+    from markdown_lab_spark.frontier.rank import host_edges_from_docs
+
+    def page(title, links):
+        anchors = "".join(f'<a href="{u}">{u}</a>' for u in links)
+        return (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<p>{title} body text</p>{anchors}</body></html>"
+        ).encode()
+
+    rows = [
+        ("https://hub.test/", page("hub", ["https://a.test/x", "https://b.test/y"])),
+        ("https://a.test/x", page("ax", ["https://hub.test/"])),
+        ("https://b.test/y", page("by", ["https://hub.test/"])),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(rps=1.0, wave_seconds=5, max_waves=3)
+
+    # pass 1: unprioritized crawl; derive the host graph from its
+    # checkpointed per-wave docs (links + host live there)
+    ckpt = str(tmp_path / "ckpt")
+    CrawlEngine(spark, pages, cfg, checkpoint_dir=ckpt).crawl(
+        ["https://hub.test/"]
+    )
+    docs = spark.read.parquet(f"{ckpt}/wave=*/docs")
+    edges = host_edges_from_docs(docs)
+    got = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    assert ("hub.test", "a.test") in got and ("a.test", "hub.test") in got
+
+    hp = host_pagerank_priorities(edges, iters=10)
+    hp_rows = {r["host"]: r["priority"] for r in hp.collect()}
+    assert hp_rows["hub.test"] == 1.0  # both leaves link to the hub
+
+    # pass 2: prioritized crawl — discovered hub links carry priority 1.0
+    out2 = CrawlEngine(spark, pages, cfg).crawl(
+        ["https://a.test/x"], host_priorities=hp
+    )
+    tr = {
+        (r["canon_url"], r["wave"]): r for r in out2["trace"].collect()
+    }
+    assert ("https://hub.test/", 1) in tr  # discovered and fetched
