@@ -357,6 +357,23 @@ def _decode_block_fast(
     return zz
 
 
+def _decode_huff(reader: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    """Legacy per-bit decode (restart-marker streams only; the fast path
+    uses the 16-bit LUT)."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -408,9 +425,14 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Baseline JPEG for an 8-bit grayscale (HxW) or RGB (HxWx3) array.
-    ``subsample=True`` emits 4:2:0 (box-averaged chroma), else 4:4:4."""
+    ``subsample=True`` emits 4:2:0 (box-averaged chroma), else 4:4:4.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    N MCUs (T.81 B.2.4.4) — used to exercise the decoder's resync path
+    with in-repo fixtures."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, ncomp = arr.shape
@@ -469,6 +491,8 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False) -> bytes:
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
@@ -487,8 +511,18 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False) -> bytes:
         padded.append(
             np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
         )
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()  # byte-align (1-padded) before the marker
+                out.extend(writer.buf)
+                writer.buf = bytearray()
+                out.extend(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                prev_dc = [0] * ncomp  # DC prediction resets at RST
+            mcu_count += 1
             for ci in range(ncomp):
                 h, v = samp[ci]
                 for by in range(v):

@@ -397,3 +397,51 @@ def test_native_backend_crosschecks_pure_decoders_when_present():
     assert (px == arr).all()  # PNG is lossless: native == oracle exactly
     with pytest.raises(ValueError):
         backend(b"not an image at all")
+
+
+def test_jpeg_restart_markers_roundtrip_identical():
+    """DRI + RSTn streams (T.81 B.2.4.4) decode through the legacy
+    byte-aligned reader and must produce pixels identical to the
+    restart-free encoding of the same image (DC prediction resets at
+    each marker on both sides)."""
+    from markdown_lab_spark.functions import jpeg
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    rst = jpeg.encode_jpeg(arr, restart_interval=2)
+    assert b"\xff\xdd" in rst  # DRI present
+    assert b"\xff\xd0" in rst  # at least one RST0
+    assert (jpeg.decode_jpeg(rst)[3] == jpeg.decode_jpeg(jpeg.encode_jpeg(arr))[3]).all()
+    g = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    assert (
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, restart_interval=1))[3]
+        == jpeg.decode_jpeg(jpeg.encode_jpeg(g))[3]
+    ).all()
+    sub = jpeg.encode_jpeg(arr, subsample=True, restart_interval=3)
+    assert (
+        jpeg.decode_jpeg(sub)[3]
+        == jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample=True))[3]
+    ).all()
+
+
+def test_jpeg_fast_and_legacy_readers_agree():
+    """The LUT fast path and the per-bit legacy path must decode the
+    same restart-free stream bit-identically."""
+    import markdown_lab_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    enc = J.encode_jpeg(arr)
+    fast = J.decode_jpeg(enc)
+    orig = J._decode_scan
+
+    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval):
+        # a huge restart_interval never fires but routes to the legacy reader
+        return orig(data, pos, frame, scan, quant, huff, 10**9)
+
+    J._decode_scan = legacy_scan
+    try:
+        slow = J.decode_jpeg(enc)
+    finally:
+        J._decode_scan = orig
+    assert fast[:3] == slow[:3] and (fast[3] == slow[3]).all()
