@@ -46,3 +46,52 @@ def ranked_topk(
         *[F.col(f"_r._row.{name}").alias(name) for name in df.columns],
         (F.col("_pos") + 1).cast("long").alias(rank_col),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order: Sequence[Column],
+    salt_col: str,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group in deterministic ``order`` —
+    the FineWeb-style per-domain quota, skew-safe.
+
+    A plain ``Window.partitionBy(group)`` sends every row of a mega
+    group (one domain hosting 10^8 docs) through one task; instead this
+    reuses the politeness scheduler's shape: groups already within quota
+    pass through WHOLE with no window at all (the common case), and only
+    over-quota groups go through the salted two-phase top-N — rank
+    within (group, salt-of-``salt_col``) shards, keep each shard's head,
+    then the exact window over <= salt_n*n survivors. The cap is exact;
+    the heavy sort spreads over ``salt_n`` tasks.
+
+    ``order`` must be a deterministic total order (break ties with
+    ``salt_col``); ``salt_col`` should be a high-cardinality column
+    (doc id, url).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_grp_n"))
+    tagged = df.join(counts, on=group_col, how="left")
+    under = tagged.filter(F.col("_grp_n") <= n).drop("_grp_n")
+    over = tagged.filter(F.col("_grp_n") > n).drop("_grp_n")
+
+    salted = over.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_n))
+    )
+    w_salt = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_srn", F.row_number().over(w_salt))
+        .filter(F.col("_srn") <= n)
+        .drop("_srn")
+    )
+    w_grp = Window.partitionBy(group_col).orderBy(*order)
+    kept_over = (
+        survivors.withColumn("_rn", F.row_number().over(w_grp))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "_salt")
+    )
+    return under.unionByName(kept_over)

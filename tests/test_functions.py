@@ -399,3 +399,33 @@ def test_kmeans_trains_separating_centroids(spark):
     a = sorted((r["cid"], tuple(r["cvec"])) for r in cents.collect())
     b = sorted((r["cid"], tuple(r["cvec"])) for r in again.collect())
     assert a == b
+
+
+def test_cap_per_group_exact_and_skew_safe(spark):
+    """Per-domain quota (FineWeb-style): exact cap with deterministic
+    survivors, small groups bypass the window entirely, and the result
+    matches the naive single-window formulation."""
+    from pyspark.sql import Window
+
+    from markdown_lab_spark.functions.topk import cap_per_group
+
+    rows = [("big.com", i, float(i % 7)) for i in range(500)]
+    rows += [("small.org", i, float(i)) for i in range(3)]
+    rows += [("tiny.net", 0, 9.9)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long, quality double")
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    got = cap_per_group(df, "domain", 10, order, salt_col="doc_id", salt_n=8)
+    naive = (
+        df.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("domain").orderBy(*order))
+        )
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+    a = sorted((r["domain"], r["doc_id"]) for r in got.collect())
+    b = sorted((r["domain"], r["doc_id"]) for r in naive.collect())
+    assert a == b
+    per = {}
+    for d, _i in a:
+        per[d] = per.get(d, 0) + 1
+    assert per == {"big.com": 10, "small.org": 3, "tiny.net": 1}
