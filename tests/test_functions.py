@@ -429,3 +429,48 @@ def test_cap_per_group_exact_and_skew_safe(spark):
     for d, _i in a:
         per[d] = per.get(d, 0) + 1
     assert per == {"big.com": 10, "small.org": 3, "tiny.net": 1}
+
+
+def test_paragraph_dedup_matches_python_reference_on_random_docs(spark):
+    """Property batch: the skew-safe agg+join formulation must equal the
+    obvious sequential first-occurrence algorithm on random multi-
+    paragraph docs (shared boilerplate, blank-line noise, empties)."""
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    boiler = ["SUBSCRIBE NOW", "all rights reserved", "cookie notice"]
+    rows = []
+    for doc_id in range(60):
+        paras = []
+        for _ in range(rng.randint(0, 6)):
+            if rng.random() < 0.4:
+                paras.append(rng.choice(boiler))
+            else:
+                paras.append(f"unique {doc_id} {rng.randint(0, 9)} text")
+        sep = rng.choice(["\n\n", "\n \n", "\n\n\n"])
+        rows.append((doc_id, sep.join(paras)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_id"], r["para_pos"]): (r["para_hash"], r["keep"])
+        for r in X.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+
+    # sequential reference: explode in (doc_id, pos) order, first
+    # occurrence of each trimmed paragraph keeps
+    import re
+
+    seen = set()
+    expect = {}
+    for doc_id, text in sorted(rows):
+        pos = 0
+        for para in re.split(r"\n\s*\n", text):
+            para = para.strip()
+            if not para:
+                continue
+            h = hashlib.md5(para.encode()).hexdigest()
+            expect[(doc_id, pos)] = (h, h not in seen)
+            seen.add(h)
+            pos += 1
+    assert got == expect
