@@ -474,3 +474,70 @@ def test_paragraph_dedup_matches_python_reference_on_random_docs(spark):
             seen.add(h)
             pos += 1
     assert got == expect
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    """Independent cross-check: the Spark decontamination counts equal a
+    DuckDB SQL formulation of the same 13-gram membership on randomized
+    corpus/benchmark pairs."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(21)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    bench_rows = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(13, 30))),)
+        for _ in range(5)
+    ]
+    corpus_rows = []
+    for doc_id in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        if rng.random() < 0.3:  # plant a verbatim benchmark span
+            src = rng.choice(bench_rows)[0].split()
+            k = rng.randint(13, min(20, len(src)))
+            words[:k] = src[:k]
+        corpus_rows.append((doc_id, " ".join(words)))
+
+    bench = spark.createDataFrame(bench_rows, "q string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["contam_hits"], r["keep"])
+        for r in D.decontaminate(
+            corpus, "doc_id", "text", D.benchmark_ngrams(bench, "q", 13), 13
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bench(q VARCHAR)")
+    con.executemany("INSERT INTO bench VALUES (?)", bench_rows)
+    con.execute("CREATE TABLE corpus(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", corpus_rows)
+    sql = """
+    WITH bw AS (
+      SELECT string_split(lower(regexp_replace(q, '\\s+', ' ', 'g')), ' ') AS w
+      FROM bench
+    ),
+    bn AS (
+      SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS ngram
+      FROM bw, UNNEST(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+    ),
+    cw AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus
+    ),
+    cn AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS ngram
+      FROM cw, UNNEST(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+    )
+    SELECT c.doc_id, count(b.ngram) AS hits
+    FROM (SELECT DISTINCT doc_id FROM corpus) c
+    LEFT JOIN cn ON cn.doc_id = c.doc_id
+    LEFT JOIN bn b ON b.ngram = cn.ngram AND cn.ngram IS NOT NULL
+    GROUP BY c.doc_id
+    """
+    expect = {int(d): int(h) for d, h in con.execute(sql).fetchall()}
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert all((v[0] == 0) == v[1] for v in got.values())
+    assert any(v[0] > 0 for v in got.values())  # planted spans detected
