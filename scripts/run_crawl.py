@@ -27,6 +27,16 @@ def main() -> int:
     ap.add_argument("--rps", type=float, default=1.0)
     ap.add_argument("--wave-seconds", type=int, default=10)
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
+    ap.add_argument(
+        "--priorities",
+        help="(host, priority) parquet joined at link discovery "
+        "(e.g. a previous run of --rank-checkpoint)",
+    )
+    ap.add_argument(
+        "--rank-checkpoint",
+        help="compute host-PageRank priorities from an existing crawl "
+        "checkpoint's docs and write them to --priorities, then exit",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +77,23 @@ def main() -> int:
         if not seeds:
             seeds = corpus.seeds
 
+    if args.rank_checkpoint:
+        # offline priority computation: previous crawl's checkpointed
+        # docs -> host link graph -> PageRank -> (host, priority) parquet
+        from markdown_lab_spark.frontier.rank import (
+            host_edges_from_docs,
+            host_pagerank_priorities,
+        )
+
+        if not args.priorities:
+            print("--rank-checkpoint needs --priorities OUT_PATH", file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(f"{args.rank_checkpoint}/wave=*/docs")
+        hp = host_pagerank_priorities(host_edges_from_docs(docs))
+        hp.write.mode("overwrite").parquet(args.priorities)
+        print(f"wrote {hp.count()} host priorities to {args.priorities}")
+        return 0
+
     if not args.pages or not seeds:
         print("need --pages and seeds", file=sys.stderr)
         return 2
@@ -76,7 +103,12 @@ def main() -> int:
         rps=args.rps, wave_seconds=args.wave_seconds, max_waves=args.max_waves
     )
     engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
-    out = engine.crawl(seeds, resume=args.resume)
+    host_priorities = (
+        spark.read.parquet(args.priorities) if args.priorities else None
+    )
+    out = engine.crawl(
+        seeds, resume=args.resume, host_priorities=host_priorities
+    )
     trace = out["trace"]
     print("crawl trace by (wave, status):")
     trace.groupBy("wave", "status").count().orderBy("wave", "status").show(100)
