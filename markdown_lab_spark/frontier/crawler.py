@@ -116,6 +116,15 @@ class CrawlConfig:
     # Iceberg MERGE/compaction maintenance job; bucketed_state mode
     # already persists fully-compacted state per wave.)
     seen_compact_every: Optional[int] = 8
+    # OPTIONAL global per-wave fetch cap (None = reference behavior:
+    # every politeness-scheduled URL fetches). When set, the wave fetches
+    # only the top-``wave_fetch_cap`` scheduled URLs globally by
+    # (priority DESC, depth ASC, canon_url ASC) — the mechanism that
+    # makes cross-host priorities (e.g. host PageRank) load-bearing:
+    # under a cluster-wide fetch budget, high-rank hosts win slots and
+    # the rest defer to the next wave. orderBy().limit() compiles to
+    # TakeOrderedAndProject (distributed partial top-k, no global sort).
+    wave_fetch_cap: Optional[int] = None
 
     @property
     def budget(self) -> int:
@@ -635,6 +644,17 @@ class CrawlEngine:
             # the same recompute-safety for a single job's fixed cost.
             allowed, denied = robots_filter(candidates, self.host_rules)
             scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
+            if cfg.wave_fetch_cap is not None:
+                kept = scheduled.orderBy(
+                    F.col("priority").desc(),
+                    F.col("depth").asc(),
+                    F.col("canon_url").asc(),
+                ).limit(cfg.wave_fetch_cap)
+                over_cap = scheduled.join(
+                    kept.select("canon_url"), on="canon_url", how="left_anti"
+                )
+                scheduled = kept
+                deferred = deferred.unionByName(over_cap)
             routed = (
                 scheduled.withColumn("_route", F.lit("scheduled"))
                 .unionByName(deferred.withColumn("_route", F.lit("deferred")))
