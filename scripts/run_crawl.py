@@ -26,6 +26,14 @@ def main() -> int:
     ap.add_argument("--max-waves", type=int, default=10)
     ap.add_argument("--rps", type=float, default=1.0)
     ap.add_argument("--wave-seconds", type=int, default=10)
+    ap.add_argument("--max-retries", type=int, default=0)
+    ap.add_argument("--ttl-waves", type=int, default=None,
+                    help="re-crawl URLs after N waves (cuckoo seen-filter)")
+    ap.add_argument("--wave-fetch-cap", type=int, default=None,
+                    help="global per-wave fetch budget (priority DESC wins)")
+    ap.add_argument("--bucketed-state", action="store_true",
+                    help="persist frontier/seen as bucketed tables "
+                    "(exchange-free anti-join; needs --checkpoint)")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",
@@ -100,7 +108,13 @@ def main() -> int:
 
     pages = spark.read.parquet(args.pages)
     cfg = CrawlConfig(
-        rps=args.rps, wave_seconds=args.wave_seconds, max_waves=args.max_waves
+        rps=args.rps,
+        wave_seconds=args.wave_seconds,
+        max_waves=args.max_waves,
+        max_retries=args.max_retries,
+        ttl_waves=args.ttl_waves,
+        wave_fetch_cap=args.wave_fetch_cap,
+        bucketed_state=args.bucketed_state,
     )
     engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
     host_priorities = (
