@@ -145,3 +145,49 @@ def test_wave_fetch_cap_prefers_high_priority_hosts(spark):
     # 0.1). wave 2: the deferred lo.test URLs.
     assert waves["https://hi.test/a"] == 1 and waves["https://hi.test/b"] == 1
     assert waves["https://lo.test/a"] == 2 and waves["https://lo.test/b"] == 2
+
+
+def test_url_priorities_order_within_host_queue(spark, tmp_path):
+    """URL-level ranks order a single host's politeness queue: with
+    budget 1/wave, the page every other page links to is fetched before
+    the long tail."""
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+    from markdown_lab_spark.frontier.rank import url_pagerank_priorities
+
+    def page(title, links):
+        anchors = "".join(f'<a href="{u}">{u}</a>' for u in links)
+        return (
+            f"<html><head><title>{title}</title></head>"
+            f"<body><p>{title} text</p>{anchors}</body></html>"
+        ).encode()
+
+    urls = [f"https://h.test/p{i}" for i in range(4)]
+    hub = "https://h.test/hub"
+    # every page links to the hub AND to the next page; the seed links all
+    rows = [("https://h.test/", page("root", urls + [hub]))]
+    rows += [(u, page(f"p{i}", [hub])) for i, u in enumerate(urls)]
+    rows += [(hub, page("hub", []))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    ckpt = str(tmp_path / "c1")
+    cfg0 = CrawlConfig(rps=100.0, wave_seconds=1, max_waves=3)
+    CrawlEngine(spark, pages, cfg0, checkpoint_dir=ckpt).crawl(
+        ["https://h.test/"]
+    )
+    docs = spark.read.parquet(f"{ckpt}/wave=*/docs")
+    up = url_pagerank_priorities(docs, iters=10)
+    ranks = {r["canon_url"]: r["priority"] for r in up.collect()}
+    assert ranks[hub] == max(ranks.values())  # in-link magnet tops
+
+    # budget 1/wave: without priorities the queue orders by URL; with
+    # them the hub (rank 1.0) wins the first discovered-wave slot
+    cfg1 = CrawlConfig(rps=1.0, wave_seconds=1, max_waves=3)
+    out = CrawlEngine(spark, pages, cfg1).crawl(
+        ["https://h.test/"], url_priorities=up
+    )
+    fetched = {
+        r["canon_url"]: r["wave"]
+        for r in out["trace"].collect()
+        if r["status"] == "ok"
+    }
+    assert fetched[hub] == 1  # beat p0..p3 despite URL sort order
