@@ -259,8 +259,11 @@ class ShardedCuckoo:
     # -- executor-side statics (mirror CuckooFilter.pairs_for_keys) ---------
     @staticmethod
     def shard_of_keys(keys: np.ndarray, num_shards: int) -> np.ndarray:
+        # mask to the 32..47 field BEFORE the modulus: without it a
+        # non-power-of-two num_shards folds bits 48..63 (the fingerprint)
+        # into the shard id, correlating shard choice with fingerprint
         return (
-            (keys >> np.uint64(32)) % np.uint64(num_shards)
+            ((keys >> np.uint64(32)) & np.uint64(0xFFFF)) % np.uint64(num_shards)
         ).astype(np.int64)
 
     @staticmethod

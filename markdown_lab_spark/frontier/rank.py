@@ -49,35 +49,59 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge list (a crawl whose docs discovered no http links):
+        # return an empty (node, rank) frame rather than dividing by zero
+        return nodes.withColumn("rank", F.lit(1.0))
     out_deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
-    # static per-iteration join input: each edge carries 1/out_deg(src)
+    # static per-iteration join input: each edge carries 1/out_deg(src).
+    # Dangling nodes (no out-edges) get ONE synthetic full-weight edge
+    # tagged `_dangling`, so the tagged contribs aggregation below also
+    # produces the dangling mass: ONE action per iteration (the rank
+    # checkpoint) instead of a driver-side collect() round-trip. The
+    # scalar reaches every row as an automatic 1-row broadcast build
+    # (a sub-job of the same action); the `_dangling` filters push below
+    # each aggregation, so the two legs shuffle DISJOINT row subsets —
+    # the dangling leg only ever moves the tagged rows.
     weighted = edges.join(out_deg, on=src_col).select(
         F.col(src_col).alias("node"),
         F.col(dst_col).alias("dst"),
         (F.lit(1.0) / F.col("out_deg")).alias("w"),
+        F.lit(False).alias("_dangling"),
     )
-    weighted = weighted.localCheckpoint()  # static across iterations
+    dangling_nodes = nodes.join(
+        out_deg.withColumnRenamed(src_col, "node"), on="node", how="left_anti"
+    )
+    weighted = weighted.unionByName(
+        dangling_nodes.select(
+            "node",
+            F.col("node").alias("dst"),
+            F.lit(1.0).alias("w"),
+            F.lit(True).alias("_dangling"),
+        )
+    ).localCheckpoint()  # static across iterations
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
     for _ in range(iters):
         contribs = (
             ranks.join(weighted, on="node", how="inner")
-            .groupBy("dst")
+            .groupBy("dst", "_dangling")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        # dangling mass: rank held by nodes with no out-edges is
-        # redistributed uniformly (ONE scalar per iteration)
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed(src_col, "node"), on="node", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass: the tagged rows' total, redistributed uniformly.
+        # A 1-row aggregate cross-joined back in (broadcast) — part of
+        # the SAME action as the rank update; no user-level collect.
+        dang = contribs.filter(F.col("_dangling")).agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_dm")
         )
-        base = (1.0 - damping) + damping * dangling / n_nodes
+        real = contribs.filter(~F.col("_dangling")).drop("_dangling")
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(real, nodes.node == real.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n_nodes))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -95,20 +119,33 @@ def host_pagerank_priorities(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
 ) -> DataFrame:
-    """(host, priority in [0, 1]) — host-graph PageRank min-max scaled
-    into the frontier's ``priority`` column domain (politeness orders by
+    """(host, priority in [0.5, 1]) — host-graph PageRank scaled into the
+    frontier's ``priority`` column domain (politeness orders by
     ``priority DESC``). Host-level (not URL-level) because the frontier
     partitions by host anyway, so one rank per host is both cheaper by
     ~3 orders of magnitude and exactly the granularity the politeness
-    scheduler consumes."""
+    scheduler consumes.
+
+    The scale is anchored AT the 0.5 default that hosts absent from the
+    priorities table keep (``priority = 0.5 + 0.5 * minmax(rank)``):
+    being ranked at all is in-link evidence, so a ranked host never sinks
+    below an unranked one under ``wave_fetch_cap``, and a degenerate
+    all-equal rank distribution maps to exactly the 0.5 default rather
+    than to 0.0. An empty link graph yields an empty priorities table
+    (every host keeps the default)."""
     pr = pagerank(links, iters=iters, src_col=src_col, dst_col=dst_col)
     lohi = pr.agg(
         F.min("rank").alias("lo"), F.max("rank").alias("hi")
     ).collect()[0]
+    if lohi["hi"] is None:  # empty graph
+        return pr.select(F.col("node").alias("host"), F.col("rank").alias("priority"))
     span = (lohi["hi"] - lohi["lo"]) or 1.0
     return pr.select(
         F.col("node").alias("host"),
-        ((F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)).alias("priority"),
+        (
+            F.lit(0.5)
+            + F.lit(0.5) * (F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)
+        ).alias("priority"),
     )
 
 
@@ -150,11 +187,13 @@ def url_edges_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def url_pagerank_priorities(docs: DataFrame, iters: int = 5) -> DataFrame:
-    """(canon_url, priority in [0, 1]) — URL-graph PageRank min-max
-    scaled into the frontier's priority domain. Unlike the host-level
-    variant (one rank per host, inert WITHIN a host's politeness queue),
-    URL ranks order the queue itself: high-rank pages of a host fetch
-    before its long tail.
+    """(canon_url, priority in [0.5, 1]) — URL-graph PageRank scaled into
+    the frontier's priority domain, anchored at the 0.5 default exactly
+    as ``host_pagerank_priorities`` is (ranked URLs never sink below
+    unranked ones; all-equal ranks collapse to the default). Unlike the
+    host-level variant (one rank per host, inert WITHIN a host's
+    politeness queue), URL ranks order the queue itself: high-rank pages
+    of a host fetch before its long tail.
 
     Scale note: the priorities table is |URLs| rows; the per-wave join
     against discovered links re-shuffles it unless it is bucketed by
@@ -163,8 +202,15 @@ def url_pagerank_priorities(docs: DataFrame, iters: int = 5) -> DataFrame:
     co-located."""
     pr = pagerank(url_edges_from_docs(docs), iters=iters, src_col="src", dst_col="dst")
     lohi = pr.agg(F.min("rank").alias("lo"), F.max("rank").alias("hi")).collect()[0]
+    if lohi["hi"] is None:  # empty graph
+        return pr.select(
+            F.col("node").alias("canon_url"), F.col("rank").alias("priority")
+        )
     span = (lohi["hi"] - lohi["lo"]) or 1.0
     return pr.select(
         F.col("node").alias("canon_url"),
-        ((F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)).alias("priority"),
+        (
+            F.lit(0.5)
+            + F.lit(0.5) * (F.col("rank") - F.lit(lohi["lo"])) / F.lit(span)
+        ).alias("priority"),
     )

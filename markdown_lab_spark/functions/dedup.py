@@ -26,15 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (distinct, order-free)."""
+def shingles(text_col, n: int = 3, strict: bool = False):
+    """Word n-gram shingles as an array column (distinct, order-free).
+
+    Texts shorter than ``n`` words emit the whole text as one pseudo
+    n-gram by default — the permissive behavior the similarity operators
+    (MinHash/Jaccard) want so short docs still hash SOMEWHERE. With
+    ``strict=True`` such texts emit NO shingles (empty array): the
+    decontamination operators use this so membership means a true
+    n-gram match, matching a strict SQL n-gram oracle."""
     words = F.split(F.trim(text_col), r"\s+")
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
+    if strict:
+        return F.when(F.size(words) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    return grams
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -506,7 +518,7 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = 13) -> DataFrame:
     MBs) and is meant to be broadcast."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
-        bench.select(F.explode(shingles(norm, n)).alias("ngram"))
+        bench.select(F.explode(shingles(norm, n, strict=True)).alias("ngram"))
         .filter(F.col("ngram") != "")
         .distinct()
     )
@@ -532,7 +544,7 @@ def decontaminate(
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     grams = corpus.select(
-        F.col(id_col), F.explode(shingles(norm, n)).alias("ngram")
+        F.col(id_col), F.explode(shingles(norm, n, strict=True)).alias("ngram")
     ).filter(F.col("ngram") != "")
     hits = (
         grams.join(F.broadcast(bench_ngrams), on="ngram", how="inner")

@@ -256,12 +256,17 @@ def kmeans_train_centroids(
                 ).alias("new_cvec")
             )
         )
-        # empty cells keep the previous centroid
+        # empty cells keep the previous centroid. localCheckpoint: cents
+        # is referenced twice per iteration (assignment + this coalesce
+        # join), so without truncation the logical plan doubles each
+        # iteration — the same iterative-algorithm trap pagerank() guards
+        # against. k rows, so the checkpoint is trivially cheap.
         cents = (
             cents.join(means, cents.cid == means.cell, "left")
             .select(
                 "cid",
                 F.coalesce(F.col("new_cvec"), F.col("cvec")).alias("cvec"),
             )
+            .localCheckpoint()
         )
     return cents

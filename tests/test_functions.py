@@ -490,14 +490,20 @@ def test_decontaminate_matches_duckdb_oracle(spark):
         (" ".join(rng.choice(vocab) for _ in range(rng.randint(13, 30))),)
         for _ in range(5)
     ]
+    # a sub-13-word benchmark row: strict 13-gram membership emits NO
+    # n-grams for it (both engines), so the identical short corpus doc
+    # below must NOT be flagged — pins the strict= behavior of shingles()
+    bench_rows.append(("alpha beta",))
     corpus_rows = []
     for doc_id in range(40):
         words = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
         if rng.random() < 0.3:  # plant a verbatim benchmark span
-            src = rng.choice(bench_rows)[0].split()
+            src = rng.choice(bench_rows[:5])[0].split()
             k = rng.randint(13, min(20, len(src)))
             words[:k] = src[:k]
         corpus_rows.append((doc_id, " ".join(words)))
+    corpus_rows.append((40, "alpha beta"))  # == the short benchmark row
+    corpus_rows.append((41, "alpha beta " * 7))  # 14 words, real 13-grams
 
     bench = spark.createDataFrame(bench_rows, "q string")
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")

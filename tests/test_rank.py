@@ -35,8 +35,10 @@ def test_host_pagerank_priorities_scaled(spark):
     )
     hp = {r["host"]: r["priority"] for r in host_pagerank_priorities(edges, 10).collect()}
     assert set(hp) == {"a", "b", "c"}
-    assert all(0.0 <= v <= 1.0 for v in hp.values())
-    assert max(hp.values()) == 1.0 and min(hp.values()) == 0.0
+    # anchored at the 0.5 unranked-host default: ranked hosts span
+    # [0.5, 1.0], so none sinks below a brand-new host under a fetch cap
+    assert all(0.5 <= v <= 1.0 for v in hp.values())
+    assert max(hp.values()) == 1.0 and min(hp.values()) == 0.5
     # and it plugs straight into the politeness ordering contract
     f = spark.createDataFrame(
         [("u1", "a", 1), ("u2", "b", 1)], "canon_url string, host string, depth int"
@@ -191,3 +193,89 @@ def test_url_priorities_order_within_host_queue(spark, tmp_path):
         if r["status"] == "ok"
     }
     assert fetched[hub] == 1  # beat p0..p3 despite URL sort order
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """A crawl whose docs discovered no http links produces an empty edge
+    list; pagerank and both priority builders must return empty frames
+    (every host/url keeps the 0.5 default) instead of dividing by zero."""
+    from markdown_lab_spark.frontier.rank import url_pagerank_priorities
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iters=3).count() == 0
+    hp = host_pagerank_priorities(
+        spark.createDataFrame([], "src_host string, dst_host string"), iters=2
+    )
+    assert hp.columns == ["host", "priority"] and hp.count() == 0
+    docs = spark.createDataFrame(
+        [], "canon_url string, host string, links array<string>"
+    )
+    up = url_pagerank_priorities(docs, iters=2)
+    assert up.columns == ["canon_url", "priority"] and up.count() == 0
+
+
+def test_pagerank_priorities_floor_is_default(spark):
+    """All-equal rank distributions (e.g. a pure cycle) collapse to
+    exactly the 0.5 unranked-host default, not to 0.0 — a ranked host
+    never sinks below a newly-discovered one under wave_fetch_cap."""
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_host string, dst_host string"
+    )
+    hp = {r["host"]: r["priority"] for r in host_pagerank_priorities(cyc, 8).collect()}
+    assert all(v == 0.5 for v in hp.values())
+
+
+def test_pagerank_one_action_per_iteration(spark):
+    """The dangling-mass pass is fused into the tagged contribs
+    aggregation, so each iteration is ONE action (the rank
+    localCheckpoint): the old driver-side dangling collect() round-trip
+    is gone. Spark executes that action as exactly two jobs — the main
+    rank update plus the automatic 1-row broadcast build that spreads
+    the dangling scalar (a sub-job of the same action; the `_dangling`
+    filters push below each aggregation so the two legs shuffle DISJOINT
+    row subsets, the dangling leg moving only the tagged rows). Asserted
+    as a job-count delta between iters=3 and iters=6 with AQE off (AQE
+    splits one action into per-stage jobs, making counts
+    non-deterministic)."""
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def jobs_for(iters: int, group: str) -> int:
+            sc.setJobGroup(group, "pagerank job count")
+            try:
+                pagerank(edges, iters=iters).collect()
+            finally:
+                sc.setJobGroup(None, None)
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        j3 = jobs_for(3, "pr_j3")
+        j6 = jobs_for(6, "pr_j6")
+        assert j6 - j3 == 6, (
+            f"per-iteration job cost changed ({j3=} {j6=}); expected 2 "
+            "(main update + 1-row broadcast build), with zero "
+            "driver-side collects"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+
+
+def test_pagerank_fused_dangling_matches_closed_form(spark):
+    """The fused dangling pass is numerically identical to the spec:
+    star graph a->b, b and c dangling (c isolated via an edge c<-a).
+    Hand-computed 2-iteration ranks match to 1e-12."""
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    d = 0.85
+    n = 3
+    # iter 1: ranks all 1.0; dangling mass = rank(b)+rank(c) = 2
+    base1 = (1 - d) + d * 2 / n
+    r_a1, r_b1, r_c1 = base1, base1 + d * 0.5, base1 + d * 0.5
+    # iter 2: dangling mass = r_b1 + r_c1
+    base2 = (1 - d) + d * (r_b1 + r_c1) / n
+    exp = {"a": base2, "b": base2 + d * r_a1 / 2, "c": base2 + d * r_a1 / 2}
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    assert all(abs(pr[k] - exp[k]) < 1e-12 for k in exp), (pr, exp)
