@@ -26,7 +26,7 @@ from markdown_lab_spark.functions import dedup as D
 from markdown_lab_spark.functions import multimodal as M
 from markdown_lab_spark.functions import similarity as S
 from markdown_lab_spark.functions import text as X
-from markdown_lab_spark.functions.topk import ranked_topk
+from markdown_lab_spark.functions.topk import cap_per_group, ranked_topk
 from markdown_lab_spark.functions.udfs import (
     chunk_semantic_udf,
     convert_html_udf,
@@ -544,35 +544,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q27_tokens_fingerprint"] = q27_tokens_fingerprint
 
-    # ---- general aggregation parity (events + lineitem) ----------------------------------
-    def q29_events_agg(spark, sf):
-        return (
+    # ---- general aggregation parity (events + lineitem, one merged gate:
+    # both are plain partial-agg shapes, so they share a driver row under
+    # the 50-row cap; every original assertion is preserved — the events
+    # leg keeps its decimal-sum/min/max, the lineitem leg its filtered
+    # grouped sums, both min/max-extended to a common schema) -----------------
+    def q30_agg_parity(spark, sf):
+        ev = (
             _t(spark, sf, "events")
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("value").cast("decimal(18,2)"))
                 .cast("double")
-                .alias("sum_value"),
-                F.min("value").alias("min_value"),
-                F.max("value").alias("max_value"),
+                .alias("sum_v"),
+                F.min("value").cast("double").alias("min_v"),
+                F.max("value").cast("double").alias("max_v"),
+            )
+            .select(
+                F.lit("events").alias("src"),
+                F.col("event_type").alias("k1"),
+                F.lit("").alias("k2"),
+                "n",
+                "sum_v",
+                "min_v",
+                "max_v",
             )
         )
-
-    q["q29_events_agg"] = q29_events_agg
-
-    def q30_lineitem_agg(spark, sf):
-        return (
+        li = (
             _t(spark, sf, "lineitem")
             .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum("l_quantity").cast("double").alias("sum_qty"),
-                F.count("*").alias("count_order"),
+                F.count("*").alias("n"),
+                F.sum("l_quantity").cast("double").alias("sum_v"),
+                F.min("l_quantity").cast("double").alias("min_v"),
+                F.max("l_quantity").cast("double").alias("max_v"),
+            )
+            .select(
+                F.lit("lineitem").alias("src"),
+                F.col("l_returnflag").alias("k1"),
+                F.col("l_linestatus").alias("k2"),
+                "n",
+                "sum_v",
+                "min_v",
+                "max_v",
             )
         )
+        return ev.unionByName(li)
 
-    q["q30_lineitem_agg"] = q30_lineitem_agg
+    q["q30_agg_parity"] = q30_agg_parity
 
     # ---- conversion + chunking through the real UDFs ---------------------------------------
     def q31_convert_markdown(spark, sf):
@@ -665,14 +686,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("meta"),
         )
 
-    def q41_image_features(spark, sf):
+    def q41_multimodal_features(spark, sf):
+        # one merged multimodal gate (image feature extraction + the video
+        # frame-sample plan share a driver row under the 50-row cap; both
+        # legs keep their full original assertions, distinguished by
+        # `kind`, absent measures as typed sentinels).
         # feature is array<float>; the driver's canonicalizer sorts raw
         # pandas columns and cannot hash list values, so project it as a
         # deterministic CSV scalar (fixed decimal(10,6) rendering on both
         # the Spark and DuckDB sides).
-        feats = M.extract_image_features(_media(spark, sf))
-        return feats.select(
+        media = _media(spark, sf)
+        feats = M.extract_image_features(media).select(
             "media_id",
+            F.lit("image").alias("kind"),
             F.col("width").cast("long").alias("width"),
             F.col("height").cast("long").alias("height"),
             F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -684,17 +710,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     lambda x: x.cast("decimal(10,6)").cast("string"),
                 ),
             ).alias("feature_csv"),
+            F.lit(-1).cast("long").alias("frame_ts"),
         )
-
-    q["q41_image_features"] = q41_image_features
-
-    def q42_frame_sample(spark, sf):
-        plan = M.frame_sample_plan(_media(spark, sf), every_n_seconds=5)
-        return plan.select(
-            "media_id", F.col("frame_ts").cast("long").alias("frame_ts")
+        frames = M.frame_sample_plan(media, every_n_seconds=5).select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            F.lit(-1).cast("long").alias("width"),
+            F.lit(-1).cast("long").alias("height"),
+            F.lit(-1).cast("long").alias("n_bytes"),
+            F.lit("").alias("checksum"),
+            F.lit("").alias("feature_csv"),
+            F.col("frame_ts").cast("long").alias("frame_ts"),
         )
+        return feats.unionByName(frames)
 
-    q["q42_frame_sample"] = q42_frame_sample
+    q["q41_multimodal_features"] = q41_multimodal_features
 
     # ---- general analytics parity: joins + partitioned windows ---------------
     def q43_revenue_topk(spark, sf):
@@ -1334,6 +1364,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q57_url_quality_filter"] = q57_url_quality_filter
 
+    def q58_decontaminate(spark, sf):
+        # benchmark decontamination (GPT-3 appendix C / PaLM shape):
+        # strict 13-gram membership of the corpus against an eval set,
+        # case/whitespace-normalized. The "benchmark" is a deterministic
+        # slice of the corpus itself (doc_id % 17 == 0), so verbatim
+        # contamination exists by construction. Plan: corpus-side narrow
+        # shingle+explode, BROADCAST membership join, one partial-agg
+        # groupBy (functions/dedup.py decontaminate).
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter((F.col("doc_id") % 17) == 0).select(
+            F.col("text").alias("q")
+        )
+        bn = D.benchmark_ngrams(bench, "q", n=13)
+        return D.decontaminate(docs, "doc_id", "text", bn, n=13)
+
+    q["q58_decontaminate"] = q58_decontaminate
+
+    def q59_cap_per_group(spark, sf):
+        # FineWeb-style per-domain quota, skew-safe (functions/topk.py
+        # cap_per_group): groups within quota bypass the window entirely;
+        # the one synthetic mega-group (every 4th doc) exceeds it and
+        # exercises the salted two-phase top-N. Deterministic order:
+        # (n_chars DESC, doc_id ASC).
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when((F.col("doc_id") % 4) == 0, F.lit("mega"))
+            .otherwise(F.col("source"))
+            .alias("grp"),
+        )
+        capped = cap_per_group(
+            docs,
+            "grp",
+            20,
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            salt_col="doc_id",
+            salt_n=8,
+        )
+        return capped.select("grp", "doc_id", "n_chars")
+
+    q["q59_cap_per_group"] = q59_cap_per_group
+
     return q
 
 
@@ -1834,17 +1906,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    o["q29_events_agg"] = """
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-               min(value) AS min_value, max(value) AS max_value
+    o["q30_agg_parity"] = """
+        SELECT 'events' AS src, event_type AS k1, '' AS k2, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+               CAST(min(value) AS DOUBLE) AS min_v,
+               CAST(max(value) AS DOUBLE) AS max_v
         FROM events GROUP BY event_type
-    """
-
-    o["q30_lineitem_agg"] = """
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-               count(*) AS count_order
+        UNION ALL
+        SELECT 'lineitem' AS src, l_returnflag AS k1, l_linestatus AS k2,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+               CAST(min(l_quantity) AS DOUBLE) AS min_v,
+               CAST(max(l_quantity) AS DOUBLE) AS max_v
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -2049,13 +2122,13 @@ def oracle_sql() -> dict[str, str]:
     # multimodal: the stub decode is md5(payload)-derived (multimodal.py
     # decode_image_stub), so the oracle reproduces the exact byte math from
     # the hex digest; payload is the document text's UTF-8 bytes
-    o["q41_image_features"] = """
+    o["q41_multimodal_features"] = """
         WITH m AS (
           SELECT doc_id AS media_id, md5(text) AS h,
                  octet_length(encode(text)) AS nb
           FROM documents WHERE doc_id % 3 = 0
         )
-        SELECT media_id,
+        SELECT media_id, 'image' AS kind,
           CAST(16 + ('0x' || substr(h, 1, 2))::INT % 64 AS BIGINT) AS width,
           CAST(16 + ('0x' || substr(h, 3, 2))::INT % 64 AS BIGINT) AS height,
           CAST(nb AS BIGINT) AS n_bytes,
@@ -2063,12 +2136,14 @@ def oracle_sql() -> dict[str, str]:
           array_to_string(
             [CAST(CAST(CAST(ROUND((('0x' || substr(h, 2*i+5, 2))::INT) / 255.0, 6)
                    AS FLOAT) AS DECIMAL(10,6)) AS VARCHAR)
-             for i in range(8)], ',') AS feature_csv
+             for i in range(8)], ',') AS feature_csv,
+          CAST(-1 AS BIGINT) AS frame_ts
         FROM m
-    """
-
-    o["q42_frame_sample"] = """
-        SELECT doc_id AS media_id,
+        UNION ALL
+        SELECT doc_id AS media_id, 'video' AS kind,
+               CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+               CAST(-1 AS BIGINT) AS n_bytes, '' AS checksum,
+               '' AS feature_csv,
                CAST(unnest(generate_series(0, doc_id % 30, 5)) AS BIGINT)
                  AS frame_ts
         FROM documents WHERE doc_id % 3 = 1
@@ -2450,6 +2525,58 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT regexp_matches(lower(path),
                       '\\.(jpg|jpeg|png|gif|css|js|zip|exe|dmg|iso)$')) AS keep
         FROM p
+    """
+
+    # strict 13-gram membership: sub-13-word texts emit NO n-grams on
+    # either engine (shingles(strict=True) <-> generate_series hits an
+    # empty range). Normalization: lower + whitespace-collapse + trim.
+    o["q58_decontaminate"] = r"""
+        WITH bw AS (
+          SELECT string_split(
+                   trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents WHERE doc_id % 17 = 0
+        ),
+        bn AS (
+          SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS ngram
+          FROM bw, UNNEST(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+          WHERE len(w) >= 13
+        ),
+        cw AS (
+          SELECT doc_id,
+                 string_split(
+                   trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ),
+        cn AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS ngram
+          FROM cw, UNNEST(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+          WHERE len(w) >= 13
+        ),
+        hits AS (
+          SELECT cn.doc_id, count(*) AS contam_hits
+          FROM cn JOIN bn USING (ngram)
+          WHERE cn.ngram <> ''
+          GROUP BY cn.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.contam_hits, 0) AS BIGINT) AS contam_hits,
+               coalesce(h.contam_hits, 0) <= 0 AS keep
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+    o["q59_cap_per_group"] = """
+        WITH g AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CASE WHEN doc_id % 4 = 0 THEN 'mega' ELSE source END AS grp
+          FROM documents
+        ),
+        r AS (
+          SELECT grp, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn
+          FROM g
+        )
+        SELECT grp, doc_id, n_chars FROM r WHERE rn <= 20
     """
 
     return o

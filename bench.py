@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "q23_cosine_topk",
     "q25_lang_quality",
     "q27_tokens_fingerprint",
-    "q30_lineitem_agg",
+    "q30_agg_parity",
     "q31_convert_markdown",
     "q32_chunk_markdown",
     "q35_embedding_neardup_lsh",
@@ -53,8 +53,7 @@ BENCH_QUERIES = [
     "q38_ivf_ann",
     "q39_chunk_semantic_sections",
     "q40_corpus_curation",
-    "q41_image_features",
-    "q42_frame_sample",
+    "q41_multimodal_features",
     "q43_revenue_topk",
     "q44_events_latest_per_user",
     "q47_png_decode",
@@ -67,6 +66,8 @@ BENCH_QUERIES = [
     "q55_gif_decode",
     "q56_pii_redaction",
     "q57_url_quality_filter",
+    "q58_decontaminate",
+    "q59_cap_per_group",
 ]
 
 

@@ -20,7 +20,7 @@ PICK = {
  "q35_embedding_neardup_lsh": "banded embedding near-dup: one ArrowEvalPython signature pass, bucket-equi self-join, exact-cosine verify",
  "q37_simhash_hamming": "SimHash Hamming pairs: fingerprints from checkpoint scan both sides, bit_count(xor) JVM-side",
  "q40_corpus_curation": "curation composite: two hash-agg shuffles + one inner join, all JVM",
- "q30_lineitem_agg": "TPC-H-style agg: scan shows PushedFilters + pruned ReadSchema",
+ "q30_agg_parity": "TPC-H-style agg (merged events+lineitem gate): scan shows PushedFilters + pruned ReadSchema",
  "q52_paragraph_dedup": "paragraph dedup (round-4 rewrite): partial_min BEFORE the para_hash exchange absorbs mega-duplicate skew; no Window node",
 }
 
