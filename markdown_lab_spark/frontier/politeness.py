@@ -7,18 +7,30 @@ by (depth ASC, priority DESC, canon_url ASC) — the deterministic analogue
 of the reference's discovery-order processing.
 
 Scale note: a plain ``Window.partitionBy(host)`` sends EVERY candidate of a
-hot host through one task. ``schedule_wave`` therefore pre-prunes with a
-salted two-phase top-K: rank within (host, salt) shards, keep the per-shard
-head (budget rows), then run the exact window on the ~salt_n*budget
-survivors — the per-host cap stays exact while the heavy sort is spread
-over ``salt_n`` tasks. AQE skew handling does NOT cover this (it's a
-windowed cap, not a join).
+hot host through one task. ``schedule_wave`` therefore selects each
+over-budget host's head with a salted TREE top-K: count-gated shards first
+(a mega host gets more shards, so no phase-1 task sorts much more than
+``fanin * budget`` rows), then fan-in merge rounds that each sort at most
+``fanin * budget`` rows per task, until one group per host remains. AQE
+skew handling does NOT cover this (it's a windowed cap, not a join).
+
+Exactness (for ANY candidate count, no cliff): the selection keeps the
+per-(host, shard) top-``budget`` at every level, and a true top-``budget``
+row of a host has FEWER than ``budget`` rows above it in the host's total
+order — hence fewer than ``budget`` above it inside any shard or merged
+group it occupies — so it survives every level. Dropped rows are exactly
+the complement, which is what ``deferred`` carries to the next wave.
+The drill in tests/test_politeness_skew.py pins set-equality against the
+naive single-window selection at ``salt_n * budget * 4`` candidates.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
 
 def order_cols():
     """Deterministic per-host queue order: depth ASC, priority DESC, url ASC."""
@@ -26,21 +38,31 @@ def order_cols():
 
 
 def schedule_wave(
-    frontier: DataFrame, budget: int, salt_n: int = 16
+    frontier: DataFrame, budget: int, salt_n: int = 16, fanin: int = 4
 ) -> tuple[DataFrame, DataFrame]:
     """Split a wave's candidates into (scheduled, deferred).
 
     scheduled: per-host head of at most ``budget`` rows in deterministic
     order; deferred: the remainder (carries to the next wave unchanged).
 
-    Skew design: a host whose candidate count is <= budget is scheduled
-    WHOLE with no window at all (the common case — most hosts are small),
-    so the expensive per-host sort never sees them and no single task
-    carries a mega-host that fits its budget. Only over-budget hosts go
-    through the salted two-phase top-K: rank within (host, salt) shards
-    first, keep each shard's head, then run the exact window on the
-    <= salt_n*budget survivors. The per-host cap stays exact; the heavy
-    sort is spread over salt_n tasks.
+    Skew design, from cheapest case up:
+    - a host whose candidate count is <= budget is scheduled WHOLE with
+      no window at all (the common case — most hosts are small);
+    - an over-budget host gets a COUNT-GATED shard count
+      ``ns = clamp(ceil(count / (fanin * budget)), 1, salt_n)`` — small
+      over-budget hosts land in ONE shard (a single bounded sort, no
+      second phase), mega hosts spread over up to ``salt_n`` shards so a
+      phase-1 task sorts ~``fanin * budget`` rows;
+    - shard heads then tree-merge with fan-in ``fanin``: each round
+      merges ``fanin`` adjacent shards (<= ``fanin * budget`` rows per
+      task) and keeps the exact top-``budget``; a statically-known
+      ``ceil(log_fanin(salt_n))`` rounds settle every host. Hosts whose
+      shards are already fully merged bypass later rounds entirely.
+
+    The per-host cap is EXACT at any skew (see module docstring); the
+    knob trade-off is ``salt_n`` bounding how many shards a mega host
+    may use (beyond ``salt_n * fanin * budget`` candidates, phase-1
+    shard size grows past ``fanin * budget`` but exactness holds).
     """
     # no broadcast hint: at 10^8 hosts the counts side is too big to ship;
     # AQE broadcasts it automatically when it is small
@@ -48,23 +70,42 @@ def schedule_wave(
     tagged = frontier.join(counts, on="host", how="left")
 
     under = tagged.filter(F.col("_host_n") <= budget).drop("_host_n")
-    over = tagged.filter(F.col("_host_n") > budget).drop("_host_n")
+    over = tagged.filter(F.col("_host_n") > budget)
 
-    salted = over.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_n))
+    ns = F.least(
+        F.lit(salt_n),
+        F.greatest(F.lit(1), F.ceil(F.col("_host_n") / F.lit(fanin * budget))),
+    ).cast("int")
+    salted = (
+        over.withColumn("_ns", ns)
+        .withColumn("_sh", F.pmod(F.xxhash64(F.col("canon_url")), F.col("_ns")).cast("int"))
+        .drop("_host_n")
     )
-    w_salt = Window.partitionBy("host", "_salt").orderBy(*order_cols())
-    pruned = salted.withColumn("_srn", F.row_number().over(w_salt))
 
-    # survivors: at most salt_n * budget rows per host
-    survivors = pruned.filter(F.col("_srn") <= budget)
-    w_host = Window.partitionBy("host").orderBy(*order_cols())
-    ranked = survivors.withColumn("_rn", F.row_number().over(w_host))
+    w_shard = Window.partitionBy("host", "_sh").orderBy(*order_cols())
+    ranked = salted.withColumn("_rn", F.row_number().over(w_shard))
+    kept = ranked.filter(F.col("_rn") <= budget).drop("_rn")
+    deferred = ranked.filter(F.col("_rn") > budget).drop("_rn", "_ns", "_sh")
 
-    scheduled_over = ranked.filter(F.col("_rn") <= budget).drop("_salt", "_srn", "_rn")
-    deferred_a = ranked.filter(F.col("_rn") > budget).drop("_salt", "_srn", "_rn")
-    deferred_b = pruned.filter(F.col("_srn") > budget).drop("_salt", "_srn")
-    return under.unionByName(scheduled_over), deferred_a.unionByName(deferred_b)
+    settled = kept.filter(F.col("_ns") <= 1)
+    pending = kept.filter(F.col("_ns") > 1)
+    rounds = max(0, math.ceil(math.log(salt_n) / math.log(fanin))) if salt_n > 1 else 0
+    width = 1
+    for _ in range(rounds):
+        width *= fanin
+        grouped = pending.withColumn("_g", F.floor(F.col("_sh") / width))
+        w_merge = Window.partitionBy("host", "_g").orderBy(*order_cols())
+        merged = grouped.withColumn("_rn", F.row_number().over(w_merge))
+        deferred = deferred.unionByName(
+            merged.filter(F.col("_rn") > budget).drop("_rn", "_g", "_ns", "_sh")
+        )
+        kept_round = merged.filter(F.col("_rn") <= budget).drop("_rn", "_g")
+        settled = settled.unionByName(kept_round.filter(F.col("_ns") <= width))
+        pending = kept_round.filter(F.col("_ns") > width)
+    # fanin**rounds >= salt_n >= _ns, so pending is empty here; the union
+    # keeps the plan total-preserving even if the clamp invariant changes
+    scheduled_over = settled.unionByName(pending).drop("_ns", "_sh")
+    return under.unionByName(scheduled_over), deferred
 
 
 def politeness_budget(rps: float, wave_seconds: int) -> int:

@@ -58,3 +58,81 @@ def test_budget_formula():
     assert politeness_budget(1.0, 10) == 10
     assert politeness_budget(0.0, 10) == 1  # rps clamped at 0.1 (throttle.py:21)
     assert politeness_budget(2.5, 4) == 10
+
+
+def test_mega_host_beyond_salt_capacity_exact(spark):
+    """Round-4 verdict drill: one host with salt_n * budget * 4
+    candidates (past the old documented 'exactness cliff'). The kept set
+    must equal the naive single-window selection EXACTLY — the tree
+    top-K keeps the true per-host head at any skew — and nothing is
+    lost between scheduled and deferred."""
+    import random
+
+    budget, salt_n = 5, 4
+    n = salt_n * budget * 4  # 80 candidates, 4x past salt_n * budget
+    rng = random.Random(7)
+    rows = [
+        (f"https://mega.example/{rng.randrange(10**9):09d}-{i:04d}",
+         "mega.example", rng.randrange(3), round(rng.random(), 3), 0)
+        for i in range(n)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "canon_url string, host string, depth int, priority double, attempt int"
+    )
+    scheduled, deferred = schedule_wave(frontier, budget, salt_n=salt_n, fanin=2)
+    got = sorted(r["canon_url"] for r in scheduled.collect())
+    want = sorted(
+        r[0]
+        for r in sorted(rows, key=lambda r: (r[2], -r[3], r[0]))[:budget]
+    )
+    assert got == want
+    assert scheduled.count() + deferred.count() == n
+    # deferred really is the complement (no duplication, no loss)
+    dset = {r["canon_url"] for r in deferred.collect()}
+    assert dset.isdisjoint(got) and len(dset) == n - budget
+
+
+def test_tree_topk_task_bound_by_fanin_budget(spark):
+    """No single window partition (the unit one task sorts) ever holds
+    more than ~fanin * budget rows once a host exceeds one shard: the
+    count-gated shard count spreads a mega host's candidates, and each
+    merge round's groups are fanin shard-heads of <= budget rows."""
+    budget, salt_n, fanin = 10, 8, 2
+    n = salt_n * fanin * budget * 2  # mega: clamps to salt_n shards
+    rows = [
+        (f"https://m.example/p{i:05d}", "m.example", i % 5, 0.5, 0)
+        for i in range(n)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "canon_url string, host string, depth int, priority double, attempt int"
+    )
+    # phase-1 shard sizes: n/salt_n = fanin*budget*2 (cap clamped) —
+    # verify the *selection* inputs after phase 1 stay <= fanin*budget
+    # by replaying the scheduler's own grouping columns
+    from pyspark.sql import Window
+
+    ns = min(salt_n, max(1, -(-n // (fanin * budget))))
+    assert ns == salt_n  # clamp engaged for this drill
+    salted = frontier.withColumn(
+        "_sh", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(ns)).cast("int")
+    )
+    w = Window.partitionBy("host", "_sh").orderBy(
+        F.col("depth").asc(), F.col("priority").desc(), F.col("canon_url").asc()
+    )
+    heads = salted.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= budget
+    )
+    per_merge_group = (
+        heads.withColumn("_g", F.floor(F.col("_sh") / fanin))
+        .groupBy("_g")
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    assert all(r["rows"] <= fanin * budget for r in per_merge_group)
+    # and the scheduler still returns the exact head
+    scheduled, _ = schedule_wave(frontier, budget, salt_n=salt_n, fanin=fanin)
+    got = sorted(r["canon_url"] for r in scheduled.collect())
+    want = sorted(
+        r[0] for r in sorted(rows, key=lambda r: (r[2], -r[3], r[0]))[:budget]
+    )
+    assert got == want
