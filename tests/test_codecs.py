@@ -436,8 +436,8 @@ def test_jpeg_fast_and_legacy_readers_agree():
     orig = J._decode_scan
 
     def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval):
-        # a huge restart_interval never fires but routes to the legacy reader
-        return orig(data, pos, frame, scan, quant, huff, 10**9)
+        return orig(data, pos, frame, scan, quant, huff, restart_interval,
+                    _force_legacy=True)
 
     J._decode_scan = legacy_scan
     try:
@@ -445,3 +445,37 @@ def test_jpeg_fast_and_legacy_readers_agree():
     finally:
         J._decode_scan = orig
     assert fast[:3] == slow[:3] and (fast[3] == slow[3]).all()
+
+
+def test_jpeg_fast_reader_handles_restart_streams():
+    """Round-4 verdict q48 item: restart-marker streams now route
+    through the LUT fast path (sync_to_rst drops only the padding bits)
+    and must agree bit-identically with the per-bit legacy reader on
+    the SAME DRI+RSTn stream, across intervals, grayscale, and
+    subsampled layouts."""
+    import markdown_lab_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(13)
+    orig = J._decode_scan
+
+    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval):
+        return orig(data, pos, frame, scan, quant, huff, restart_interval,
+                    _force_legacy=True)
+
+    cases = [
+        J.encode_jpeg(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8),
+                      restart_interval=2),
+        J.encode_jpeg(rng.integers(0, 256, (40, 40), dtype=np.uint8),
+                      restart_interval=1),
+        J.encode_jpeg(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8),
+                      subsample=True, restart_interval=3),
+    ]
+    for enc in cases:
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        fast = J.decode_jpeg(enc)
+        J._decode_scan = legacy_scan
+        try:
+            slow = J.decode_jpeg(enc)
+        finally:
+            J._decode_scan = orig
+        assert fast[:3] == slow[:3] and (fast[3] == slow[3]).all()
