@@ -416,6 +416,31 @@ class CrawlEngine:
         self.host_rules.count()
 
     # -- state ----------------------------------------------------------------
+    def _state_tables(self):
+        """The two Iceberg-standin snapshot tables of bucketed-state mode
+        (frontier = per-wave overwrite snapshots, seen = per-wave MERGE
+        of the delta), rooted under the checkpoint dir so they persist
+        across engine instances and resumes."""
+        if getattr(self, "_snap_tables", None) is None:
+            from ..state.iceberg_standin import SnapshotTable  # noqa: PLC0415
+
+            assert self.checkpoint_dir is not None
+            self._snap_tables = (
+                SnapshotTable(
+                    self.spark,
+                    os.path.join(self.checkpoint_dir, "state", "frontier"),
+                    f"{self._tbl_prefix}_frontier",
+                    buckets=self.config.state_buckets,
+                ),
+                SnapshotTable(
+                    self.spark,
+                    os.path.join(self.checkpoint_dir, "state", "seen"),
+                    f"{self._tbl_prefix}_seen",
+                    buckets=self.config.state_buckets,
+                ),
+            )
+        return self._snap_tables
+
     def _frontier_from_seeds(self, seeds) -> DataFrame:
         """seeds: list[str] or a DataFrame with a ``url`` column (the
         DataFrame form avoids a driver round-trip for huge seed sets)."""
@@ -583,6 +608,19 @@ class CrawlEngine:
                 cuckoo.add_sharded_pairs(*self._cuckoo_pairs(fresh))
         elif seen is not None and not cfg.bucketed_state:
             bloom = self._build_bloom(seen)  # full build only on resume
+
+        if cfg.bucketed_state and start_wave > 0:
+            # resume/time-travel rebase: the standin snapshot tables may
+            # hold state from waves AFTER the flat checkpoint being
+            # resumed (or from a crash mid-commit); overwrite both to the
+            # resumed state so wave replay starts from a consistent
+            # snapshot, then serve state from the bucketed tables
+            fr_snap, sn_snap = self._state_tables()
+            fr_snap.overwrite(frontier, op_id=f"rebase-wave={start_wave}")
+            if seen is not None:
+                sn_snap.overwrite(seen, op_id=f"rebase-wave={start_wave}")
+                seen = sn_snap.read()
+            frontier = fr_snap.read()
 
         all_records: List[DataFrame] = []
         all_chunks: List[DataFrame] = []
@@ -900,36 +938,30 @@ class CrawlEngine:
                     seen = self.spark.read.parquet(cpath)
                 delta_for_bloom = seen_delta_r
                 if cfg.bucketed_state:
-                    # persist both state sides bucketed by canon_url so the
-                    # NEXT wave's anti-join is exchange-free on both scans.
-                    # (At warehouse scale seen is an Iceberg table with a
-                    # bucket transform and the per-wave update is a MERGE
-                    # of the delta, not a rewrite — the layout is the same.)
-                    from ..sinks import write_bucketed  # noqa: PLC0415
-
-                    fr_tbl = f"{self._tbl_prefix}_frontier_w{wave}"
-                    sn_tbl = f"{self._tbl_prefix}_seen_w{wave}"
-                    write_bucketed(
-                        frontier,
-                        fr_tbl,
-                        self._ckpt_path(wave, "frontier_bkt"),
-                        buckets=cfg.state_buckets,
+                    # persist both state sides as Iceberg-standin snapshot
+                    # tables, bucketed by canon_url so the NEXT wave's
+                    # anti-join is exchange-free on both scans. The wave
+                    # commit is MERGE-shaped and idempotent (op_id =
+                    # "wave=N"): frontier is an overwrite snapshot, seen
+                    # MERGEs only this wave's delta (upsert via
+                    # _compact_seen — latest status_wave wins, exactly
+                    # the flat rebuild's semantics), and each commit becomes
+                    # visible only at an atomic pointer swap, so a crash
+                    # mid-commit leaves the previous snapshot intact and a
+                    # replayed wave is detected and skipped
+                    # (state/iceberg_standin.py; crash drill in
+                    # tests/test_iceberg_standin.py).
+                    fr_snap, sn_snap = self._state_tables()
+                    fr_snap.overwrite(frontier, op_id=f"wave={wave}")
+                    sn_snap.merge_upsert(
+                        seen_delta_r, _compact_seen, op_id=f"wave={wave}"
                     )
-                    write_bucketed(
-                        seen,
-                        sn_tbl,
-                        self._ckpt_path(wave, "seen_bkt"),
-                        buckets=cfg.state_buckets,
-                    )
-                    frontier = self.spark.table(fr_tbl)
-                    seen = self.spark.table(sn_tbl)
-                    if wave > 0:
-                        self.spark.sql(
-                            f"DROP TABLE IF EXISTS {self._tbl_prefix}_frontier_w{wave - 1}"
-                        )
-                        self.spark.sql(
-                            f"DROP TABLE IF EXISTS {self._tbl_prefix}_seen_w{wave - 1}"
-                        )
+                    frontier = fr_snap.read()
+                    seen = sn_snap.read()
+                    # Iceberg maintenance analogue: keep a short snapshot
+                    # tail for time travel, GC the rest
+                    fr_snap.expire_snapshots(keep_last=2)
+                    sn_snap.expire_snapshots(keep_last=2)
             else:
                 # fuse next-wave frontier + seen into ONE materialization:
                 # harmonize schemas, tag, localCheckpoint once, split back
