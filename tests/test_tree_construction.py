@@ -289,7 +289,10 @@ def test_tag_soup_serialize_reparse_fixed_point():
     # misplaced content, so serialize->reparse legitimately differs — the
     # spec itself is not a fixed point there) and nobr/a (their START
     # tags run the adoption agency, so re-parsing an adoption-produced
-    # clone chain restructures again, also per spec)
+    # clone chain restructures again, also per spec). Both exclusions are
+    # PINNED as explicit divergence fixtures with expected outputs in
+    # test_adoption_on_start_tag_is_not_a_fixed_point and
+    # test_foster_parenting_across_formatting_is_not_a_fixed_point below.
     tags = ["b", "i", "p", "div", "li", "ul", "dd", "dl", "span",
             "button", "em", "h1", "option", "select"]
     rng = random.Random(42)
@@ -337,3 +340,76 @@ def test_tag_soup_with_tables_never_crashes():
         doc = parse_document(f"<html><body>{soup}</body></html>")
         out = doc.root_element().html()
         parse_document(out)  # re-parse of our own serialization succeeds
+
+
+def _body_roundtrip(src):
+    from markdown_lab_spark.oracle.htmldom import parse_document
+
+    doc = parse_document(f"<html><body>{src}</body></html>")
+    body = next(
+        el for el in doc.root_element().iter_elements() if el.tag == "body"
+    )
+    return body.inner_html()
+
+
+def test_adoption_on_start_tag_is_not_a_fixed_point():
+    """Round-4 verdict item 6, family 1 (a/nobr START-tag adoption):
+    a second <a>/<nobr> start tag runs the adoption agency (the spec's
+    'in body' insertion mode: an <a> start tag with an a element in the
+    active formatting list triggers the agency and removes it; html5ever
+    implements the same restructure, the machinery the reference's
+    conversion rides via markdown_converter.rs:78-86). The agency emits
+    clone chains whose serialization, when RE-parsed, runs the agency
+    again — so serialize->reparse legitimately differs on pass 1 and
+    converges on pass 2. These fixtures pin both passes exactly; they
+    are the documented exclusion of the 300-case fixed-point fuzz."""
+    cases = [
+        (
+            "xx<a><div><b><a><b>",
+            'xx<a></a><div><a><b><a><b></b></a></b></a></div>',
+            'xx<a></a><div><a><b></b></a><b><a><b></b></a></b></div>',
+        ),
+        (
+            "<nobr><div><a><nobr>",
+            "<nobr></nobr><div><nobr><a><nobr></nobr></a></nobr></div>",
+            "<nobr></nobr><div><nobr><a></a></nobr><a><nobr></nobr></a></div>",
+        ),
+    ]
+    for soup, want_once, want_twice in cases:
+        once = _body_roundtrip(soup)
+        twice = _body_roundtrip(once)
+        assert once == want_once, (soup, once)
+        assert twice == want_twice, (soup, twice)
+        assert once != twice  # the documented divergence, load-bearing
+        # ...and the restructure CONVERGES: pass 2 is a true fixed point
+        assert _body_roundtrip(twice) == twice
+
+
+def test_foster_parenting_across_formatting_is_not_a_fixed_point():
+    """Round-4 verdict item 6, family 2 (foster parenting across open
+    formatting elements): content misnested inside a table is
+    foster-parented BEFORE the table while the open <a> formatting
+    context wraps it (spec 13.2.6.1 'foster parenting'; html5ever's
+    tree builder does the identical move). Serializing that tree nests
+    the fostered content inside the formatting element ahead of the
+    table, and RE-parsing runs the a-in-a adoption agency on it — pass 1
+    and pass 2 differ per spec, converging at pass 2. Pinned exactly."""
+    cases = [
+        (
+            "<a><table></tr><a><b>x",
+            "<a><a><b>x</b></a><table></table></a>",
+            "<a></a><a><b>x</b></a><table></table>",
+        ),
+        (
+            "<a><a><table>xx<a><button>x",
+            "<a></a><a>xx<a><button>x</button></a><table></table></a>",
+            "<a></a><a>xx</a><a><button>x</button></a><table></table>",
+        ),
+    ]
+    for soup, want_once, want_twice in cases:
+        once = _body_roundtrip(soup)
+        twice = _body_roundtrip(once)
+        assert once == want_once, (soup, once)
+        assert twice == want_twice, (soup, twice)
+        assert once != twice
+        assert _body_roundtrip(twice) == twice
