@@ -79,6 +79,53 @@ def native_image_backend():
     return decode
 
 
+def native_audio_backend():
+    """Conditional native audio-decoder loader — the audio twin of
+    ``native_image_backend``: returns a callable ``payload ->
+    (rate, n_channels, samples int16[n, ch])`` backed by ``soundfile``
+    (libsndfile) when importable, else None. Production plugs
+    libsndfile/ffmpeg in here for FLAC/OGG/MP3; the stdlib-wave codec
+    stays as the correctness oracle for PCM WAV. Malformed payload ->
+    ValueError (the decoder-boundary contract)."""
+    try:
+        import soundfile  # noqa: PLC0415, F401
+    except ImportError:
+        return None
+
+    def decode(payload: bytes):
+        import io as _io  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import soundfile as _sf  # noqa: PLC0415
+
+        try:
+            samples, rate = _sf.read(_io.BytesIO(payload), dtype="int16")
+        except Exception as exc:  # noqa: BLE001 — boundary normalization
+            raise ValueError(f"native decode failed: {type(exc).__name__}: {exc}")
+        arr = np.asarray(samples, dtype=np.int16)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return int(rate), int(arr.shape[1]), arr
+
+    return decode
+
+
+def _decode_audio_any(payload: bytes, backend=None):
+    """The one audio decode dispatch: injected native backend first
+    (when provided), then the pure stdlib-wave codec for PCM WAV.
+    Raises ValueError when nothing can decode the payload."""
+    from . import codecs  # noqa: PLC0415
+
+    if backend is not None:
+        try:
+            return backend(payload)
+        except ValueError:
+            pass  # fall through to the pure decoder
+    if codecs.is_wav(payload):
+        return codecs.decode_wav(payload)
+    raise ValueError("no audio decoder for payload")
+
+
 def _decode_image_any(payload: bytes, backend=None):
     """The one decode dispatch both pipelines use: injected native
     backend first (when provided), then the pure-numpy codecs by magic
@@ -169,10 +216,15 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def extract_audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, batch_rows: int = 64, audio_decoder=None
+) -> DataFrame:
     """Real audio decode for 16-bit PCM WAV (stdlib wave): sample rate,
-    channel count, duration, RMS level, zero-crossing rate. Non-WAV
-    payloads yield a null-features row (decode needs codec libs)."""
+    channel count, duration, RMS level, zero-crossing rate.
+    ``audio_decoder`` injects a native backend (``payload ->
+    (rate, nch, samples)``, ValueError on failure) ahead of the pure
+    decoder — pass ``native_audio_backend()``'s result, or leave None
+    for the pure path. Undecodable payloads yield a null-features row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs  # noqa: PLC0415
@@ -185,14 +237,15 @@ def extract_audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 rows = []
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
-                    if codecs.is_wav(payload):
-                        try:
-                            rate, nch, samples = codecs.decode_wav(payload)
-                            f = codecs.audio_features(rate, nch, samples)
-                            rows.append({"media_id": media_id, **f})
-                            continue
-                        except ValueError:
-                            pass
+                    try:
+                        rate, nch, samples = _decode_audio_any(
+                            payload, audio_decoder
+                        )
+                        f = codecs.audio_features(rate, nch, samples)
+                        rows.append({"media_id": media_id, **f})
+                        continue
+                    except ValueError:
+                        pass
                     rows.append(
                         {
                             "media_id": media_id,

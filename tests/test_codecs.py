@@ -479,3 +479,68 @@ def test_jpeg_fast_reader_handles_restart_streams():
         finally:
             J._decode_scan = orig
         assert fast[:3] == slow[:3] and (fast[3] == slow[3]).all()
+
+
+def test_native_audio_seam_accepts_injected_backend(spark):
+    """Round-4 verdict item 5 (fallback leg): the audio pipeline takes an
+    injected ``payload -> (rate, nch, samples)`` backend ahead of the
+    pure stdlib-wave decoder — proven with a fake backend that decodes a
+    sentinel native-only payload and ValueErrors everything else (WAV
+    then falls through to the pure path)."""
+    from markdown_lab_spark.functions.multimodal import extract_audio_features
+
+    sentinel = b"NATIVE-ONLY-AUDIO" + b"\x00" * 16
+
+    def fake_backend(payload: bytes):
+        if payload.startswith(b"NATIVE-ONLY-AUDIO"):
+            # 1 second of a 100 Hz-ish square-ish signal at 8 kHz mono
+            s = (np.arange(8000) % 80 < 40).astype(np.int16) * 1000 - 500
+            return 8000, 1, s[:, None]
+        raise ValueError("not mine")
+
+    wav = codecs.encode_wav(
+        (np.arange(4000, dtype=np.int16) % 321 - 160)[:, None], 16000
+    )
+    rows = [
+        (1, "audio", bytearray(sentinel), "audio/x-native", {}),
+        (2, "audio", bytearray(wav), "audio/wav", {}),
+        (3, "audio", bytearray(b"garbage"), "audio/x-broken", {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta map<string,string>",
+    )
+    feats = {
+        r["media_id"]: r
+        for r in extract_audio_features(df, audio_decoder=fake_backend).collect()
+    }
+    assert feats[1]["sample_rate"] == 8000 and feats[1]["n_samples"] == 8000
+    assert feats[1]["duration_s"] == pytest.approx(1.0)
+    assert feats[2]["sample_rate"] == 16000 and feats[2]["n_samples"] == 4000
+    assert feats[3]["sample_rate"] is None  # undecodable -> null features
+    # pure-path parity: the injected backend must not perturb WAV results
+    pure = {
+        r["media_id"]: r for r in extract_audio_features(df).collect()
+    }
+    for k in ("sample_rate", "n_channels", "n_samples", "rms", "zcr"):
+        assert feats[2][k] == pure[2][k]
+
+
+def test_native_audio_backend_crosschecks_pure_decoder_when_present():
+    """When a real native audio library (soundfile/libsndfile) exists,
+    the loader must return a backend whose PCM-WAV output matches the
+    stdlib-wave oracle sample-for-sample. Skipped (loader asserted
+    None-safe) when absent — this environment forbids installs."""
+    from markdown_lab_spark.functions.multimodal import native_audio_backend
+
+    backend = native_audio_backend()
+    if backend is None:
+        pytest.skip("no native audio library in this environment")
+    samples = (np.arange(2000, dtype=np.int16) % 501 - 250)[:, None]
+    wav = codecs.encode_wav(samples, 8000)
+    rate, nch, got = backend(wav)
+    assert (rate, nch) == (8000, 1)
+    assert (got == samples).all()
+    with pytest.raises(ValueError):
+        backend(b"definitely not audio")
