@@ -1,0 +1,130 @@
+"""WARC ingest/egress (sources/warc.py): round-trip, Common-Crawl
+member-per-record gzip layout, tolerant-tail contract, and the pages-table
+shape feeding the crawl engine."""
+
+import gzip
+from datetime import datetime, timezone
+
+from markdown_lab_spark.sources.warc import (
+    encode_warc,
+    parse_warc_stream,
+    read_warc,
+    warc_pages_table,
+)
+
+
+def _ts(i=0):
+    return datetime(2026, 8, 17, 12, 0, i, tzinfo=timezone.utc)
+
+
+def _records(n=3):
+    return [
+        {
+            "url": f"https://w.test/p{i}",
+            "warc_ts": _ts(i),
+            "html": f"<html><body><p>page {i}</p></body></html>".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_gzip_members():
+    recs = _records(3)
+    payload = encode_warc(recs)
+    # Common-Crawl layout: one gzip member per record
+    assert payload[:2] == b"\x1f\x8b"
+    assert payload.count(b"\x1f\x8b\x08") >= 3
+    got = list(parse_warc_stream(payload))
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
+    assert [r["html"] for r in got] == [r["html"] for r in recs]
+    assert all(r["warc_type"] == "response" for r in got)
+    assert all(r["http_status"] == 200 for r in got)
+    assert all(r["mime"] == "text/html" for r in got)
+    assert got[1]["warc_ts"] == _ts(1)
+
+
+def test_warc_roundtrip_uncompressed_and_mixed_types():
+    recs = _records(2)
+    payload = encode_warc(recs, compress=False)
+    assert payload.startswith(b"WARC/1.0")
+    got = list(parse_warc_stream(payload))
+    assert len(got) == 2 and got[0]["html"] == recs[0]["html"]
+    # non-response records (warcinfo shape) pass through with raw block
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    got2 = list(parse_warc_stream(info + payload))
+    assert got2[0]["warc_type"] == "warcinfo"
+    assert got2[0]["http_status"] is None and got2[0]["html"] == b"robots: x"
+    assert len(got2) == 3
+
+
+def test_warc_truncated_tail_is_tolerated():
+    """A torn final record (the common failure of interrupted archive
+    transfers) ends the stream instead of raising — decoder-boundary
+    contract. Both torn-body and torn-gzip-member forms."""
+    recs = _records(3)
+    plain = encode_warc(recs, compress=False)
+    torn = plain[: len(plain) - 30]  # cut into the last record's body
+    got = list(parse_warc_stream(torn))
+    assert [r["url"] for r in got] == [r["url"] for r in recs[:2]]
+    gz = encode_warc(recs)
+    torn_gz = gz[: len(gz) - 20]  # cut into the last gzip member
+    got_gz = list(parse_warc_stream(torn_gz))
+    assert [r["url"] for r in got_gz] == [r["url"] for r in recs[:2]]
+    assert list(parse_warc_stream(b"")) == []
+    assert list(parse_warc_stream(b"not a warc at all")) == []
+
+
+def test_read_warc_distributed_and_pages_table(spark, tmp_path):
+    """read_warc parses each file inside one task (no shuffle in the
+    plan before the parse) and warc_pages_table yields exactly the
+    engine's (url, warc_ts, html) input shape — filtered to successful
+    HTML responses."""
+    recs = _records(4)
+    recs[2] = dict(recs[2], http_status=404)  # dropped by pages filter
+    recs[3] = dict(recs[3], mime="application/pdf")  # dropped too
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(recs[:2]))
+    (tmp_path / "b.warc.gz").write_bytes(encode_warc(recs[2:]))
+
+    rec_df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    assert rec_df.count() == 4
+    plan = rec_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # file -> parse, embarrassingly parallel
+
+    pages = warc_pages_table(spark, str(tmp_path / "*.warc.gz"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://w.test/p0", "https://w.test/p1"}
+    assert bytes(rows["https://w.test/p0"]["html"]) == recs[0]["html"]
+    assert pages.columns == ["url", "warc_ts", "html"]
+
+
+def test_warc_pages_feed_the_crawl_engine(spark, tmp_path):
+    """End-to-end: a .warc.gz archive becomes the crawl corpus — the
+    source tier the north star's Common-Crawl-style tables are built
+    from at ingest."""
+    from markdown_lab_spark.frontier.crawler import CrawlConfig, CrawlEngine
+
+    def page(title, links):
+        anchors = "".join(f'<a href="{u}">{u}</a>' for u in links)
+        return (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<p>{title} body</p>{anchors}</body></html>"
+        ).encode()
+
+    recs = [
+        {"url": "https://wc.test/", "warc_ts": _ts(0),
+         "html": page("root", ["https://wc.test/a"])},
+        {"url": "https://wc.test/a", "warc_ts": _ts(1),
+         "html": page("leaf", [])},
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(encode_warc(recs))
+    pages = warc_pages_table(spark, str(tmp_path / "c.warc.gz")).select(
+        "url", "html"
+    )
+    out = CrawlEngine(
+        spark, pages, CrawlConfig(rps=10.0, wave_seconds=1, max_waves=2)
+    ).crawl(["https://wc.test/"])
+    tr = {r["canon_url"]: r["status"] for r in out["trace"].collect()}
+    assert tr == {"https://wc.test/": "ok", "https://wc.test/a": "ok"}
