@@ -19,6 +19,9 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--pages-warc", help="WARC archive glob (.warc/.warc.gz, "
+                    "Common-Crawl layout) used as the pages corpus instead "
+                    "of --pages")
     ap.add_argument("--seeds", nargs="*", default=[], help="seed URLs")
     ap.add_argument("--seeds-file", help="links file (blank/# lines skipped)")
     ap.add_argument("--checkpoint", help="checkpoint directory")
@@ -102,11 +105,16 @@ def main() -> int:
         print(f"wrote {hp.count()} host priorities to {args.priorities}")
         return 0
 
-    if not args.pages or not seeds:
-        print("need --pages and seeds", file=sys.stderr)
+    if not (args.pages or args.pages_warc) or not seeds:
+        print("need --pages or --pages-warc, and seeds", file=sys.stderr)
         return 2
 
-    pages = spark.read.parquet(args.pages)
+    if args.pages_warc:
+        from markdown_lab_spark.sources.warc import warc_pages_table
+
+        pages = warc_pages_table(spark, args.pages_warc).select("url", "html")
+    else:
+        pages = spark.read.parquet(args.pages)
     cfg = CrawlConfig(
         rps=args.rps,
         wave_seconds=args.wave_seconds,
