@@ -534,6 +534,10 @@ def decontaminate(
 ) -> DataFrame:
     """Flag training docs that collide with benchmark n-grams.
 
+    Membership is STRICT n-gram (shingles(strict=True)): texts shorter
+    than ``n`` words contribute no n-grams on either side, matching the
+    SQL oracle exactly (a short text can never "be" a pseudo-13-gram).
+
     Plan shape at 10^10 docs: corpus side is one narrow
     normalize+shingle+explode (no shuffle), the membership test is a
     BROADCAST semi-join against the distinct benchmark n-grams (small by
