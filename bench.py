@@ -270,12 +270,13 @@ def input_scaling_run() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a"
     ) as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"input_scaling": {k[0] + "_" + str(k[1]): v for k, v in {
+    summary = {"input_scaling": {k[0] + "_" + str(k[1]): v for k, v in {
         (label, cpus): round(legs[(label, cpus)][1] / legs[(label, cpus)][0], 1)
-        for label in ("1x", "4x", "8x") for cpus in (8, 32)
-    }.items()}, "efficiency_1x": round(effs["1x"], 3),
-        "efficiency_4x": round(effs["4x"], 3),
-        "efficiency_8x": round(effs["8x"], 3)}))
+        for label in effs for cpus in (8, 32)
+    }.items()}}
+    for label, eff in effs.items():
+        summary[f"efficiency_{label}"] = round(eff, 3)
+    print(json.dumps(summary))
 
 
 def main() -> None:
