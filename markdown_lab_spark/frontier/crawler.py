@@ -125,6 +125,16 @@ class CrawlConfig:
     # the rest defer to the next wave. orderBy().limit() compiles to
     # TakeOrderedAndProject (distributed partial top-k, no global sort).
     wave_fetch_cap: Optional[int] = None
+    # co-located fetch join: at cluster scale the default broadcast of
+    # the per-wave schedule ships hosts*budget rows to EVERY executor
+    # (100 MB x 1000 executors); with bucketed_fetch the corpus is
+    # written ONCE as a canon_url-bucketed table (the Iceberg-ingest
+    # analogue) and each wave's schedule is written bucketed too, so the
+    # fetch join is an exchange-free bucket-to-bucket SMJ — no schedule
+    # broadcast, no corpus shuffle. Requires a checkpoint_dir (the
+    # bucketed corpus + per-wave schedules live there). The one-time
+    # corpus write is the ingest cost a warehouse pays anyway.
+    bucketed_fetch: bool = False
 
     @property
     def budget(self) -> int:
@@ -400,9 +410,16 @@ class CrawlEngine:
                 "TTL re-crawl uses the cuckoo-filter seen path, which "
                 "never reads the bucketed state tables"
             )
+        if self.config.bucketed_fetch and checkpoint_dir is None:
+            raise ValueError(
+                "bucketed_fetch writes the bucketed corpus and per-wave "
+                "schedules under a checkpoint_dir"
+            )
         # formatted plan of each wave's state anti-join (bucketed mode):
         # lets tests pin the exchange-free property on the REAL wave join
         self.antijoin_plans: List[str] = []
+        # formatted plan of each wave's fetch join (bucketed_fetch mode)
+        self.fetch_plans: List[str] = []
         CrawlEngine._instances += 1
         self._tbl_prefix = f"mls_e{CrawlEngine._instances}"
         # canonicalize the corpus once; keep html out of any shuffle by
@@ -414,6 +431,19 @@ class CrawlEngine:
         # corpus for robots bodies
         self.host_rules = robots_host_rules(robots_rules_df(pages)).cache()
         self.host_rules.count()
+        self._corpus_tbl: Optional[str] = None
+        if self.config.bucketed_fetch:
+            # one-time ingest: the corpus as a canon_url-bucketed table,
+            # the layout every wave's co-located fetch SMJ reads
+            from ..sinks import write_bucketed  # noqa: PLC0415
+
+            self._corpus_tbl = f"{self._tbl_prefix}_corpus_bkt"
+            write_bucketed(
+                self.pages.select("canon_url", "url", "html"),
+                self._corpus_tbl,
+                os.path.join(self.checkpoint_dir, "corpus_bkt"),
+                buckets=self.config.state_buckets,
+            )
 
     # -- state ----------------------------------------------------------------
     def _state_tables(self):
@@ -718,9 +748,37 @@ class CrawlEngine:
             # seen set with status 'too_large' instead of burning
             # politeness-budget slots as retries — but their bytes never
             # cross Arrow (the convert UDF sees null html for them).
-            fetched = pages_slim.join(
-                F.broadcast(scheduled), on="canon_url", how="inner"
-            ).withColumn("_too_large", F.length("html") > cfg.max_file_size)
+            if cfg.bucketed_fetch:
+                # co-located form: write this wave's schedule bucketed by
+                # the same key/count as the corpus table, then join the
+                # two catalog tables — bucket-to-bucket SMJ, zero
+                # exchanges, no broadcast (plan recorded in fetch_plans;
+                # pinned by tests/test_bucketed_join.py)
+                from ..plans.checks import formatted_plan  # noqa: PLC0415
+                from ..sinks import write_bucketed  # noqa: PLC0415
+
+                sch_tbl = f"{self._tbl_prefix}_sched_w{wave}"
+                write_bucketed(
+                    scheduled,
+                    sch_tbl,
+                    self._ckpt_path(wave, "sched_bkt"),
+                    buckets=cfg.state_buckets,
+                )
+                fetched = self.spark.table(self._corpus_tbl).join(
+                    self.spark.table(sch_tbl), on="canon_url", how="inner"
+                )
+                self.fetch_plans.append(formatted_plan(fetched))
+                if wave > 0:
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self._tbl_prefix}_sched_w{wave - 1}"
+                    )
+            else:
+                fetched = pages_slim.join(
+                    F.broadcast(scheduled), on="canon_url", how="inner"
+                )
+            fetched = fetched.withColumn(
+                "_too_large", F.length("html") > cfg.max_file_size
+            )
 
             # 5. convert + chunk (Arrow-vectorized)
             docs = (
