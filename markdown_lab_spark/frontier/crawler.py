@@ -135,6 +135,22 @@ class CrawlConfig:
     # bucketed corpus + per-wave schedules live there). The one-time
     # corpus write is the ingest cost a warehouse pays anyway.
     bucketed_fetch: bool = False
+    # deep-frontier mode: keep the standing DEFERRED tail in its own
+    # per-wave state snapshot instead of re-routing it through the wave
+    # plan. At a 4:1 frontier:budget ratio the default path sends the
+    # whole tail through the seen anti-join, robots filter, route
+    # localCheckpoint, rediscovery groupBy, and the frontier_next write
+    # EVERY wave even though only the scheduled head changes. With
+    # lazy_deferred the wave routes only (new candidates + each host's
+    # head rows): per-host ``top-B(tail ∪ new) == top-B(top-B(tail) ∪
+    # new)`` — a row outside the tail's head has ≥ B tail rows above it,
+    # so it can never be scheduled — and the tail update is MERGE-shaped
+    # (delete the ≤ hosts*budget scheduled keys, insert the unscheduled
+    # new candidates; at warehouse scale an Iceberg MERGE touching only
+    # matched files). Output (trace/seen/chunks) is EXACTLY the default
+    # path's — deferred rows never appear in any of them. Requires a
+    # checkpoint_dir (the tail snapshot lives there).
+    lazy_deferred: bool = False
 
     @property
     def budget(self) -> int:
@@ -415,6 +431,11 @@ class CrawlEngine:
                 "bucketed_fetch writes the bucketed corpus and per-wave "
                 "schedules under a checkpoint_dir"
             )
+        if self.config.lazy_deferred and checkpoint_dir is None:
+            raise ValueError(
+                "lazy_deferred persists the deferred-tail snapshot under "
+                "a checkpoint_dir"
+            )
         # formatted plan of each wave's state anti-join (bucketed mode):
         # lets tests pin the exchange-free property on the REAL wave join
         self.antijoin_plans: List[str] = []
@@ -603,9 +624,26 @@ class CrawlEngine:
         cfg = self.config
         frontier: Optional[DataFrame]
         seen: Optional[DataFrame]
+        # standing deferred tail (lazy_deferred mode); None = empty
+        deferred_state: Optional[DataFrame] = None
         start_wave = 0
         if resume:
             frontier, seen, start_wave = self.resume_state(from_wave)
+            if start_wave > 0:
+                # the resumed wave's deferred-tail snapshot (if the
+                # checkpoint was written by a lazy_deferred crawl). A
+                # mode-switch resume stays correct in both directions:
+                # lazy -> default folds the tail back into the frontier
+                # (it re-routes once, then rides the default path);
+                # default -> lazy starts with an empty tail and the
+                # frontier rows settle into the snapshot on first route.
+                dpath = self._ckpt_path(start_wave - 1, "deferred")
+                if os.path.exists(os.path.join(dpath, "_SUCCESS")):
+                    tail = self.spark.read.parquet(dpath)
+                    if cfg.lazy_deferred:
+                        deferred_state = tail
+                    elif frontier is not None:
+                        frontier = frontier.unionByName(tail)
         else:
             frontier, seen = None, None
         if frontier is None:
@@ -664,7 +702,9 @@ class CrawlEngine:
 
         for wave in range(start_wave, cfg.max_waves):
             _t = _time.time()
-            if frontier.isEmpty():
+            if frontier.isEmpty() and (
+                deferred_state is None or deferred_state.isEmpty()
+            ):
                 break
             _t = _tick(f"w{wave} isEmpty", _t)
 
@@ -718,7 +758,27 @@ class CrawlEngine:
             # candidate with its route and localCheckpointing once gives
             # the same recompute-safety for a single job's fixed cost.
             allowed, denied = robots_filter(candidates, self.host_rules)
-            scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
+            if cfg.lazy_deferred:
+                # route only (new candidates + per-host tail heads): the
+                # tail never re-enters the anti-join/robots/route plan.
+                # Tail rows passed robots when first routed and host_rules
+                # is fixed for the crawl; they are never in seen (only
+                # fetched/denied URLs are), so skipping both is exact.
+                sched_in = allowed.withColumn("_src", F.lit("new"))
+                if deferred_state is not None:
+                    heads, _rest = schedule_wave(
+                        deferred_state, cfg.budget, cfg.salt_n
+                    )
+                    # one tail scan; heads is <= hosts*budget rows
+                    heads = heads.localCheckpoint(eager=True)
+                    sched_in = sched_in.unionByName(
+                        heads.withColumn("_src", F.lit("head"))
+                    )
+                scheduled, deferred = schedule_wave(
+                    sched_in, cfg.budget, cfg.salt_n
+                )
+            else:
+                scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
             if cfg.wave_fetch_cap is not None:
                 kept = scheduled.orderBy(
                     F.col("priority").desc(),
@@ -730,15 +790,54 @@ class CrawlEngine:
                 )
                 scheduled = kept
                 deferred = deferred.unionByName(over_cap)
-            routed = (
-                scheduled.withColumn("_route", F.lit("scheduled"))
-                .unionByName(deferred.withColumn("_route", F.lit("deferred")))
-                .unionByName(denied.withColumn("_route", F.lit("denied")))
-            ).localCheckpoint(eager=True)
-            _t = _tick(f"w{wave} route lc", _t)
-            scheduled = routed.filter(F.col("_route") == "scheduled").drop("_route")
-            deferred = routed.filter(F.col("_route") == "deferred").drop("_route")
-            denied = routed.filter(F.col("_route") == "denied").drop("_route")
+            if cfg.lazy_deferred:
+                # unscheduled NEW candidates are the tail's inserts;
+                # unscheduled head rows are already in the tail snapshot
+                new_inserts = deferred.filter(F.col("_src") == "new").drop("_src")
+                routed = (
+                    scheduled.drop("_src")
+                    .withColumn("_route", F.lit("scheduled"))
+                    .unionByName(denied.withColumn("_route", F.lit("denied")))
+                ).localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} route lc", _t)
+                scheduled = routed.filter(
+                    F.col("_route") == "scheduled"
+                ).drop("_route")
+                denied = routed.filter(F.col("_route") == "denied").drop("_route")
+                # MERGE-shaped tail update: delete this wave's scheduled
+                # keys (<= hosts*budget, broadcast by AQE), insert the
+                # unscheduled new candidates, snapshot per wave. At
+                # warehouse scale this is an Iceberg MERGE whose delete
+                # touches only the files holding scheduled keys; the
+                # standin rewrites the snapshot (one tail scan).
+                if deferred_state is not None:
+                    new_def = deferred_state.join(
+                        scheduled.select("canon_url"),
+                        on="canon_url",
+                        how="left_anti",
+                    ).unionByName(new_inserts)
+                else:
+                    new_def = new_inserts
+                dpath = self._ckpt_path(wave, "deferred")
+                new_def.write.mode("overwrite").parquet(dpath)
+                deferred_state = self.spark.read.parquet(dpath)
+                # downstream (rediscovery anti-join) sees the full tail
+                deferred = deferred_state
+                _t = _tick(f"w{wave} deferred merge", _t)
+            else:
+                routed = (
+                    scheduled.withColumn("_route", F.lit("scheduled"))
+                    .unionByName(deferred.withColumn("_route", F.lit("deferred")))
+                    .unionByName(denied.withColumn("_route", F.lit("denied")))
+                ).localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} route lc", _t)
+                scheduled = routed.filter(
+                    F.col("_route") == "scheduled"
+                ).drop("_route")
+                deferred = routed.filter(
+                    F.col("_route") == "deferred"
+                ).drop("_route")
+                denied = routed.filter(F.col("_route") == "denied").drop("_route")
 
             # 4. fetch = broadcast join against the corpus (stream side =
             # corpus, build side = the small schedule: the corpus is never
@@ -943,23 +1042,27 @@ class CrawlEngine:
             )
             # a URL that is both deferred (or requeued) and rediscovered
             # keeps its DEFERRED values (simulator parity: deferred wins
-            # over rediscovery), hence the anti-joins — cheap: both right
-            # sides are wave-bounded and AQE broadcasts them
-            new_frontier = (
-                deferred.select("canon_url", "host", "depth", "priority", "attempt")
-                .unionByName(requeued)
-                .unionByName(
-                    discovered.join(dedup_seen, on="canon_url", how="left_anti")
-                    .join(deferred, on="canon_url", how="left_anti")
-                    .join(requeued, on="canon_url", how="left_anti")
-                    .select("canon_url", "host", "depth", "priority", "attempt")
-                )
-                .groupBy("canon_url", "host")
-                .agg(
-                    F.min("depth").alias("depth"),
-                    F.max("priority").alias("priority"),
-                    F.max("attempt").alias("attempt"),
-                )
+            # over rediscovery), hence the anti-joins — cheap in default
+            # mode (both right sides wave-bounded, AQE broadcasts them);
+            # in lazy mode the deferred side is the full tail snapshot,
+            # where the anti-join is keyed and bucketable (the tail is
+            # already parquet-backed, so the probe reads no extra state)
+            fresh_discovered = (
+                discovered.join(dedup_seen, on="canon_url", how="left_anti")
+                .join(deferred, on="canon_url", how="left_anti")
+                .join(requeued, on="canon_url", how="left_anti")
+                .select("canon_url", "host", "depth", "priority", "attempt")
+            )
+            new_frontier = requeued.unionByName(fresh_discovered)
+            if not cfg.lazy_deferred:
+                # default mode: the tail rides the frontier itself
+                new_frontier = deferred.select(
+                    "canon_url", "host", "depth", "priority", "attempt"
+                ).unionByName(new_frontier)
+            new_frontier = new_frontier.groupBy("canon_url", "host").agg(
+                F.min("depth").alias("depth"),
+                F.max("priority").alias("priority"),
+                F.max("attempt").alias("attempt"),
             )
 
             _t = _tick(f"w{wave} plan build", _t)

@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--bucketed-state", action="store_true",
                     help="persist frontier/seen as bucketed tables "
                     "(exchange-free anti-join; needs --checkpoint)")
+    ap.add_argument("--lazy-deferred", action="store_true",
+                    help="keep the standing deferred tail in its own "
+                    "state snapshot; route only new candidates + per-host "
+                    "heads each wave (deep frontiers; needs --checkpoint)")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",
@@ -123,6 +127,7 @@ def main() -> int:
         ttl_waves=args.ttl_waves,
         wave_fetch_cap=args.wave_fetch_cap,
         bucketed_state=args.bucketed_state,
+        lazy_deferred=args.lazy_deferred,
     )
     engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
     host_priorities = (
