@@ -159,7 +159,9 @@ def crawl_run(spark, corpus_path: str, waves: int = 2) -> tuple[float, int]:
         ~F.col("url").rlike(r"/(robots\.txt|sitemap\.xml)$")
     )
     cfg = CrawlConfig(
-        rps=10000.0, wave_seconds=10, max_waves=waves, salt_n=16
+        rps=10000.0, wave_seconds=10, max_waves=waves, salt_n=16,
+        # deep-frontier A/B knob (BENCH.md round-5: the 16x dip)
+        lazy_deferred=os.environ.get("MLS_LAZY_DEFERRED") == "1",
     )
     engine = CrawlEngine(spark, pages, cfg)
     t0 = time.time()

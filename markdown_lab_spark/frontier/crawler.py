@@ -148,8 +148,10 @@ class CrawlConfig:
     # (delete the ≤ hosts*budget scheduled keys, insert the unscheduled
     # new candidates; at warehouse scale an Iceberg MERGE touching only
     # matched files). Output (trace/seen/chunks) is EXACTLY the default
-    # path's — deferred rows never appear in any of them. Requires a
-    # checkpoint_dir (the tail snapshot lives there).
+    # path's — deferred rows never appear in any of them. With a
+    # checkpoint_dir the tail snapshot is persisted per wave (resume
+    # restores it); without one it lives in a localCheckpoint, still out
+    # of the per-wave route/state plans.
     lazy_deferred: bool = False
 
     @property
@@ -431,11 +433,6 @@ class CrawlEngine:
                 "bucketed_fetch writes the bucketed corpus and per-wave "
                 "schedules under a checkpoint_dir"
             )
-        if self.config.lazy_deferred and checkpoint_dir is None:
-            raise ValueError(
-                "lazy_deferred persists the deferred-tail snapshot under "
-                "a checkpoint_dir"
-            )
         # formatted plan of each wave's state anti-join (bucketed mode):
         # lets tests pin the exchange-free property on the REAL wave join
         self.antijoin_plans: List[str] = []
@@ -491,6 +488,24 @@ class CrawlEngine:
                 ),
             )
         return self._snap_tables
+
+    def _deferred_table(self):
+        """Third snapshot table of bucketed-state + lazy_deferred mode:
+        the standing tail, canon_url-bucketed like frontier/seen so the
+        per-wave tail joins (head extraction scan, tail-minus-scheduled,
+        rediscovery anti-join) read a co-located layout instead of
+        re-shuffling the tail every wave."""
+        if getattr(self, "_deferred_snap", None) is None:
+            from ..state.iceberg_standin import SnapshotTable  # noqa: PLC0415
+
+            assert self.checkpoint_dir is not None
+            self._deferred_snap = SnapshotTable(
+                self.spark,
+                os.path.join(self.checkpoint_dir, "state", "deferred"),
+                f"{self._tbl_prefix}_deferred",
+                buckets=self.config.state_buckets,
+            )
+        return self._deferred_snap
 
     def _frontier_from_seeds(self, seeds) -> DataFrame:
         """seeds: list[str] or a DataFrame with a ``url`` column (the
@@ -689,6 +704,12 @@ class CrawlEngine:
                 sn_snap.overwrite(seen, op_id=f"rebase-wave={start_wave}")
                 seen = sn_snap.read()
             frontier = fr_snap.read()
+            if cfg.lazy_deferred and deferred_state is not None:
+                d_snap = self._deferred_table()
+                d_snap.overwrite(
+                    deferred_state, op_id=f"rebase-wave={start_wave}"
+                )
+                deferred_state = d_snap.read()
 
         all_records: List[DataFrame] = []
         all_chunks: List[DataFrame] = []
@@ -818,9 +839,22 @@ class CrawlEngine:
                     ).unionByName(new_inserts)
                 else:
                     new_def = new_inserts
-                dpath = self._ckpt_path(wave, "deferred")
-                new_def.write.mode("overwrite").parquet(dpath)
-                deferred_state = self.spark.read.parquet(dpath)
+                if self.checkpoint_dir is not None:
+                    # the flat per-wave snapshot is the authoritative
+                    # checkpoint (resume/time travel reads it, like
+                    # frontier_next); bucketed_state ALSO commits it to
+                    # the bucketed snapshot table so next wave's tail
+                    # scans read the co-located layout
+                    dpath = self._ckpt_path(wave, "deferred")
+                    new_def.write.mode("overwrite").parquet(dpath)
+                    deferred_state = self.spark.read.parquet(dpath)
+                    if cfg.bucketed_state:
+                        d_snap = self._deferred_table()
+                        d_snap.overwrite(deferred_state, op_id=f"wave={wave}")
+                        deferred_state = d_snap.read()
+                        d_snap.expire_snapshots(keep_last=2)
+                else:
+                    deferred_state = new_def.localCheckpoint(eager=True)
                 # downstream (rediscovery anti-join) sees the full tail
                 deferred = deferred_state
                 _t = _tick(f"w{wave} deferred merge", _t)

@@ -40,7 +40,7 @@ def main() -> int:
     ap.add_argument("--lazy-deferred", action="store_true",
                     help="keep the standing deferred tail in its own "
                     "state snapshot; route only new candidates + per-host "
-                    "heads each wave (deep frontiers; needs --checkpoint)")
+                    "heads each wave (deep frontiers)")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",

@@ -138,8 +138,41 @@ def test_mode_switch_resume_lazy_to_default(spark, deep_pages, tmp_path):
     assert sorted(early + _trace_set(resumed)) == full_trace
 
 
-def test_lazy_deferred_requires_checkpoint_dir(spark, deep_pages):
-    with pytest.raises(ValueError, match="lazy_deferred"):
-        CrawlEngine(
-            spark, deep_pages, CrawlConfig(lazy_deferred=True)
-        )
+def test_lazy_deferred_bucketed_state(spark, deep_pages, tmp_path):
+    """bucketed_state + lazy_deferred: the tail is ALSO committed to a
+    canon_url-bucketed snapshot table (state/deferred) so tail scans are
+    co-located; output and resume identity unchanged."""
+    base = _crawl(spark, deep_pages)
+    full = _crawl(
+        spark, deep_pages, ckpt=str(tmp_path / "bk"),
+        lazy_deferred=True, bucketed_state=True, state_buckets=4,
+    )
+    full_trace = _trace_set(full)
+    assert full_trace == _trace_set(base)
+
+    part = str(tmp_path / "bkp")
+    cfg_short = CrawlConfig(
+        rps=0.4, wave_seconds=5, max_waves=3,
+        lazy_deferred=True, bucketed_state=True, state_buckets=4,
+    )
+    CrawlEngine(spark, deep_pages, cfg_short, checkpoint_dir=part).crawl(SEEDS)
+    eng = CrawlEngine(
+        spark,
+        deep_pages,
+        CrawlConfig(
+            rps=0.4, wave_seconds=5, max_waves=6,
+            lazy_deferred=True, bucketed_state=True, state_buckets=4,
+        ),
+        checkpoint_dir=part,
+    )
+    resumed = eng.crawl(SEEDS, resume=True)
+    early = [t for t in full_trace if t[1] < 3]
+    assert sorted(early + _trace_set(resumed)) == full_trace
+
+
+def test_lazy_deferred_without_checkpoint(spark, deep_pages):
+    """No checkpoint_dir: the tail lives in a localCheckpoint but still
+    stays out of the per-wave route/state plans; output unchanged."""
+    base = _crawl(spark, deep_pages)
+    lazy = _crawl(spark, deep_pages, lazy_deferred=True)
+    assert _trace_set(lazy) == _trace_set(base)
