@@ -160,8 +160,11 @@ def crawl_run(spark, corpus_path: str, waves: int = 2) -> tuple[float, int]:
     )
     cfg = CrawlConfig(
         rps=10000.0, wave_seconds=10, max_waves=waves, salt_n=16,
-        # deep-frontier A/B knob (BENCH.md round-5: the 16x dip)
-        lazy_deferred=os.environ.get("MLS_LAZY_DEFERRED") == "1",
+        # deep-frontier A/B knobs (BENCH.md round-5: the 16x dip;
+        # MLS_TAIL_RANK implies lazy_deferred — frontier/tail.py)
+        lazy_deferred=os.environ.get("MLS_LAZY_DEFERRED") == "1"
+        or os.environ.get("MLS_TAIL_RANK") == "1",
+        tail_rank=os.environ.get("MLS_TAIL_RANK") == "1",
     )
     engine = CrawlEngine(spark, pages, cfg)
     t0 = time.time()

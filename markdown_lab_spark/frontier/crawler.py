@@ -153,6 +153,15 @@ class CrawlConfig:
     # restores it); without one it lives in a localCheckpoint, still out
     # of the per-wave route/state plans.
     lazy_deferred: bool = False
+    # rank-materialized tail (requires lazy_deferred): tail rows carry a
+    # sharded per-host queue rank and sorted parquet layout, deletes are
+    # wave-scoped tombstones, inserts are ranked delta appends, and a
+    # compaction every tail_compact_every waves absorbs both — so the
+    # per-wave tail cost is a row-group-pruned heads read plus two small
+    # appends, O(hosts*budget + new candidates), independent of how deep
+    # the standing tail is (frontier/tail.py has the exactness proof).
+    tail_rank: bool = False
+    tail_compact_every: int = 4
 
     @property
     def budget(self) -> int:
@@ -433,6 +442,8 @@ class CrawlEngine:
                 "bucketed_fetch writes the bucketed corpus and per-wave "
                 "schedules under a checkpoint_dir"
             )
+        if self.config.tail_rank and not self.config.lazy_deferred:
+            raise ValueError("tail_rank is a refinement of lazy_deferred")
         # formatted plan of each wave's state anti-join (bucketed mode):
         # lets tests pin the exchange-free property on the REAL wave join
         self.antijoin_plans: List[str] = []
@@ -642,23 +653,57 @@ class CrawlEngine:
         # standing deferred tail (lazy_deferred mode); None = empty
         deferred_state: Optional[DataFrame] = None
         start_wave = 0
+        ranked_tail = None
+        if cfg.lazy_deferred and cfg.tail_rank:
+            from .tail import RankedTail  # noqa: PLC0415
+
+            ranked_tail = RankedTail(
+                self.spark,
+                cfg.budget,
+                salt_n=cfg.salt_n,
+                compact_every=cfg.tail_compact_every,
+                checkpoint_dir=self.checkpoint_dir,
+            )
         if resume:
             frontier, seen, start_wave = self.resume_state(from_wave)
             if start_wave > 0:
-                # the resumed wave's deferred-tail snapshot (if the
-                # checkpoint was written by a lazy_deferred crawl). A
-                # mode-switch resume stays correct in both directions:
-                # lazy -> default folds the tail back into the frontier
-                # (it re-routes once, then rides the default path);
-                # default -> lazy starts with an empty tail and the
-                # frontier rows settle into the snapshot on first route.
+                # restore the resumed wave's deferred tail from whichever
+                # layout the checkpoint holds (v1 flat snapshot or the
+                # ranked component set). A mode-switch resume stays
+                # correct in every direction: the tail set is rebuilt and
+                # folded into whatever representation THIS config uses
+                # (default mode folds it back into the frontier, where it
+                # re-routes once and rides the default path).
+                waves = [
+                    w for w in self.complete_waves() if w < start_wave
+                ]
+                tail_rows = None
                 dpath = self._ckpt_path(start_wave - 1, "deferred")
                 if os.path.exists(os.path.join(dpath, "_SUCCESS")):
-                    tail = self.spark.read.parquet(dpath)
-                    if cfg.lazy_deferred:
-                        deferred_state = tail
+                    tail_rows = self.spark.read.parquet(dpath)
+                else:
+                    from .tail import RankedTail  # noqa: PLC0415
+
+                    restored = RankedTail.restore(
+                        self.spark,
+                        self.checkpoint_dir,
+                        waves,
+                        cfg.budget,
+                        salt_n=cfg.salt_n,
+                        compact_every=cfg.tail_compact_every,
+                    )
+                    if not restored.is_empty():
+                        if ranked_tail is not None:
+                            ranked_tail = restored
+                        else:
+                            tail_rows = restored.all_rows()
+                if tail_rows is not None:
+                    if ranked_tail is not None:
+                        ranked_tail.seed(start_wave - 1, tail_rows)
+                    elif cfg.lazy_deferred:
+                        deferred_state = tail_rows
                     elif frontier is not None:
-                        frontier = frontier.unionByName(tail)
+                        frontier = frontier.unionByName(tail_rows)
         else:
             frontier, seen = None, None
         if frontier is None:
@@ -723,9 +768,12 @@ class CrawlEngine:
 
         for wave in range(start_wave, cfg.max_waves):
             _t = _time.time()
-            if frontier.isEmpty() and (
-                deferred_state is None or deferred_state.isEmpty()
-            ):
+            tail_live = (
+                not ranked_tail.is_empty()
+                if ranked_tail is not None
+                else deferred_state is not None and not deferred_state.isEmpty()
+            )
+            if frontier.isEmpty() and not tail_live:
                 break
             _t = _tick(f"w{wave} isEmpty", _t)
 
@@ -786,7 +834,15 @@ class CrawlEngine:
                 # is fixed for the crawl; they are never in seen (only
                 # fetched/denied URLs are), so skipping both is exact.
                 sched_in = allowed.withColumn("_src", F.lit("new"))
-                if deferred_state is not None:
+                if ranked_tail is not None:
+                    # rank-pruned heads superset: a row-group-pruned
+                    # filter read, no tail window (frontier/tail.py)
+                    heads = ranked_tail.heads_superset(wave)
+                    if heads is not None:
+                        sched_in = sched_in.unionByName(
+                            heads.withColumn("_src", F.lit("head"))
+                        )
+                elif deferred_state is not None:
                     heads, _rest = schedule_wave(
                         deferred_state, cfg.budget, cfg.salt_n
                     )
@@ -811,7 +867,52 @@ class CrawlEngine:
                 )
                 scheduled = kept
                 deferred = deferred.unionByName(over_cap)
-            if cfg.lazy_deferred:
+            if cfg.lazy_deferred and ranked_tail is not None:
+                # one materialization carries everything the wave and the
+                # tail commit need: the schedule, the denials, and the
+                # unscheduled-new inserts, with _src preserved so the
+                # tombstone set (scheduled rows drawn FROM the tail) is a
+                # cheap filter over local blocks. Unscheduled head-
+                # superset rows are simply dropped — they stay live in
+                # the tail components untouched.
+                routed = (
+                    scheduled.withColumn("_route", F.lit("scheduled"))
+                    .unionByName(
+                        denied.withColumn("_src", F.lit("new")).withColumn(
+                            "_route", F.lit("denied")
+                        )
+                    )
+                    .unionByName(
+                        deferred.filter(F.col("_src") == "new").withColumn(
+                            "_route", F.lit("insert")
+                        )
+                    )
+                ).localCheckpoint(eager=True)
+                _t = _tick(f"w{wave} route lc", _t)
+                sched_tagged = routed.filter(
+                    F.col("_route") == "scheduled"
+                ).drop("_route")
+                denied = routed.filter(F.col("_route") == "denied").drop(
+                    "_route", "_src"
+                )
+                new_inserts = routed.filter(F.col("_route") == "insert").drop(
+                    "_route", "_src"
+                )
+                ranked_tail.apply_wave(
+                    wave,
+                    sched_tagged.filter(F.col("_src") == "head"),
+                    new_inserts,
+                )
+                scheduled = sched_tagged.drop("_src")
+                # downstream rediscovery anti-join sees the live tail
+                tail_all = ranked_tail.all_rows()
+                deferred = (
+                    tail_all
+                    if tail_all is not None
+                    else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+                )
+                _t = _tick(f"w{wave} deferred merge", _t)
+            elif cfg.lazy_deferred:
                 # unscheduled NEW candidates are the tail's inserts;
                 # unscheduled head rows are already in the tail snapshot
                 new_inserts = deferred.filter(F.col("_src") == "new").drop("_src")

@@ -41,6 +41,10 @@ def main() -> int:
                     help="keep the standing deferred tail in its own "
                     "state snapshot; route only new candidates + per-host "
                     "heads each wave (deep frontiers)")
+    ap.add_argument("--tail-rank", action="store_true",
+                    help="rank-materialized deferred tail (implies "
+                    "--lazy-deferred): tombstoned deletes + ranked delta "
+                    "appends; per-wave tail cost independent of tail depth")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",
@@ -127,7 +131,8 @@ def main() -> int:
         ttl_waves=args.ttl_waves,
         wave_fetch_cap=args.wave_fetch_cap,
         bucketed_state=args.bucketed_state,
-        lazy_deferred=args.lazy_deferred,
+        lazy_deferred=args.lazy_deferred or args.tail_rank,
+        tail_rank=args.tail_rank,
     )
     engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
     host_priorities = (
