@@ -97,6 +97,34 @@ out.append(
     f"```\n{head.strip()}\n```\n"
 )
 
+# round-5 ranked tail: the heads read that replaces the full-tail window
+from markdown_lab_spark.frontier.tail import RankedTail
+import shutil
+tdir = os.path.join(tempfile.gettempdir(), "mls_plans_tail")
+shutil.rmtree(tdir, ignore_errors=True)
+rt = RankedTail(spark, 2, salt_n=4, checkpoint_dir=tdir)
+rt.seed(0, pages_c.select(
+    "canon_url",
+    F.lit("h").alias("host"),
+    F.lit(0).alias("depth"),
+    F.lit(0.0).alias("priority"),
+    F.lit(0).alias("attempt"),
+))
+plan = re.sub(r"\[plan_id=\d+\]", "", formatted_plan(rt.heads_superset(3)))
+head, _, tail_s = plan.partition("\n\n")
+scan = next(
+    (b for b in tail_s.split("\n\n") if "PushedFilters" in b), ""
+)
+out.append(
+    "## ranked-tail heads read (tail_rank mode)\n\n"
+    "**Evidence:** the per-wave tail probe is `_rk <= budget*(age+1)` "
+    "over rank-sorted parquet components — the bound reaches the scan "
+    "as a PushedFilter (row-group min/max pruning), and NO Window "
+    "appears: per-wave tail cost is independent of tail depth "
+    "(asserted in `test_ranked_tail_heads_read_pushes_rank_filter`).\n\n"
+    f"```\n{head.strip()}\n\n" + "\n".join(scan.splitlines()[:14]) + "\n```\n"
+)
+
 open("/root/repo/PLANS.md","w").write("\n".join(out))
 print("written", len(out)-1, "sections")
 spark.stop()

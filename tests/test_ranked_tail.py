@@ -160,6 +160,27 @@ def test_ranked_tail_reinsert_after_tombstone(spark):
     assert rt.live_rows == 4
 
 
+def test_ranked_tail_heads_read_pushes_rank_filter(spark, tmp_path):
+    """Scale evidence: the heads read is `_rk <= bound` over the sorted
+    parquet components, and the bound REACHES the scan as a pushed
+    filter — at 10^10 tail rows the read prunes row groups by min/max
+    stats instead of scanning the tail. The full-tail window is gone."""
+    from markdown_lab_spark.plans.checks import formatted_plan
+
+    rt = RankedTail(spark, 2, salt_n=4, checkpoint_dir=str(tmp_path / "pp"))
+    rt.seed(
+        0,
+        _frontier_df(
+            spark,
+            [(f"https://h.test/p{i}", "h.test", i % 4, 0.0, 0)
+             for i in range(50)],
+        ),
+    )
+    plan = formatted_plan(rt.heads_superset(3))
+    assert "PushedFilters: [IsNotNull(_rk), LessThanOrEqual(_rk," in plan
+    assert "Window" not in plan
+
+
 # -------------------------------------------------------------- engine
 
 
