@@ -257,6 +257,17 @@ def test_mode_switch_resume_ranked_to_default(spark, deep_pages, base_trace, tmp
     assert sorted(early + _trace_set(resumed)) == base_trace
 
 
+def test_tail_rank_with_bucketed_state(spark, deep_pages, base_trace, tmp_path):
+    """bucketed_state (exchange-free frontier/seen anti-join) composes
+    with tail_rank (component tail): output unchanged."""
+    out = _crawl(
+        spark, deep_pages, ckpt=str(tmp_path / "rb"),
+        lazy_deferred=True, tail_rank=True,
+        bucketed_state=True, state_buckets=4,
+    )
+    assert _trace_set(out) == base_trace
+
+
 def test_tail_rank_requires_lazy(spark, deep_pages):
     with pytest.raises(ValueError, match="tail_rank"):
         CrawlEngine(
