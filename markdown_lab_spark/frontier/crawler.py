@@ -693,10 +693,15 @@ class CrawlEngine:
                         compact_every=cfg.tail_compact_every,
                     )
                     if not restored.is_empty():
-                        if ranked_tail is not None:
-                            ranked_tail = restored
-                        else:
-                            tail_rows = restored.all_rows()
+                        # always fold to rows and re-seed rather than
+                        # adopting the components: stored ranks bound
+                        # the superset via the budget/salt/compact
+                        # config in effect WHEN WRITTEN, which a resume
+                        # can change (e.g. a smaller budget would make
+                        # _rk <= B*(age+1) under-read). One re-rank
+                        # pass per resume event buys config-proof
+                        # exactness (tail.py "Crash safety").
+                        tail_rows = restored.all_rows()
                 if tail_rows is not None:
                     if ranked_tail is not None:
                         ranked_tail.seed(start_wave - 1, tail_rows)

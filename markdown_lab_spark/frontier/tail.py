@@ -42,6 +42,20 @@ Storage: under a checkpoint dir, components are parquet dirs
 (``wave=N/tail_base|tail_delta|tail_tombs``) so resume can rebuild the
 component list from the manifested waves; without one they are
 localCheckpoints (no resume, e.g. bench legs).
+
+Crash safety: ``restore`` consults only waves whose crawl MANIFEST
+committed, so artifacts from a wave that died mid-commit are ignored
+and overwritten by the deterministic replay (drill:
+``test_tail_rank_crash_resume_ignores_unmanifested_wave``). The crawl
+resume path deliberately does NOT adopt restored components as-is: the
+stored ranks bound the heads superset through the budget/salt/compact
+config in effect when they were written, which a resume may change
+(a smaller budget would make ``_rk <= B*(age+1)`` under-read). Instead
+it folds ``restore(...).all_rows()`` and re-seeds a fresh base — one
+re-rank pass per resume event, config-proof. A crash mid-re-seed is
+safe too: component dirs are never physically deleted, so the next
+restore falls back to an older ``_SUCCESS`` base plus every later
+delta/tombstone, which reconstructs the same live set.
 """
 
 from __future__ import annotations

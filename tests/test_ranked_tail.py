@@ -268,6 +268,60 @@ def test_tail_rank_with_bucketed_state(spark, deep_pages, base_trace, tmp_path):
     assert _trace_set(out) == base_trace
 
 
+def test_tail_rank_crash_resume_ignores_unmanifested_wave(
+    spark, deep_pages, tmp_path
+):
+    """Crash drill: tail components written by a wave that died before
+    its MANIFEST commit are ignored on resume (restore consults only
+    manifested waves) and overwritten on replay — resume output equals
+    the uninterrupted crawl."""
+    import os
+    import shutil
+
+    full = _crawl(
+        spark, deep_pages, ckpt=str(tmp_path / "cf"),
+        lazy_deferred=True, tail_rank=True,
+    )
+    full_trace = _trace_set(full)
+
+    part = str(tmp_path / "cp")
+    cfg_short = CrawlConfig(
+        rps=0.4, wave_seconds=5, max_waves=3,
+        lazy_deferred=True, tail_rank=True,
+    )
+    CrawlEngine(spark, deep_pages, cfg_short, checkpoint_dir=part).crawl(SEEDS)
+
+    # simulate a crash mid-wave-3: tail artifacts landed, MANIFEST didn't
+    crash = os.path.join(part, "wave=3")
+    os.makedirs(crash, exist_ok=True)
+    poison = _frontier_df(
+        spark, [("https://poison.test/x", "poison.test", 0, 99.0, 0)]
+    )
+    from markdown_lab_spark.frontier.tail import _ranked
+
+    for name in ("tail_delta", "tail_tombs"):
+        df = poison.select("canon_url") if name == "tail_tombs" else _ranked(
+            poison, 2
+        )
+        df.write.mode("overwrite").parquet(os.path.join(crash, name))
+    assert not os.path.exists(os.path.join(crash, "MANIFEST.json"))
+
+    eng = CrawlEngine(
+        spark, deep_pages,
+        CrawlConfig(
+            rps=0.4, wave_seconds=5, max_waves=6,
+            lazy_deferred=True, tail_rank=True,
+        ),
+        checkpoint_dir=part,
+    )
+    resumed = eng.crawl(SEEDS, resume=True)
+    trace = _trace_set(resumed)
+    early = [t for t in full_trace if t[1] < 3]
+    assert sorted(early + trace) == full_trace
+    assert not any("poison" in t[0] for t in trace)
+    shutil.rmtree(part, ignore_errors=True)
+
+
 def test_tail_rank_requires_lazy(spark, deep_pages):
     with pytest.raises(ValueError, match="tail_rank"):
         CrawlEngine(
