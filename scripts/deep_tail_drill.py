@@ -98,10 +98,10 @@ def run_leg(mode: str, corpus_path: str) -> None:
     spark.stop()
 
 
-def drive(corpus_path: str) -> None:
+def drive(corpus_path: str, modes: tuple[str, ...] = MODES) -> None:
     per_wave: dict[str, dict[int, float]] = {}
     totals: dict[str, tuple[float, int]] = {}
-    for mode in MODES:
+    for mode in modes:
         cmd = [
             "taskset", "-c", f"0-{CPUS - 1}",
             sys.executable, os.path.abspath(__file__), "--leg", mode,
@@ -139,37 +139,36 @@ def drive(corpus_path: str) -> None:
         )
 
     n_waves = max(len(w) for w in per_wave.values())
+    name = os.path.basename(corpus_path)
     lines = [
         "",
         f"## Deep-tail wave-cost drill — {time.strftime('%Y-%m-%d %H:%M')} "
-        f"(8x100k corpus, budget {int(RPS * WAVE_SECONDS)}/host/wave, "
-        f"standing tail ~hundreds of k rows, taskset local[{CPUS}])",
+        f"({name}, budget {int(RPS * WAVE_SECONDS)}/host/wave, "
+        f"taskset local[{CPUS}])",
         "",
-        "Same scheduled set per wave in all three modes (trace equality "
+        "Same scheduled set per wave in every mode (trace equality "
         "pinned by tests/test_ranked_tail.py); the per-wave delta IS the "
         "tail term.",
         "",
-        "| wave | default s | lazy_deferred s | tail_rank s |",
-        "|---|---|---|---|",
+        "| wave | " + " | ".join(f"{m} s" for m in modes) + " |",
+        "|---|" + "---|" * len(modes),
     ]
     for w in range(n_waves):
         lines.append(
-            "| {} | {} | {} | {} |".format(
-                w,
-                *(
-                    f"{per_wave[m].get(w, float('nan')):.1f}"
-                    for m in MODES
-                ),
+            f"| {w} | "
+            + " | ".join(
+                f"{per_wave[m].get(w, float('nan')):.1f}" for m in modes
             )
+            + " |"
         )
     lines.append(
         "| **total** | "
-        + " | ".join(f"**{totals[m][0]:.1f}**" for m in MODES)
+        + " | ".join(f"**{totals[m][0]:.1f}**" for m in modes)
         + " |"
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({m: round(totals[m][0], 1) for m in MODES}))
+    print(json.dumps({m: round(totals[m][0], 1) for m in modes}))
 
 
 if __name__ == "__main__":
@@ -177,4 +176,10 @@ if __name__ == "__main__":
         i = sys.argv.index("--leg")
         run_leg(sys.argv[i + 1], sys.argv[i + 2])
     else:
-        drive(sys.argv[1] if len(sys.argv) > 1 else default_corpus())
+        argv = list(sys.argv[1:])
+        modes = MODES
+        if "--modes" in argv:
+            j = argv.index("--modes")
+            modes = tuple(argv[j + 1].split(","))
+            del argv[j:j + 2]
+        drive(argv[0] if argv else default_corpus(), modes)
