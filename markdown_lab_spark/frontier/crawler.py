@@ -161,6 +161,9 @@ class CrawlConfig:
     # appends, O(hosts*budget + new candidates), independent of how deep
     # the standing tail is (frontier/tail.py has the exactness proof).
     tail_rank: bool = False
+    # 0 disables in-band compaction (run it as a maintenance job — at
+    # 10^10 tail rows the rewrite does not belong on the wave critical
+    # path; see the 16x deep-tail drill in BENCH.md)
     tail_compact_every: int = 4
 
     @property

@@ -205,7 +205,13 @@ class RankedTail:
         dn = self._count(delta_df)
         if dn:
             self.deltas.append(_Component(wave, dn, delta_df))
-        if len(self.deltas) + len(self.tombs) >= self.compact_every * 2:
+        # compact_every=0 disables in-band compaction: at warehouse
+        # scale the rewrite is an off-critical-path maintenance job
+        # (call compact() between waves / at crawl end); the heads
+        # bound B*(age+1) grows with component age but stays exact
+        if self.compact_every and (
+            len(self.deltas) + len(self.tombs) >= self.compact_every * 2
+        ):
             self.compact(wave)
 
     def compact(self, wave: int) -> None:

@@ -86,8 +86,11 @@ def run_leg(mode: str, corpus_path: str) -> None:
     )
     cfg = CrawlConfig(
         rps=RPS, wave_seconds=WAVE_SECONDS, max_waves=MAX_WAVES, salt_n=16,
-        lazy_deferred=mode in ("lazy", "rank"),
-        tail_rank=mode == "rank",
+        lazy_deferred=mode != "default",
+        tail_rank=mode.startswith("rank"),
+        # "rank0": compaction off the wave critical path (maintenance-
+        # job posture) — the steady-state per-wave cost
+        tail_compact_every=0 if mode == "rank0" else 4,
     )
     engine = CrawlEngine(spark, pages, cfg)
     t0 = time.time()
