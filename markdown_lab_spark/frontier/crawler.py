@@ -1186,16 +1186,36 @@ class CrawlEngine:
             # a URL that is both deferred (or requeued) and rediscovered
             # keeps its DEFERRED values (simulator parity: deferred wins
             # over rediscovery), hence the anti-joins — cheap in default
-            # mode (both right sides wave-bounded, AQE broadcasts them);
-            # in lazy mode the deferred side is the full tail snapshot,
-            # where the anti-join is keyed and bucketable (the tail is
-            # already parquet-backed, so the probe reads no extra state)
-            fresh_discovered = (
-                discovered.join(dedup_seen, on="canon_url", how="left_anti")
-                .join(deferred, on="canon_url", how="left_anti")
-                .join(requeued, on="canon_url", how="left_anti")
-                .select("canon_url", "host", "depth", "priority", "attempt")
+            # mode (both right sides wave-bounded, AQE broadcasts them)
+            disc_new = discovered.join(
+                dedup_seen, on="canon_url", how="left_anti"
             )
+            if cfg.lazy_deferred:
+                # lazy modes: the tail side of the rediscovery dedup is
+                # the FULL standing tail — a direct left_anti would
+                # shuffle it every wave. Invert: stream the tail once
+                # through an inner join against this wave's (small)
+                # discovered key set — AQE broadcasts the keys, the
+                # tail is scanned but never exchanged — then anti-join
+                # the (tiny) hit set. Exact: hits = discovered ∩ tail.
+                # At warehouse scale the scan itself prunes via parquet
+                # bloom/column stats on canon_url; with bucketed tail
+                # storage it is the co-located form.
+                tail_hits = deferred.select("canon_url").join(
+                    disc_new.select("canon_url").distinct(),
+                    on="canon_url",
+                    how="inner",
+                )
+                disc_new = disc_new.join(
+                    tail_hits, on="canon_url", how="left_anti"
+                )
+            else:
+                disc_new = disc_new.join(
+                    deferred, on="canon_url", how="left_anti"
+                )
+            fresh_discovered = disc_new.join(
+                requeued, on="canon_url", how="left_anti"
+            ).select("canon_url", "host", "depth", "priority", "attempt")
             new_frontier = requeued.unionByName(fresh_discovered)
             if not cfg.lazy_deferred:
                 # default mode: the tail rides the frontier itself
