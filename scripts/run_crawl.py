@@ -45,6 +45,10 @@ def main() -> int:
                     help="rank-materialized deferred tail (implies "
                     "--lazy-deferred): tombstoned deletes + ranked delta "
                     "appends; per-wave tail cost independent of tail depth")
+    ap.add_argument("--tail-compact-every", type=int, default=4,
+                    help="ranked-tail compaction cadence in waves; 0 keeps "
+                    "compaction off the wave critical path (run it as a "
+                    "maintenance job)")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",
@@ -133,6 +137,7 @@ def main() -> int:
         bucketed_state=args.bucketed_state,
         lazy_deferred=args.lazy_deferred or args.tail_rank,
         tail_rank=args.tail_rank,
+        tail_compact_every=args.tail_compact_every,
     )
     engine = CrawlEngine(spark, pages, cfg, checkpoint_dir=args.checkpoint)
     host_priorities = (
