@@ -322,6 +322,20 @@ def test_tail_rank_crash_resume_ignores_unmanifested_wave(
     shutil.rmtree(part, ignore_errors=True)
 
 
+def test_tail_rank_with_ttl_recrawl(spark, deep_pages, tmp_path):
+    """TTL re-crawl composes with the ranked tail: an expired URL is
+    never IN the tail (only unfetched rows are), so re-admission rides
+    the normal new-candidate route; wave-scoped tombstones keep any
+    re-insert of a previously-scheduled URL live. Trace equality vs
+    default-mode TTL."""
+    base = _crawl(spark, deep_pages, ttl_waves=3)
+    out = _crawl(
+        spark, deep_pages, ckpt=str(tmp_path / "rt_ttl"),
+        lazy_deferred=True, tail_rank=True, ttl_waves=3,
+    )
+    assert _trace_set(out) == _trace_set(base)
+
+
 def test_tail_rank_requires_lazy(spark, deep_pages):
     with pytest.raises(ValueError, match="tail_rank"):
         CrawlEngine(
