@@ -336,6 +336,33 @@ def test_tail_rank_with_ttl_recrawl(spark, deep_pages, tmp_path):
     assert _trace_set(out) == _trace_set(base)
 
 
+def test_tail_rank_with_priorities(spark, deep_pages, tmp_path):
+    """PageRank-style host/url priority tables compose with the ranked
+    tail: priorities are applied to discovered rows BEFORE insert, so
+    the stored per-host queue ranks order by the final priority. Trace
+    equality vs default mode under the same priorities + fetch cap."""
+    hp = spark.createDataFrame(
+        [("mega.test", 0.9), ("small0.test", 0.95), ("small1.test", 0.6)],
+        "host string, priority double",
+    )
+    up = spark.createDataFrame(
+        [("https://mega.test/p7", 1.0)], "canon_url string, priority double"
+    )
+
+    def run(ckpt=None, **kw):
+        cfg = CrawlConfig(
+            rps=0.4, wave_seconds=5, max_waves=6, wave_fetch_cap=4, **kw
+        )
+        eng = CrawlEngine(spark, deep_pages, cfg, checkpoint_dir=ckpt)
+        return eng.crawl(SEEDS, host_priorities=hp, url_priorities=up)
+
+    base = run()
+    out = run(
+        ckpt=str(tmp_path / "rp2"), lazy_deferred=True, tail_rank=True
+    )
+    assert _trace_set(out) == _trace_set(base)
+
+
 def test_tail_rank_requires_lazy(spark, deep_pages):
     with pytest.raises(ValueError, match="tail_rank"):
         CrawlEngine(
