@@ -233,6 +233,33 @@ class RankedTail:
         self.base = _Component(wave, n, base_df) if n else None
         self.deltas, self.tombs = [], []
 
+    # -- maintenance --------------------------------------------------------
+    @classmethod
+    def compact_checkpoint(
+        cls,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        complete_waves: List[int],
+        budget: int,
+        salt_n: int = 16,
+    ) -> int:
+        """Offline maintenance job (the Iceberg rewrite-data-files
+        analogue, invocable via ``run_crawl.py --compact-tail``): fold a
+        checkpoint's tail components into one fresh base at the newest
+        manifested wave, so the next resume reads one dir instead of
+        every delta/tombstone since the last in-band compaction. Safe
+        between crawls only (the owning crawl holds in-memory component
+        state). Returns the live row count (0 = no tail)."""
+        if not complete_waves:
+            return 0
+        tail = cls.restore(
+            spark, checkpoint_dir, complete_waves, budget, salt_n=salt_n
+        )
+        if tail.is_empty():
+            return 0
+        tail.compact(complete_waves[-1])
+        return tail.base.rows if tail.base else 0
+
     # -- resume -------------------------------------------------------------
     @classmethod
     def restore(

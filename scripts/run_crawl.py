@@ -13,7 +13,10 @@ corpus is generated first (smoke/demo mode).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -49,6 +52,10 @@ def main() -> int:
                     help="ranked-tail compaction cadence in waves; 0 keeps "
                     "compaction off the wave critical path (run it as a "
                     "maintenance job)")
+    ap.add_argument("--compact-tail", action="store_true",
+                    help="maintenance mode: fold the checkpoint's ranked-"
+                    "tail components into one fresh base, then exit "
+                    "(run between crawls; pairs with --tail-compact-every 0)")
     ap.add_argument("--generate-corpus", help="HOSTSxPAGES, e.g. 4x100 (demo mode)")
     ap.add_argument(
         "--priorities",
@@ -99,6 +106,28 @@ def main() -> int:
         args.pages = path
         if not seeds:
             seeds = corpus.seeds
+
+    if args.compact_tail:
+        from markdown_lab_spark.frontier.politeness import politeness_budget
+        from markdown_lab_spark.frontier.tail import RankedTail
+
+        if not args.checkpoint:
+            print("--compact-tail needs --checkpoint", file=sys.stderr)
+            return 2
+        eng = CrawlEngine(
+            spark,
+            spark.createDataFrame([], "url string, html binary"),
+            CrawlConfig(),
+            checkpoint_dir=args.checkpoint,
+        )
+        n = RankedTail.compact_checkpoint(
+            spark,
+            args.checkpoint,
+            eng.complete_waves(),
+            politeness_budget(args.rps, args.wave_seconds),
+        )
+        print(f"compacted tail: {n} live rows")
+        return 0
 
     if args.rank_checkpoint:
         # offline priority computation: previous crawl's checkpointed

@@ -363,6 +363,49 @@ def test_tail_rank_with_priorities(spark, deep_pages, tmp_path):
     assert _trace_set(out) == _trace_set(base)
 
 
+def test_tail_rank_offline_compaction_then_resume(spark, deep_pages, tmp_path):
+    """Maintenance-job compaction (run_crawl --compact-tail posture):
+    crawl with in-band compaction disabled, fold the accumulated
+    components offline via compact_checkpoint, resume — output equals
+    the uninterrupted crawl."""
+    full = _crawl(
+        spark, deep_pages, ckpt=str(tmp_path / "mf"),
+        lazy_deferred=True, tail_rank=True, tail_compact_every=0,
+    )
+    full_trace = _trace_set(full)
+
+    part = str(tmp_path / "mp")
+    CrawlEngine(
+        spark, deep_pages,
+        CrawlConfig(
+            rps=0.4, wave_seconds=5, max_waves=3,
+            lazy_deferred=True, tail_rank=True, tail_compact_every=0,
+        ),
+        checkpoint_dir=part,
+    ).crawl(SEEDS)
+
+    eng = CrawlEngine(
+        spark, deep_pages,
+        CrawlConfig(
+            rps=0.4, wave_seconds=5, max_waves=6,
+            lazy_deferred=True, tail_rank=True, tail_compact_every=0,
+        ),
+        checkpoint_dir=part,
+    )
+    waves = eng.complete_waves()
+    n = RankedTail.compact_checkpoint(spark, part, waves, 2)
+    assert n > 0, "deep corpus must have a standing tail to compact"
+    # post-compaction restore reads ONE base and no later components
+    restored = RankedTail.restore(spark, part, waves, 2)
+    assert restored.base is not None and restored.base.wave == waves[-1]
+    assert restored.deltas == [] and restored.tombs == []
+    assert restored.live_rows == n
+
+    resumed = eng.crawl(SEEDS, resume=True)
+    early = [t for t in full_trace if t[1] < 3]
+    assert sorted(early + _trace_set(resumed)) == full_trace
+
+
 def test_tail_rank_requires_lazy(spark, deep_pages):
     with pytest.raises(ValueError, match="tail_rank"):
         CrawlEngine(
