@@ -293,15 +293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q13_wave_expand"] = q13_wave_expand
 
-    # ---- A1: counts ------------------------------------------------------------
-    def q14_word_char_counts(spark, sf):
-        return _t(spark, sf, "documents").select(
-            "doc_id",
-            X.ws_token_count(F.col("text")).cast("long").alias("word_count"),
-            F.length("text").cast("long").alias("char_count"),
-        )
-
-    q["q14_word_char_counts"] = q14_word_char_counts
+    # (round-5 note: the A1 word/char-count gate q14 was folded into
+    # q27_tokens_fingerprint to free a slot under the driver's 50-query
+    # cap — q27's ws_tokens IS q14's word_count expression, and q14's
+    # char_count column now rides in q27; every assertion is preserved.)
 
     # ---- C4: plain-text word-window chunker (reference Python semantics) ------
     def q15_text_chunks(spark, sf):
@@ -550,11 +545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q27_tokens_fingerprint(spark, sf):
         # token counting + rolling-hash document fingerprint in one gate
-        # (merged from round-3 q27+q28 for the driver's 50-query cap)
+        # (merged from round-3 q27+q28 for the driver's 50-query cap;
+        # round 5 folded in q14's A1 counts — ws_tokens is exactly q14's
+        # word_count expr, char_count is its second column)
         return _t(spark, sf, "documents").select(
             "doc_id",
             X.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
             X.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+            F.length("text").cast("long").alias("char_count"),
             X.doc_fingerprint_expr("text").alias("fingerprint"),
         )
 
@@ -1422,6 +1420,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q59_cap_per_group"] = q59_cap_per_group
 
+    def q60_dedup_clusters(spark, sf):
+        # transitive duplicate-cluster resolution: the near-dedup pair
+        # generators only state pairwise similarity; clusters are the
+        # connected components of the pair graph (alternating
+        # large-star/small-star — functions/dedup.py). Pair sources:
+        # q21's n-gram Jaccard pairs (content signal, clique-shaped per
+        # duplicate group) unioned with an independent id-bridge signal
+        # (emulating e.g. a canonical-URL match) that chains consecutive
+        # groups — so components span BOTH signals transitively and the
+        # fixpoint needs real multi-round star contraction.
+        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
+        jp = D.ngram_jaccard_pairs(docs, "doc_id", "content", 3, 0.8).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        bridge = (
+            ids.filter(F.col("doc_id") % 30 == 0)
+            .select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 30).alias("id_b"),
+            )
+            .join(
+                ids.withColumnRenamed("doc_id", "id_b"),
+                on="id_b",
+                how="left_semi",
+            )
+            .select("id_a", "id_b")
+        )
+        return D.connected_components(
+            jp.unionByName(bridge), "id_a", "id_b"
+        ).select(
+            F.col("node").cast("long").alias("node"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    q["q60_dedup_clusters"] = q60_dedup_clusters
+
     return q
 
 
@@ -1535,13 +1571,8 @@ def oracle_sql() -> dict[str, str]:
           AND target NOT IN (SELECT doc_id FROM seeds)
     """
 
-    o["q14_word_char_counts"] = """
-        SELECT doc_id,
-          CASE WHEN trim(text) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS word_count,
-          length(text)::BIGINT AS char_count
-        FROM documents
-    """
+    # (q14 oracle retired round 5 — its word_count/char_count assertions
+    # live on inside q27_tokens_fingerprint's merged gate)
 
     o["q15_text_chunks"] = f"""
         WITH w AS (
@@ -1916,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
           (CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
           len(regexp_extract_all(text, '{X.BPE_ISH_TOKEN_RE}'))::BIGINT AS bpe_tokens,
+          length(text)::BIGINT AS char_count,
           list_aggregate(list_transform(
             generate_series(1, greatest(length(text) - 7, 1), 4),
             i -> md5(substr(text, i, 8))), 'min') AS fingerprint
@@ -2593,6 +2625,47 @@ def oracle_sql() -> dict[str, str]:
           FROM g
         )
         SELECT grp, doc_id, n_chars FROM r WHERE rn <= 20
+    """
+
+    # connected components as a recursive min-label closure: reach holds
+    # every (node, reachable-node) pair, min over labels = the component
+    # minimum — exactly the star roots the alternating large-star/
+    # small-star fixpoint produces on the Spark side
+    o["q60_dedup_clusters"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLES})),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        jp AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+        ),
+        bridge AS (
+          SELECT a.doc_id AS id_a, a.doc_id + 30 AS id_b
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 30
+          WHERE a.doc_id % 30 = 0
+        ),
+        pairs AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM bridge),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(lab) AS BIGINT) AS component
+        FROM reach GROUP BY node
     """
 
     return o

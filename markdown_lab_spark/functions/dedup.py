@@ -568,3 +568,151 @@ def decontaminate(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (pairs -> connected components -> keep set)
+# ---------------------------------------------------------------------------
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # for every node u: attach each STRICTLY LARGER neighbor v to
+    # m(u) = min(neighborhood(u) + {u})
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    return (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # for every node u: attach each SMALLER neighbor (and u itself) to
+    # m(u) = min of the smaller neighbors
+    sm = _symmetrize(e).where(F.col("v") < F.col("u"))
+    mins = sm.groupBy("u").agg(F.min("v").alias("m"))
+    out_nbrs = (
+        sm.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    out_self = mins.select("u", F.col("m").alias("v"))
+    return (
+        out_nbrs.unionByName(out_self)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) labels over an undirected pair list — the
+    cluster-resolution step every near-dedup pipeline needs after its
+    pair generators (MinHash-LSH / SimHash / Jaccard / embedding bands):
+    duplicate similarity is transitive through chains the pair lists
+    never state directly, so "keep one per pair" under-deletes.
+
+    Algorithm: the alternating large-star / small-star method of
+    Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    "Connected Components in MapReduce and Beyond" (SoCC 2014) —
+    the standard shuffle-native formulation:
+
+    - large-star: every node points its strictly-larger neighbors at
+      the minimum of its closed neighborhood;
+    - small-star: every node and its smaller neighbors re-attach to
+      the minimum of the smaller neighborhood;
+    - alternate until the edge set reaches a fixpoint, at which point
+      the edges form stars rooted at each component's minimum id.
+
+    Scale: per half-round the work is one partial-aggregated
+    groupBy(min), one join on the node id, and one distinct — edge
+    count never grows (each input edge yields at most one output
+    edge), components collapse in O(log^2 n) rounds (O(log n)
+    observed), and high-degree hubs are absorbed by map-side partial
+    min-aggregation + AQE skew splits. Each round is localCheckpoint-ed
+    (the iterative-lineage discipline pagerank()/kmeans use) and the
+    fixpoint test is a count+hash signature over the materialized
+    round — no driver-side edge collection.
+
+    Ids may be any orderable type (long doc ids, md5 strings);
+    the component label is the member minimum. Nodes that appear in
+    no pair are absent from the output (isolated singletons are their
+    own components — left-join and coalesce(component, id) to label a
+    full corpus). Raises if ``max_rounds`` is exhausted before the
+    fixpoint (pathological only: rounds needed grow with log of the
+    longest chain, so 25 covers ~2^25-long chains).
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        # bit_xor, not sum: order-free, collision-negligible, and cannot
+        # overflow under ANSI mode (rows are distinct so nothing cancels)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _sig(e)
+    if prev[0] == 0:
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges are stars (member, component_min)
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return stars.unionByName(roots)
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Drop every row that is a NON-representative member of a duplicate
+    cluster (the member with the minimum id is kept), where clusters are
+    the connected components of the pair list. One left_anti join
+    against the (small) non-representative id set — rows outside every
+    pair pass through untouched."""
+    cc = connected_components(pairs, a_col, b_col, max_rounds)
+    drop = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

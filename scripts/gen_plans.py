@@ -97,6 +97,28 @@ out.append(
     f"```\n{head.strip()}\n```\n"
 )
 
+# round-5 duplicate-cluster resolution: one large-star half-round
+pairs = docs.select(
+    (F.col("doc_id") % 97).alias("id_a"), (F.col("doc_id") % 89).alias("id_b")
+).where(F.col("id_a") != F.col("id_b"))
+from markdown_lab_spark.functions.dedup import _large_star  # noqa: E402
+e0 = pairs.select(
+    F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+).distinct()
+plan = re.sub(r"\[plan_id=\d+\]", "", formatted_plan(_large_star(e0)))
+head, _, tail_cc = plan.partition("\n\n")
+aggs = [b for b in tail_cc.split("\n\n") if re.search(r"HashAggregate|Exchange", b)]
+out.append(
+    "## connected_components — one large-star half-round\n\n"
+    "**Evidence:** the per-node neighborhood minimum is a partial-agg "
+    "HashAggregate BEFORE its Exchange (hub skew absorbed map-side), the "
+    "re-attach is one shuffle join on the node id, and the emitted edge "
+    "count never exceeds the input count (Kiveris et al. 2014 invariant; "
+    "convergence + labels asserted against a union-find reference and a "
+    "DuckDB recursive-CTE oracle in tests/test_connected_components.py).\n\n"
+    f"```\n{head.strip()}\n\n" + "\n\n".join("\n".join(b.splitlines()[:12]) for b in aggs[:2]) + "\n```\n"
+)
+
 # round-5 ranked tail: the heads read that replaces the full-tail window
 from markdown_lab_spark.frontier.tail import RankedTail
 import shutil
