@@ -1,11 +1,13 @@
-"""Baseline JPEG codec in pure numpy (ITU-T T.81, no native deps).
+"""Baseline + progressive JPEG codec in pure numpy (ITU-T T.81, no
+native deps).
 
-Decoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with
-sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-quant + huffman tables read from the file's own DQT/DHT segments (so any
-conforming baseline file decodes, not just ours). Progressive (SOF2),
-arithmetic coding, and 12-bit raise ValueError — callers fall back to
-the declared stub.
+Decoder: baseline sequential DCT (SOF0) and progressive DCT (SOF2 —
+spectral selection, successive approximation, EOB runs, all four scan
+types incl. AC refinement), 8-bit, grayscale or YCbCr with sampling
+factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, quant +
+huffman tables read from the file's own DQT/DHT segments (so any
+conforming file decodes, not just ours). Arithmetic coding and 12-bit
+raise ValueError — callers fall back to the declared stub.
 
 Encoder (fixtures + sinks): baseline, Annex-K quant tables, flat
 canonical huffman tables (valid per spec; embedded in DHT, so the
@@ -458,14 +460,9 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    arr: np.ndarray, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """Baseline JPEG for an 8-bit grayscale (HxW) or RGB (HxWx3) array.
-    ``subsample=True`` emits 4:2:0 (box-averaged chroma), else 4:4:4.
-    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
-    N MCUs (T.81 B.2.4.4) — used to exercise the decoder's resync path
-    with in-repo fixtures."""
+def _prepare_planes(arr: np.ndarray, subsample: bool):
+    """Shared encoder front end (baseline + progressive): RGB->YCbCr,
+    optional 4:2:0 box-averaged chroma, Annex-K quant tables."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, ncomp = arr.shape
@@ -493,6 +490,35 @@ def encode_jpeg(
             )
 
     quants = [QUANT_LUMA] + ([QUANT_CHROMA] if ncomp == 3 else [])
+    return height, width, ncomp, samp, hmax, vmax, planes, quants
+
+
+def _padded_planes(planes, samp, hmax, vmax, width, height, mcus_x, mcus_y):
+    """Edge-pad each component plane to the full MCU grid."""
+    padded = []
+    for ci, p0 in enumerate(planes):
+        h, v = samp[ci]
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        tw, th = mcus_x * 8 * h, mcus_y * 8 * v
+        p = p0[:ch, :cw]
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    return padded
+
+
+def encode_jpeg(
+    arr: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Baseline JPEG for an 8-bit grayscale (HxW) or RGB (HxWx3) array.
+    ``subsample=True`` emits 4:2:0 (box-averaged chroma), else 4:4:4.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    N MCUs (T.81 B.2.4.4) — used to exercise the decoder's resync path
+    with in-repo fixtures."""
+    height, width, ncomp, samp, hmax, vmax, planes, quants = _prepare_planes(
+        arr, subsample
+    )
     dc_syms = list(range(12))
     ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
     dc_bits, dc_vals = _flat_table(dc_syms)
@@ -534,16 +560,7 @@ def encode_jpeg(
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
     prev_dc = [0] * ncomp
-    padded = []
-    for ci in range(ncomp):
-        h, v = samp[ci]
-        cw = (width * h + hmax - 1) // hmax
-        ch = (height * v + vmax - 1) // vmax
-        tw, th = mcus_x * 8 * h, mcus_y * 8 * v
-        p = planes[ci][:ch, :cw]
-        padded.append(
-            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        )
+    padded = _padded_planes(planes, samp, hmax, vmax, width, height, mcus_x, mcus_y)
     mcu_count = 0
     rst_n = 0
     for my in range(mcus_y):
@@ -599,6 +616,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef: List[np.ndarray] = []  # per-comp (bh, bw, 64) dequantizable ints
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
@@ -611,6 +630,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            if progressive and coef:
+                return _reconstruct(frame, coef, quant)
             break
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + length]
@@ -637,7 +658,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit supported")
@@ -646,8 +668,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (width, height, ncomp, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("non-baseline JPEG unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG coding process")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -658,10 +680,21 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             for si in range(ns):
                 cs, tdta = body[1 + si * 2 : 3 + si * 2]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                payload, pos, frame, scan, quant, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, frame, scan, quant, huff, restart_interval
+                )
+            ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+            if not coef:
+                coef = _alloc_coef(frame)
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan, huff, restart_interval,
+                coef, ss, se, ahal >> 4, ahal & 0xF,
             )
         # else: APPn / COM / others — skipped
+    if progressive and coef:
+        # tolerate a truncated tail after at least one complete scan
+        return _reconstruct(frame, coef, quant)
     raise ValueError("no scan found")
 
 
@@ -731,6 +764,11 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval,
         plane = planes[ci]
         for (y0, x0), block in zip(comp_pos[ci], blocks):
             plane[y0 : y0 + 8, x0 : x0 + 8] = block
+    return _finish_planes(planes, comps, hmax, vmax, width, height, ncomp)
+
+
+def _finish_planes(planes, comps, hmax, vmax, width, height, ncomp):
+    """Upsample subsampled planes, crop, YCbCr->RGB, half-up round."""
     out_planes = []
     for ci, (_cid, h, v, _tq) in enumerate(comps):
         p = planes[ci]
@@ -768,3 +806,478 @@ def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
         zz[k] = _extend(reader.read_bits(size), size)
         k += 1
     return zz
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+# Scan semantics per ITU-T T.81 Annex G (G.1.2/G.2); the AC-refinement
+# symbol/correction-bit interleaving follows the spec's flow charts
+# (figures G.7/G.10) in the arrangement every conforming encoder uses
+# (EOB runs carry the covered blocks' correction bits). Coefficients
+# accumulate per component across scans; dequant + IDCT happen once at
+# EOI through the same vectorized path as the baseline decoder.
+
+
+def _grid(frame):
+    width, height, _ncomp, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coef(frame) -> List[np.ndarray]:
+    hmax, vmax, mcus_x, mcus_y = _grid(frame)
+    return [
+        np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+        for _cid, h, v, _tq in frame[3]
+    ]
+
+
+def _nonint_grid(frame, ci) -> Tuple[int, int]:
+    """(bh, bw) block grid of a NON-interleaved scan for component ci:
+    the component's own sample dimensions, NOT the padded MCU grid
+    (T.81 A.2.2 — single-component scans never cover MCU pad blocks)."""
+    width, height, _ncomp, comps = frame
+    hmax, vmax, _, _ = _grid(frame)
+    _cid, h, v, _tq = comps[ci]
+    cw = (width * h + hmax - 1) // hmax
+    ch = (height * v + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, huff, restart_interval, coef, ss, se, ah, al
+):
+    """Decode one progressive scan's entropy data in place; returns the
+    position of the marker that terminates the scan."""
+    width, height, ncomp, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _grid(frame)
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+    members = [(cidx[cs], td, ta) for cs, td, ta in scan]
+    reader = _FastBitReader(data, pos)
+    luts = {key: _lut_for(tab) for key, tab in huff.items()}
+
+    def blocks_of_unit(unit_no):
+        if len(members) > 1:  # interleaved: one unit = one MCU
+            my, mx = divmod(unit_no, mcus_x)
+            for ci, td, ta in members:
+                _cid, h, v, _tq = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        yield ci, td, ta, my * v + by, mx * h + bx
+        else:  # non-interleaved: one unit = one block
+            ci, td, ta = members[0]
+            _bh, bw = _nonint_grid(frame, ci)
+            by, bx = divmod(unit_no, bw)
+            yield ci, td, ta, by, bx
+
+    if len(members) > 1:
+        n_units = mcus_x * mcus_y
+    else:
+        bh, bw = _nonint_grid(frame, members[0][0])
+        n_units = bh * bw
+
+    prev_dc = [0] * ncomp
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    is_dc = ss == 0
+    # T.81 G.1.1.1.1 scan-header constraints
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and (se < ss or se > 63):
+        raise ValueError("invalid progressive spectral band")
+    if ah not in (0, al + 1) or al > 13:
+        raise ValueError("invalid successive-approximation parameters")
+    if not is_dc and len(members) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    try:
+        for unit_no in range(n_units):
+            if restart_interval and unit_no and unit_no % restart_interval == 0:
+                reader.sync_to_rst()
+                prev_dc = [0] * ncomp
+                eobrun = 0
+            for ci, td, ta, by, bx in blocks_of_unit(unit_no):
+                zz = coef[ci][by, bx]
+                if is_dc and ah == 0:  # DC first
+                    s = reader.decode_sym(luts[(0, td)])
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci] << al
+                elif is_dc:  # DC refinement: one appended bit per block
+                    if reader.read_bits(1):
+                        zz[0] = int(zz[0]) | p1
+                elif ah == 0:  # AC first (band ss..se of coef >> al)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    ac_lut = luts[(1, ta)]
+                    k = ss
+                    while k <= se:
+                        sym = reader.decode_sym(ac_lut)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1 + (
+                                    reader.read_bits(r) if r else 0
+                                )
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refinement
+                    ac_lut = luts[(1, ta)]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = reader.decode_sym(ac_lut)
+                            r, s = sym >> 4, sym & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) + (
+                                        reader.read_bits(r) if r else 0
+                                    )
+                                    break
+                                # r == 15: ZRL — cross 16 zero-history slots
+                            elif s == 1:
+                                newval = p1 if reader.read_bits(1) else m1
+                            else:
+                                raise ValueError("AC refinement size must be 1")
+                            while k <= se:
+                                c = int(zz[k])
+                                if c != 0:
+                                    if reader.read_bits(1) and (c & p1) == 0:
+                                        zz[k] = c + (p1 if c > 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if k <= se and newval:
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # rest of this block (and, via the countdown,
+                        # the covered following blocks) only receives
+                        # correction bits on nonzero-history coefs
+                        while k <= se:
+                            c = int(zz[k])
+                            if c != 0 and reader.read_bits(1) and (c & p1) == 0:
+                                zz[k] = c + (p1 if c > 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    except _MarkerReached as exc:
+        raise ValueError("truncated entropy data") from exc
+    # unconsumed accumulator bits are byte-alignment padding; reader.pos
+    # already sits on the terminating marker's 0xFF
+    return reader.pos
+
+
+def _reconstruct(frame, coef, quant):
+    """Dequantize + IDCT the accumulated progressive coefficients."""
+    width, height, ncomp, comps = frame
+    hmax, vmax, _mx, _my = _grid(frame)
+    planes = []
+    for ci, (_cid, h, v, tq) in enumerate(comps):
+        arr = coef[ci]
+        bh, bw = arr.shape[:2]
+        qvec = quant[tq][ZIGZAG[:, 0], ZIGZAG[:, 1]].astype(np.float64)
+        vals = arr.reshape(-1, 64).astype(np.float64) * qvec
+        coefs = np.zeros((len(vals), 8, 8), dtype=np.float64)
+        coefs[:, ZIGZAG[:, 0], ZIGZAG[:, 1]] = vals
+        blocks = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True) + 128.0
+        planes.append(
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+    return _finish_planes(planes, comps, hmax, vmax, width, height, ncomp)
+
+
+# -- progressive encoder (fixtures + sinks) ---------------------------------
+
+
+def _quantize_blocks(padded_plane: np.ndarray, quantt: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag quantized coefficients for a padded plane —
+    the same DCT/epsilon-snap/half-up arithmetic as _encode_block, so a
+    progressive encode of an image carries coefficients IDENTICAL to its
+    baseline encode (the cross-equality the tests pin)."""
+    hgt, wdt = padded_plane.shape
+    bh, bw = hgt // 8, wdt // 8
+    blocks = (
+        padded_plane.astype(np.float64)
+        .reshape(bh, 8, bw, 8)
+        .transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    coefs = np.einsum("ux,nbxy,vy->nbuv", _C, blocks, _C, optimize=True)
+    coefs = np.round(coefs, 6)
+    q = np.floor(coefs / quantt + 0.5).astype(np.int64)
+    return q[:, :, ZIGZAG[:, 0], ZIGZAG[:, 1]]
+
+
+class _ScanWriter(_BitWriter):
+    """_BitWriter plus the EOB-run / buffered-correction-bit state the
+    progressive AC scans share (T.81 G.1.2.2: an EOB run's covered
+    blocks' correction bits follow the EOB symbol)."""
+
+    def __init__(self, ac_codes) -> None:
+        super().__init__()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.saved_bits: List[int] = []
+
+    def sym(self, s: int) -> None:
+        code, length = self.ac_codes[s]
+        self.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.saved_bits:
+            self.write(b, 1)
+        self.saved_bits = []
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Progressive (SOF2) JPEG with a libjpeg-shaped scan script that
+    exercises all four scan types: interleaved DC first (Al=1), banded
+    AC first scans with successive approximation, an AC refinement pass,
+    a DC refinement pass, and final AC refinements to full precision.
+    Pixel-identical to ``encode_jpeg`` of the same array (same quantized
+    coefficients, different entropy organization)."""
+    height, width, ncomp, samp, hmax, vmax, planes, quants = _prepare_planes(
+        arr, subsample
+    )
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = _padded_planes(planes, samp, hmax, vmax, width, height, mcus_x, mcus_y)
+    zzs = [
+        _quantize_blocks(padded[ci], quants[0 if ci == 0 else 1])
+        for ci in range(ncomp)
+    ]
+
+    dc_syms = list(range(12))
+    ac_syms = sorted(
+        {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {r << 4 for r in range(15)}  # EOB-run length symbols (incl. 0x00)
+    )
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload)
+
+    for tq, q in enumerate(quants):
+        seg(0xDB, bytes([tq]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    compdef = b""
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        compdef += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp) + compdef)
+    for tc_th, (bits, vals) in (
+        (0x00, (dc_bits, dc_vals)),
+        (0x10, (ac_bits, ac_vals)),
+        (0x01, (dc_bits, dc_vals)),
+        (0x11, (ac_bits, ac_vals)),
+    )[: 2 * (2 if ncomp == 3 else 1)]:
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    if ncomp == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    for members, ss, se, ah, al in script:
+        sos = bytes([len(members)])
+        for ci in members:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(
+            _encode_progressive_scan(
+                zzs, members, samp, frame_grid=(mcus_x, mcus_y),
+                nonint=[_nonint_for_encoder(width, height, samp, hmax, vmax, ci)
+                        for ci in range(ncomp)],
+                ss=ss, se=se, ah=ah, al=al,
+                dc_codes=dc_codes, ac_codes=ac_codes,
+                restart_interval=restart_interval,
+            )
+        )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _nonint_for_encoder(width, height, samp, hmax, vmax, ci):
+    h, v = samp[ci]
+    cw = (width * h + hmax - 1) // hmax
+    ch = (height * v + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _encode_progressive_scan(
+    zzs, members, samp, frame_grid, nonint, ss, se, ah, al,
+    dc_codes, ac_codes, restart_interval,
+) -> bytes:
+    mcus_x, mcus_y = frame_grid
+    is_dc = ss == 0
+    writer = _ScanWriter(ac_codes)
+    chunks = bytearray()
+    rst_n = 0
+
+    def units():
+        if len(members) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for ci in members:
+                        h, v = samp[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                blocks.append((ci, my * v + by, mx * h + bx))
+                    yield blocks
+        else:
+            ci = members[0]
+            bh, bw = nonint[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, by, bx)]
+
+    prev_dc = [0] * len(zzs)
+    unit_no = 0
+    for blocks in units():
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            writer.flush_eobrun()
+            writer.flush()
+            chunks.extend(writer.buf)
+            writer.buf = bytearray()
+            chunks.extend(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) % 8
+            prev_dc = [0] * len(zzs)
+        unit_no += 1
+        for ci, by, bx in blocks:
+            zz = zzs[ci][by, bx]
+            if is_dc and ah == 0:
+                dc = int(zz[0]) >> al  # DC point transform: arithmetic shift
+                diff = dc - prev_dc[ci]
+                prev_dc[ci] = dc
+                size = abs(diff).bit_length()
+                code, length = dc_codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(
+                        diff if diff >= 0 else diff + (1 << size) - 1, size
+                    )
+            elif is_dc:
+                writer.write((int(zz[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first_block(writer, zz, ss, se, al)
+            else:
+                _enc_ac_refine_block(writer, zz, ss, se, al)
+    writer.flush_eobrun()
+    writer.flush()
+    chunks.extend(writer.buf)
+    return bytes(chunks)
+
+
+def _enc_ac_first_block(w: _ScanWriter, zz, ss, se, al) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)  # toward-zero point transform
+        if v == 0:
+            r += 1
+            continue
+        w.flush_eobrun()
+        while r > 15:
+            w.sym(0xF0)
+            r -= 16
+        size = abs(v).bit_length()
+        w.sym((r << 4) | size)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        r = 0
+    if r:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eobrun()
+
+
+def _enc_ac_refine_block(w: _ScanWriter, zz, ss, se, al) -> None:
+    ah = al + 1
+    absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_pos = ss - 1  # band index of the LAST newly-significant coef
+    for i, t in enumerate(absval):
+        if t == 1:
+            eob_pos = ss + i
+    r = 0
+    cur_bits: List[int] = []
+    for k in range(ss, se + 1):
+        t = absval[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # emit required ZRLs at ANY nonzero position (correction bits
+        # ride after the symbol), unless the run folds into the EOB —
+        # the placement that keeps decoder bit-reads aligned per span
+        while r > 15 and k <= eob_pos:
+            w.flush_eobrun()
+            w.sym(0xF0)
+            r -= 16
+            for b in cur_bits:
+                w.write(b, 1)
+            cur_bits = []
+        if t > 1:  # history-nonzero: buffer its correction bit
+            cur_bits.append(t & 1)
+            continue
+        # t == 1: newly significant this scan
+        w.flush_eobrun()
+        w.sym((r << 4) | 1)
+        w.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in cur_bits:
+            w.write(b, 1)
+        cur_bits = []
+        r = 0
+    if r > 0 or cur_bits:
+        w.eobrun += 1
+        w.saved_bits.extend(cur_bits)
+        if w.eobrun == 0x7FFF:
+            w.flush_eobrun()

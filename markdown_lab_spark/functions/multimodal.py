@@ -3,10 +3,11 @@
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) is real and tested. Decode is REAL for the
 formats implementable without a codec library — PNG (stdlib zlib + the
-five spec filters, ``codecs.py``), baseline JPEG (pure-numpy huffman +
-IDCT, ``jpeg.py``), GIF (LZW + interlacing, ``codecs.py``), and 16-bit
-PCM WAV (stdlib wave) — selected by magic-byte sniffing; anything else
-(progressive JPEG, video codecs)
+five spec filters, ``codecs.py``), baseline AND progressive JPEG
+(pure-numpy huffman + IDCT + successive approximation, ``jpeg.py``),
+GIF (LZW + interlacing, ``codecs.py``), and 16-bit PCM WAV (stdlib
+wave) — selected by magic-byte sniffing; anything else (video codecs,
+arithmetic-coded or 12-bit JPEG)
 falls back to ``decode_image_stub``, a deterministic fake (dimensions
 and a checksum derived from the bytes) that raises
 ``NotImplementedError`` when ``strict=True``.

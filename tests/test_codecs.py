@@ -218,15 +218,18 @@ def test_jpeg_tolerates_fill_bytes_between_segments():
     assert (px == px2).all()
 
 
-def test_jpeg_rejects_garbage_and_progressive_marker():
+def test_jpeg_rejects_garbage_and_invalid_progressive_header():
     from markdown_lab_spark.functions import jpeg
 
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"definitely not a jpeg")
+    # a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan header,
+    # which the progressive scan-header validation must reject (T.81
+    # G.1.1.1.1: a DC scan has Se=0) — progressive itself now decodes
     payload = bytearray(jpeg.encode_jpeg(np.full((8, 8), 5, dtype=np.uint8)))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg.decode_jpeg(bytes(payload))
 
 
@@ -395,6 +398,17 @@ def test_native_backend_crosschecks_pure_decoders_when_present():
     w, h, c, px = backend(png)
     assert (w, h, c) == (12, 9, 3)
     assert (px == arr).all()  # PNG is lossless: native == oracle exactly
+    # progressive JPEG: our encode must be decodable by the native lib,
+    # and the native pixels must match the pure decoder's exactly (same
+    # coefficients -> same IDCT input; PIL's IDCT is integer-exact on
+    # block-constant images, so use one)
+    from markdown_lab_spark.functions import jpeg
+
+    const = np.full((16, 16), 130, dtype=np.uint8)
+    prog = jpeg.encode_jpeg_progressive(const)
+    wj, hj, cj, pxj = backend(prog)
+    assert (wj, hj) == (16, 16)
+    assert (pxj.reshape(16, 16, -1)[:, :, 0] == jpeg.decode_jpeg(prog)[3][:, :, 0]).all()
     with pytest.raises(ValueError):
         backend(b"not an image at all")
 
