@@ -860,25 +860,31 @@ def _decode_progressive_scan(
     reader = _FastBitReader(data, pos)
     luts = {key: _lut_for(tab) for key, tab in huff.items()}
 
-    def blocks_of_unit(unit_no):
-        if len(members) > 1:  # interleaved: one unit = one MCU
-            my, mx = divmod(unit_no, mcus_x)
-            for ci, td, ta in members:
-                _cid, h, v, _tq = comps[ci]
-                for by in range(v):
-                    for bx in range(h):
-                        yield ci, td, ta, my * v + by, mx * h + bx
-        else:  # non-interleaved: one unit = one block
-            ci, td, ta = members[0]
-            _bh, bw = _nonint_grid(frame, ci)
-            by, bx = divmod(unit_no, bw)
-            yield ci, td, ta, by, bx
-
-    if len(members) > 1:
+    # geometry hoisted out of the hot loop (one _nonint_grid call per
+    # SCAN, not per block): blocks_of_unit(unit_no) -> [(ci,td,ta,by,bx)]
+    if len(members) > 1:  # interleaved: one unit = one MCU
         n_units = mcus_x * mcus_y
-    else:
-        bh, bw = _nonint_grid(frame, members[0][0])
-        n_units = bh * bw
+        member_geom = [
+            (ci, td, ta, comps[ci][1], comps[ci][2]) for ci, td, ta in members
+        ]
+
+        def blocks_of_unit(unit_no):
+            my, mx = divmod(unit_no, mcus_x)
+            return [
+                (ci, td, ta, my * v + by, mx * h + bx)
+                for ci, td, ta, h, v in member_geom
+                for by in range(v)
+                for bx in range(h)
+            ]
+
+    else:  # non-interleaved: one unit = one block
+        ci0, td0, ta0 = members[0]
+        _bh, bw0 = _nonint_grid(frame, ci0)
+        n_units = _bh * bw0
+
+        def blocks_of_unit(unit_no):
+            by, bx = divmod(unit_no, bw0)
+            return ((ci0, td0, ta0, by, bx),)
 
     prev_dc = [0] * ncomp
     eobrun = 0
