@@ -716,3 +716,66 @@ def dedup_near_duplicates(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.8,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """The full FineWeb-shaped fuzzy-dedup pipeline as one composition:
+
+    1. MinHash signatures (one shuffle over the shingles),
+    2. LSH banding -> candidate pairs (banded self-join, ~O(true dups)),
+    3. exact n-gram Jaccard VERIFY of the candidates only (kills LSH
+       false positives before they chain clusters together),
+    4. connected components over the verified pairs (similarity is
+       transitive through chains the pair list never states),
+    5. keep the min-id representative per cluster.
+
+    Returns ``df`` filtered to the keep set, schema unchanged. Every
+    stage is the already-gated operator (q19/q20/q21/q60); this is the
+    composition a user runs. Verification restricted to candidate pairs
+    keeps step 3 linear in true-duplicate volume — the two O(n^2) traps
+    (all-pairs Jaccard, all-pairs components) never appear."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    cand = minhash_lsh_pairs(
+        sigs, id_col, k=k, bands=bands, min_est_jaccard=0.0
+    ).select("id_a", "id_b")
+    # verify: exact Jaccard on candidate pairs only
+    sh = df.select(
+        F.col(id_col).alias("_vid"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).dropDuplicates(["_vid", "sh"])
+    sizes = sh.groupBy("_vid").agg(F.count("*").alias("n_sh"))
+    shared = (
+        sh.alias("a")
+        .join(
+            cand,
+            F.col("a._vid") == F.col("id_a"),
+        )
+        .join(
+            sh.alias("b"),
+            (F.col("b._vid") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        shared.join(sizes.withColumnRenamed("_vid", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_vid", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= min_jaccard
+        )
+        .select("id_a", "id_b")
+    )
+    return dedup_near_duplicates(
+        df, id_col, verified, "id_a", "id_b", max_rounds=max_rounds
+    )

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation pipeline over a documents table.
+
+    spark-submit --py-files dist/markdown_lab_spark.zip scripts/run_curation.py \
+        --input /data/documents.parquet --output /data/curated \
+        --bench /data/eval_sets.parquet --sample 0.5 --target-len 4096
+
+Stage order (each is an already-tested operator; flags disable stages):
+
+    1. url/lang/quality gate  (pure JVM filters; cheapest first)
+    2. C4 line cleaning + page keep
+    3. Gopher repetition/shape signals
+    4. exact dedup            (md5 content hash, min-id keep)
+    5. fuzzy dedup            (MinHash -> LSH -> Jaccard verify ->
+                               connected components -> min-id keep)
+    6. benchmark decontamination (13-gram membership, broadcast bench)
+    7. deterministic sample   (identity-hash Bernoulli; reproducible)
+    8. sequence packing       (bucketed FFD -> (pack_id, offset) table)
+
+Writes ``<output>/documents.parquet`` (curated corpus) and
+``<output>/packing.parquet`` (pack assignment), prints one JSON summary
+line with per-stage survivor counts — the number every curation run
+needs for its datasheet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--bench", help="eval-set parquet with a text column for decontamination")
+    ap.add_argument("--bench-text-col", default="text")
+    ap.add_argument("--lang", default="en", help="language to keep ('' disables)")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--no-c4", action="store_true")
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--no-exact-dedup", action="store_true")
+    ap.add_argument("--no-fuzzy-dedup", action="store_true")
+    ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--lsh-k", type=int, default=16)
+    ap.add_argument("--lsh-bands", type=int, default=8)
+    ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
+    ap.add_argument("--salt", default="curation")
+    ap.add_argument("--target-len", type=int, default=4096, help="pack budget in ws tokens; 0 disables packing")
+    ap.add_argument("--pack-buckets", type=int, default=64,
+                    help="packing parallelism; size so a bucket's (id, len) "
+                    "metadata fits one task — small corpora pack tighter "
+                    "with fewer buckets")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from markdown_lab_spark.functions import text as X
+    from markdown_lab_spark.functions.dedup import (
+        benchmark_ngrams,
+        decontaminate,
+        exact_dedup,
+        near_dedup_keep,
+    )
+    from markdown_lab_spark.functions.packing import pack_sequences, packing_stats
+    from markdown_lab_spark.functions.sampling import deterministic_sample
+
+    spark = (
+        SparkSession.builder.appName("markdown_lab_spark-curation")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    docs = spark.read.parquet(args.input)
+    counts = {"input": docs.count()}
+
+    # 1. cheap row-local gates first: lang + quality
+    if args.lang:
+        docs = docs.filter(X.predicted_lang(F.col("text")) == args.lang)
+    docs = docs.filter(X.quality_score(F.col("text")) >= args.min_quality)
+    counts["lang_quality"] = docs.count()
+
+    # 2. C4 cleaning rewrites text; page keep drops empty survivors
+    if not args.no_c4:
+        docs = docs.withColumn("text", X.c4_clean_text(F.col("text"))).filter(
+            X.c4_page_keep(F.col("text"))
+        )
+        counts["c4"] = docs.count()
+
+    # 3. Gopher repetition/shape gate
+    if not args.no_gopher:
+        docs = docs.filter(X.gopher_keep(F.col("text")))
+        counts["gopher"] = docs.count()
+
+    # 4. exact dedup (content hash, min-id representative)
+    if not args.no_exact_dedup:
+        keep = exact_dedup(docs, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        docs = docs.join(keep, on="doc_id", how="left_semi")
+        counts["exact_dedup"] = docs.count()
+
+    # 5. fuzzy dedup with transitive cluster resolution
+    if not args.no_fuzzy_dedup:
+        docs = near_dedup_keep(
+            docs,
+            "doc_id",
+            "text",
+            k=args.lsh_k,
+            bands=args.lsh_bands,
+            min_jaccard=args.min_jaccard,
+        )
+        counts["fuzzy_dedup"] = docs.count()
+
+    # 6. benchmark decontamination
+    if args.bench:
+        bench = spark.read.parquet(args.bench).select(
+            F.col(args.bench_text_col).alias("text")
+        )
+        bn = benchmark_ngrams(bench, "text", 13)
+        verdict = decontaminate(docs, "doc_id", "text", bn, 13)
+        docs = docs.join(
+            verdict.filter(F.col("keep")).select("doc_id"), on="doc_id", how="left_semi"
+        )
+        counts["decontaminated"] = docs.count()
+
+    # 7. reproducible subsample
+    if args.sample < 1.0:
+        docs = deterministic_sample(docs, "doc_id", args.sample, args.salt)
+        counts["sampled"] = docs.count()
+
+    docs = docs.withColumn(
+        "n_tokens", X.ws_token_count(F.col("text")).cast("long")
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(args.output, "documents.parquet"))
+
+    # 8. pack into fixed-token-budget sequences
+    if args.target_len > 0:
+        assign = pack_sequences(
+            docs, "doc_id", "n_tokens", args.target_len, n_buckets=args.pack_buckets
+        )
+        assign.write.mode("overwrite").parquet(
+            os.path.join(args.output, "packing.parquet")
+        )
+        st = packing_stats(
+            spark.read.parquet(os.path.join(args.output, "packing.parquet")),
+            args.target_len,
+        ).collect()[0]
+        counts["packs"] = st["n_packs"]
+        counts["mean_fill"] = round(float(st["mean_fill"] or 0.0), 4)
+        counts["overflow_docs"] = st["overflow_docs"]
+
+    print(json.dumps({"curation": counts}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

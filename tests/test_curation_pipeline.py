@@ -1,0 +1,138 @@
+"""End-to-end curation pipeline (scripts/run_curation.py): stage order,
+survivor accounting, and the stage interactions a real corpus hits."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+
+_TEMPLATES = [
+    "Researchers at site {s} reported that the new tool improves results.",
+    "However the team near region {s} found another way to measure it.",
+    "Many people in town {s} believe the old method was quite reliable.",
+    "Data from survey {s} shows a clear trend over several busy years.",
+    "The council of district {s} agreed to publish all figures soon.",
+    "Critics argue that project {s} still needs better documentation today.",
+]
+
+
+def _sentences(seed: int, n: int = 6) -> str:
+    # line-varied prose: within-doc duplicate n-gram fraction stays low
+    # (gopher_keep is a real gate here, not a rubber stamp)
+    return "\n".join(
+        _TEMPLATES[i % len(_TEMPLATES)].format(s=seed * 100 + i) for i in range(n)
+    )
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    rows = []
+    # 40 clean unique docs
+    for i in range(40):
+        rows.append((i, _sentences(i)))
+    # exact duplicates of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append((100 + i, _sentences(i)))
+    # a near-dup chain of doc 10 (ids 200, 201): successive number edits
+    base = _sentences(10)
+    rows.append((200, base.replace("1000", "7770")))
+    rows.append((201, base.replace("1000", "7770").replace("1001", "7771")))
+    # C4 page-drop: lorem ipsum marker
+    rows.append((300, _sentences(77) + "\nlorem ipsum dolor sit amet here."))
+    # quality drop: word soup
+    rows.append((301, "zzz qqq kkk " * 30))
+    # contaminated: contains the benchmark passage verbatim
+    bench_text = (
+        "the held out evaluation passage that must never appear in the "
+        "training corpus because it is part of the benchmark suite itself"
+    )
+    rows.append((302, _sentences(88) + "\n" + bench_text + " and more."))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    bpath = str(tmp_path / "bench.parquet")
+    bench.write.parquet(bpath)
+    return inp, bpath
+
+
+def _run(monkeypatch, capsys, argv):
+    import run_curation  # noqa: PLC0415  (scripts/ on path via conftest-less insert)
+
+    monkeypatch.setattr(sys, "argv", ["run_curation.py", *argv])
+    assert run_curation.main() == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)["curation"]
+
+
+def test_pipeline_stages_and_accounting(spark, corpus, tmp_path, monkeypatch, capsys):
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    _sys.path.insert(0, scripts_dir)
+    inp, bench = corpus
+    outdir = str(tmp_path / "out")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", outdir, "--bench", bench,
+            "--min-jaccard", "0.7", "--target-len", "256", "--pack-buckets", "1",
+        ],
+    )
+    # monotone survivor counts through the gate stages
+    order = [k for k in (
+        "input", "lang_quality", "c4", "gopher", "exact_dedup",
+        "fuzzy_dedup", "decontaminated",
+    ) if k in counts]
+    vals = [counts[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["input"] == 50
+    assert counts["lang_quality"] <= 49  # word soup out
+    assert counts["c4"] <= counts["lang_quality"] - 1  # lorem ipsum out
+    # exact dedup removes the five verbatim copies
+    assert counts["exact_dedup"] == counts["gopher"] - 5
+    # fuzzy dedup collapses the near-dup chain {10's variants}
+    assert counts["fuzzy_dedup"] <= counts["exact_dedup"] - 2
+    # decontamination removes the benchmark-overlap doc
+    assert counts["decontaminated"] == counts["fuzzy_dedup"] - 1
+    # outputs exist and are consistent
+    final = spark.read.parquet(f"{outdir}/documents.parquet")
+    ids = {r["doc_id"] for r in final.select("doc_id").collect()}
+    assert counts["decontaminated"] == len(ids)
+    assert 302 not in ids and 301 not in ids and 300 not in ids
+    assert {100, 101, 102, 103, 104} & ids == set()  # exact dups gone
+    assert 200 not in ids and 201 not in ids  # chain collapsed to doc 10
+    assert 10 in ids
+    packing = spark.read.parquet(f"{outdir}/packing.parquet")
+    assert packing.count() == len(ids)
+    assert counts["packs"] >= 1 and counts["mean_fill"] > 0.5
+
+
+def test_pipeline_stage_flags_disable(spark, corpus, tmp_path, monkeypatch, capsys):
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    _sys.path.insert(0, scripts_dir)
+    inp, _bench = corpus
+    outdir = str(tmp_path / "out2")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", outdir, "--no-c4", "--no-gopher",
+            "--no-exact-dedup", "--no-fuzzy-dedup", "--lang", "",
+            "--min-quality", "0", "--sample", "0.5", "--target-len", "0",
+        ],
+    )
+    assert "c4" not in counts and "packs" not in counts
+    assert 0 < counts["sampled"] < counts["input"]
