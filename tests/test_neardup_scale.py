@@ -283,3 +283,55 @@ def test_rademacher_signature_agreement_adversarial(spark):
     ).filter(F.col("a") != F.col("b"))
     assert bad.count() == 0
     assert all(math.isfinite(x) for r in rows for x in r[1])
+
+
+def test_int8_quantization_roundtrip_and_cosine(spark):
+    """Symmetric per-vector int8 quantization: error bound, zero-vector
+    edge, tinyint schema, and cosine-on-quantized within tolerance of
+    exact cosine (scales cancel)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from markdown_lab_spark.functions.similarity import (
+        cosine_similarity_col,
+        cosine_similarity_int8,
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 3, 16)]) for i in range(40)]
+    rows.append((100, [0.0] * 16))  # all-zero edge
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_embeddings_int8(df)
+    field = dict(q.dtypes)["q_embedding"]
+    assert field == "array<tinyint>"  # the 4x storage claim is the type
+    d = dequantize_embeddings_int8(q)
+    for r in d.collect():
+        e, dq, s = np.array(r["embedding"]), np.array(r["embedding_deq"]), r["embedding_scale"]
+        if r["vec_id"] == 100:
+            assert s == 0.0 and (dq == 0).all()
+        else:
+            assert np.abs(e - dq).max() <= 0.5 * s + 1e-6
+            assert np.abs(np.array(r["q_embedding"])).max() <= 127
+    pairs = (
+        q.alias("a")
+        .crossJoin(q.alias("b"))
+        .where((F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("b.vec_id") != 100))
+        .where(F.col("a.vec_id") != 100)
+        .select(
+            cosine_similarity_col(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+            cosine_similarity_int8(F.col("a.q_embedding"), F.col("b.q_embedding")).alias("cq"),
+        )
+        .collect()
+    )
+    assert pairs and max(abs(r["c"] - r["cq"]) for r in pairs) < 0.02
+    # zero vector: int8 cosine defined as 0
+    z = (
+        q.alias("a").crossJoin(q.alias("b"))
+        .where((F.col("a.vec_id") == 100) & (F.col("b.vec_id") == 0))
+        .select(cosine_similarity_int8(F.col("a.q_embedding"), F.col("b.q_embedding")).alias("cq"))
+        .collect()[0]["cq"]
+    )
+    assert z == 0.0
