@@ -38,6 +38,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Spark's fixed per-job overhead and the scaling signal is real
 _CORPUS_SIZE = {"sf0.001": (4, 250), "sf0.01": (6, 2500), "sf0.1": (8, 25000)}
 BENCH_QUERIES = [
+    "q60_dedup_clusters",
     "q15_text_chunks",
     "q18_dedup_exact",
     "q20_minhash_lsh_pairs",
