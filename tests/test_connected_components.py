@@ -178,3 +178,18 @@ def test_near_dedup_keep_collapses_transitive_chain(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).collect()
     }
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_hub_skew_and_long_path_drill(spark):
+    """Scale-shape drill: a 10k-leaf hub (in-neighborhood skew absorbed
+    by the partial-agg min) bridged to a 500-node path (log-round star
+    contraction). One component, labels match union-find, and the
+    default round budget is not exhausted."""
+    hub = [(0, i) for i in range(1, 10_001)]
+    path = [(10_000 + i, 10_001 + i) for i in range(500)]
+    bridge = [(10_000, 0)]
+    pairs = hub + path + bridge
+    labels = spark_components(spark, pairs)
+    assert set(labels.values()) == {0}
+    assert len(labels) == 10_501  # nodes 0..10500
+    assert uf_components(pairs) == labels
