@@ -154,33 +154,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q01_validate_urls"] = q01_validate_urls
 
-    def q02_normalize_url(spark, sf):
-        df = _t(spark, sf, "documents").withColumn(
-            "raw_url",
-            F.concat(
-                _url_col(),
-                F.when((F.col("doc_id") % 3) == 0, F.lit("/"))
-                .when((F.col("doc_id") % 3) == 1, F.lit("#frag"))
-                .otherwise(F.lit("?q=1")),
-            ),
-        )
-        return df.select(
-            "doc_id", normalize_url_col(F.col("raw_url")).alias("canon_url")
-        )
-
-    q["q02_normalize_url"] = q02_normalize_url
-
     def q03_url_parts(spark, sf):
-        # K4 filename derivation + X2/X3 base/domain extraction in one
-        # gate (merged from round-3 q03+q04 so every family fits the
-        # driver's 50-query cap)
+        # K4 filename derivation + X2/X3 base/domain extraction + X1
+        # normalize_url in one gate (q03+q04 merged round 3; q02's
+        # normalize assertion folded in round 5 to free a slot under the
+        # driver's 50-query cap — canon_url keeps q02's exact raw_url
+        # suffix variants: trailing slash / fragment / query)
         fn = make_filename_udf("markdown")
-        df = _t(spark, sf, "documents").withColumn("url", _url_col())
+        df = (
+            _t(spark, sf, "documents")
+            .withColumn("url", _url_col())
+            .withColumn(
+                "raw_url",
+                F.concat(
+                    F.col("url"),
+                    F.when((F.col("doc_id") % 3) == 0, F.lit("/"))
+                    .when((F.col("doc_id") % 3) == 1, F.lit("#frag"))
+                    .otherwise(F.lit("?q=1")),
+                ),
+            )
+        )
         return df.select(
             "doc_id",
             fn(F.col("url")).alias("out_name"),
             extract_base_url_col(F.col("url")).alias("base_url"),
             domain_col(F.col("url")).alias("host"),
+            normalize_url_col(F.col("raw_url")).alias("canon_url"),
         )
 
     q["q03_url_parts"] = q03_url_parts
@@ -1458,6 +1457,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q60_dedup_clusters"] = q60_dedup_clusters
 
+    def q61_sample_split(spark, sf):
+        # deterministic hash sampling (functions/sampling.py): stratified
+        # source-mix weighting (per-source keep fractions incl. a
+        # default-fraction stratum) composed with a disjoint-salt
+        # train/holdout split label. Reproducible across partitionings,
+        # retries, and engines — the DuckDB oracle recomputes the exact
+        # md5-hex uniform variate, so the hash construction itself is
+        # value-gated, not just the row counts.
+        from markdown_lab_spark.functions.sampling import (
+            hash_uniform,
+            stratified_sample,
+        )
+
+        docs = _t(spark, sf, "documents")
+        kept = stratified_sample(
+            docs,
+            "doc_id",
+            "source",
+            {"src0": 0.9, "src1": 0.5, "src2": 0.0},
+            salt="mix",
+            default_fraction=0.3,
+        )
+        return kept.select(
+            "doc_id",
+            "source",
+            F.when(
+                hash_uniform(F.col("doc_id"), "eval") < F.lit(0.1),
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+
+    q["q61_sample_split"] = q61_sample_split
+
     return q
 
 
@@ -1473,36 +1507,32 @@ def oracle_sql() -> dict[str, str]:
             '^https?://[^/\\s]+')
     """
 
-    o["q02_normalize_url"] = f"""
-        WITH raw AS (
-          SELECT doc_id, {_URL_SQL} ||
-            CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '#frag' ELSE '?q=1' END AS raw_url
+    o["q03_url_parts"] = f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_SQL} AS url,
+            {_URL_SQL} ||
+              CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '#frag' ELSE '?q=1' END
+              AS raw_url
           FROM documents
         ), parts AS (
-          SELECT doc_id,
+          SELECT doc_id, url,
             regexp_extract(raw_url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
             regexp_extract(raw_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS netloc,
             regexp_extract(raw_url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
             regexp_extract(raw_url, '^[^?#]*\\?([^#]*)', 1) AS query
-          FROM raw
+          FROM u
         )
-        SELECT doc_id,
-          scheme || '://' || netloc ||
-          CASE WHEN path = '/' THEN path ELSE regexp_replace(path, '/+$', '') END ||
-          CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
-        FROM parts
-    """
-
-    o["q03_url_parts"] = f"""
-        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
         SELECT doc_id,
           regexp_replace(
             regexp_extract(url, '^[a-z]+://([^?#]*)', 1), '/', '_', 'g'
           ) || '.md' AS out_name,
           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS base_url,
-          regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
-        FROM u
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+          scheme || '://' || netloc ||
+          CASE WHEN path = '/' THEN path ELSE regexp_replace(path, '/+$', '') END ||
+          CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+        FROM parts
     """
 
     o["q05_md5_chunk_ids"] = f"""
@@ -2666,6 +2696,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node,
                CAST(min(lab) AS BIGINT) AS component
         FROM reach GROUP BY node
+    """
+
+    # deterministic hash sampling: the oracle recomputes the md5-hex
+    # uniform variate digit-by-digit (strpos arithmetic — the same
+    # formulation pinned by tests/test_sampling.py), so the keep set and
+    # the split labels are value-exact, not just count-plausible
+    _uvar = lambda salt: (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5('{salt}:' || doc_id), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ") / 4294967296.0"
+    )
+    o["q61_sample_split"] = f"""
+        SELECT doc_id, source,
+          CASE WHEN {_uvar("eval")} < 0.1 THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+        WHERE {_uvar("mix")} <
+          CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.0 ELSE 0.3 END
     """
 
     return o
