@@ -5,8 +5,10 @@ signatures, partition sizing) is real and tested. Decode is REAL for the
 formats implementable without a codec library — PNG (stdlib zlib + the
 five spec filters, ``codecs.py``), baseline AND progressive JPEG
 (pure-numpy huffman + IDCT + successive approximation, ``jpeg.py``),
-GIF (LZW + interlacing, ``codecs.py``), and 16-bit PCM WAV (stdlib
-wave) — selected by magic-byte sniffing; anything else (video codecs,
+GIF (LZW + interlacing, ``codecs.py``), 16-bit PCM WAV (stdlib wave),
+and AVI video carrying MJPEG or uncompressed-DIB frames (RIFF demuxer
++ frame sampler, ``video.py``) — selected by magic-byte sniffing;
+anything else (inter-frame video codecs like H.264/VP9,
 arithmetic-coded or 12-bit JPEG)
 falls back to ``decode_image_stub``, a deterministic fake (dimensions
 and a checksum derived from the bytes) that raises
@@ -267,8 +269,10 @@ def extract_audio_features(
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     """Video frame-sampling PLAN: emits (media_id, frame_ts) rows from the
-    declared duration metadata; actual frame extraction is the stubbed
-    decode step. Pure JVM (sequence + explode)."""
+    declared duration metadata — the metadata-only path for payloads whose
+    codec needs a native lib. For AVI (MJPEG / raw DIB) payloads the REAL
+    extraction is ``video.sample_video_frames``. Pure JVM
+    (sequence + explode)."""
     duration = F.coalesce(
         F.element_at(F.col("meta"), "duration_s").cast("int"), F.lit(0)
     )
