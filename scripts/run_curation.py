@@ -14,8 +14,11 @@ Stage order (each is an already-tested operator; flags disable stages):
     5. fuzzy dedup            (MinHash -> LSH -> Jaccard verify ->
                                connected components -> min-id keep)
     6. benchmark decontamination (13-gram membership, broadcast bench)
-    7. deterministic sample   (identity-hash Bernoulli; reproducible)
-    8. sequence packing       (bucketed FFD -> (pack_id, offset) table)
+    7. LM perplexity cut      (CCNet-style stupid-backoff n-gram LM
+                               trained on a trusted reference corpus,
+                               join-based JVM scoring; --lm-ref enables)
+    8. deterministic sample   (identity-hash Bernoulli; reproducible)
+    9. sequence packing       (bucketed FFD -> (pack_id, offset) table)
 
 Writes ``<output>/documents.parquet`` (curated corpus) and
 ``<output>/packing.parquet`` (pack assignment), prints one JSON summary
@@ -48,6 +51,12 @@ def main() -> int:
     ap.add_argument("--min-jaccard", type=float, default=0.8)
     ap.add_argument("--lsh-k", type=int, default=16)
     ap.add_argument("--lsh-bands", type=int, default=8)
+    ap.add_argument("--lm-ref", help="trusted-corpus parquet (text column) to train the "
+                    "perplexity LM on; enables the CCNet-style quality cut")
+    ap.add_argument("--lm-order", type=int, default=3)
+    ap.add_argument("--lm-keep-buckets", type=int, default=2,
+                    help="keep the N lowest-perplexity terciles of 3 (CCNet "
+                    "head+middle default)")
     ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
     ap.add_argument("--salt", default="curation")
     ap.add_argument("--target-len", type=int, default=4096, help="pack budget in ws tokens; 0 disables packing")
@@ -131,7 +140,22 @@ def main() -> int:
         )
         counts["decontaminated"] = docs.count()
 
-    # 7. reproducible subsample
+    # 7. CCNet-style perplexity cut against a trusted-reference LM
+    if args.lm_ref:
+        from markdown_lab_spark.functions.lm import (
+            perplexity_buckets,
+            score_docs,
+            train_ngram_lm,
+        )
+
+        ref = spark.read.parquet(args.lm_ref).select(F.col("text"))
+        lm = train_ngram_lm(ref, "text", args.lm_order)
+        buckets = perplexity_buckets(score_docs(docs, lm), n_buckets=3)
+        keep = buckets.filter(F.col("bucket") < args.lm_keep_buckets).select("doc_id")
+        docs = docs.join(keep, on="doc_id", how="left_semi")
+        counts["perplexity"] = docs.count()
+
+    # 8. reproducible subsample
     if args.sample < 1.0:
         docs = deterministic_sample(docs, "doc_id", args.sample, args.salt)
         counts["sampled"] = docs.count()
@@ -141,7 +165,7 @@ def main() -> int:
     )
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "documents.parquet"))
 
-    # 8. pack into fixed-token-budget sequences
+    # 9. pack into fixed-token-budget sequences
     if args.target_len > 0:
         assign = pack_sequences(
             docs, "doc_id", "n_tokens", args.target_len, n_buckets=args.pack_buckets

@@ -115,6 +115,55 @@ def test_pipeline_stages_and_accounting(spark, corpus, tmp_path, monkeypatch, ca
     assert counts["packs"] >= 1 and counts["mean_fill"] > 0.5
 
 
+def test_pipeline_perplexity_stage(spark, corpus, tmp_path, monkeypatch, capsys):
+    """--lm-ref enables the CCNet-style cut: an LM trained on the clean
+    template prose ranks a planted gibberish doc in the worst tercile."""
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    _sys.path.insert(0, scripts_dir)
+    inp, _bench = corpus
+    # trusted reference = the same template distribution (fresh seeds)
+    ref = spark.createDataFrame(
+        [(1000 + i, _sentences(1000 + i)) for i in range(30)], ["doc_id", "text"]
+    )
+    refp = str(tmp_path / "ref.parquet")
+    ref.select("text").write.parquet(refp)
+    # input: clean docs + one high-perplexity scrambled doc that passes
+    # the earlier gates (real words, varied lines)
+    # reversed word order (destroys the n-gram structure) but lines still
+    # end in terminal punctuation so the C4 line rule keeps them
+    scramble = "\n".join(
+        " ".join(reversed(_TEMPLATES[i % 6].format(s=i).rstrip(".").split()))
+        + " anyway."
+        for i in range(8)
+    )
+    docs = spark.createDataFrame(
+        [(i, _sentences(i)) for i in range(20)] + [(900, scramble)],
+        ["doc_id", "text"],
+    )
+    inp2 = str(tmp_path / "docs2.parquet")
+    docs.write.parquet(inp2)
+    outdir = str(tmp_path / "out_lm")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp2, "--output", outdir, "--lm-ref", refp,
+            "--no-fuzzy-dedup", "--target-len", "0",
+        ],
+    )
+    assert counts["perplexity"] < counts["exact_dedup"]
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{outdir}/documents.parquet").collect()
+    }
+    assert 900 not in ids  # the scrambled doc fell in the kept-out tercile
+
+
 def test_pipeline_stage_flags_disable(spark, corpus, tmp_path, monkeypatch, capsys):
     import os
     import sys as _sys
