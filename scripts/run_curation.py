@@ -59,7 +59,13 @@ def main() -> int:
                     "head+middle default)")
     ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
     ap.add_argument("--salt", default="curation")
-    ap.add_argument("--target-len", type=int, default=4096, help="pack budget in ws tokens; 0 disables packing")
+    ap.add_argument("--target-len", type=int, default=4096, help="pack budget in tokens; 0 disables packing")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE tokenizer (on a deterministic sample of the "
+                    "curated corpus) and pack by real BPE token counts instead of "
+                    "the whitespace proxy; 0 keeps the proxy")
+    ap.add_argument("--bpe-sample", type=float, default=0.2,
+                    help="corpus fraction the BPE trainer sees")
     ap.add_argument("--pack-buckets", type=int, default=64,
                     help="packing parallelism; size so a bucket's (id, len) "
                     "metadata fits one task — small corpora pack tighter "
@@ -160,9 +166,18 @@ def main() -> int:
         docs = deterministic_sample(docs, "doc_id", args.sample, args.salt)
         counts["sampled"] = docs.count()
 
-    docs = docs.withColumn(
-        "n_tokens", X.ws_token_count(F.col("text")).cast("long")
-    )
+    if args.bpe_merges > 0:
+        from markdown_lab_spark.functions.bpe import bpe_token_count, train_bpe
+
+        merges = train_bpe(
+            docs, n_merges=args.bpe_merges, sample_fraction=args.bpe_sample
+        )
+        docs = bpe_token_count(docs, merges, out_col="n_tokens")
+        counts["bpe_merges"] = len(merges)
+    else:
+        docs = docs.withColumn(
+            "n_tokens", X.ws_token_count(F.col("text")).cast("long")
+        )
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "documents.parquet"))
 
     # 9. pack into fixed-token-budget sequences
