@@ -5,7 +5,9 @@ signatures, partition sizing) is real and tested. Decode is REAL for the
 formats implementable without a codec library — PNG (stdlib zlib + the
 five spec filters, ``codecs.py``), baseline AND progressive JPEG
 (pure-numpy huffman + IDCT + successive approximation, ``jpeg.py``),
-GIF (LZW + interlacing, ``codecs.py``), 16-bit PCM WAV (stdlib wave),
+GIF (LZW + interlacing, ``codecs.py``), baseline TIFF (none/PackBits/
+LZW-early-change strips + horizontal predictor, ``tiff.py``), 16-bit
+PCM WAV (stdlib wave),
 and AVI video carrying MJPEG or uncompressed-DIB frames (RIFF demuxer
 + frame sampler, ``video.py``) — selected by magic-byte sniffing;
 anything else (inter-frame video codecs like H.264/VP9,
@@ -133,7 +135,7 @@ def _decode_image_any(payload: bytes, backend=None):
     """The one decode dispatch both pipelines use: injected native
     backend first (when provided), then the pure-numpy codecs by magic
     sniff. Raises ValueError when nothing can decode the payload."""
-    from . import codecs, jpeg  # noqa: PLC0415
+    from . import codecs, jpeg, tiff  # noqa: PLC0415
 
     if backend is not None:
         try:
@@ -146,6 +148,8 @@ def _decode_image_any(payload: bytes, backend=None):
         return jpeg.decode_jpeg(payload)
     if codecs.is_gif(payload):
         return codecs.decode_gif(payload)
+    if tiff.is_tiff(payload):
+        return tiff.decode_tiff(payload)
     raise ValueError("no decoder for payload")
 
 
