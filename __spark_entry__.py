@@ -213,14 +213,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q06_sitemap_filters"] = q06_sitemap_filters
 
     def q08_limit_ordered(spark, sf):
-        # distributed top-k (TakeOrderedAndProject) + window-free rank of
-        # the 100 survivors — no partition-less WindowExec (functions/topk.py)
-        return ranked_topk(
+        # distributed top-k (TakeOrderedAndProject) + window-free rank —
+        # no partition-less WindowExec (functions/topk.py). Two legs
+        # union-aligned under one gate (q43_revenue_topk folded in,
+        # round-5 continuation, to free a slot for q62): the documents
+        # top-100 and the TPC-H-Q10-shaped customer-revenue top-10
+        # (customer broadcast, lineitem never broadcast; revenue summed
+        # as decimal so the agg is order-independent / hash-stable).
+        docs_leg = ranked_topk(
             _t(spark, sf, "documents").select("doc_id", "n_chars"),
             100,
             [(F.col("n_chars"), True), (F.col("doc_id"), False)],
             rank_col="rn",
+        ).select(
+            F.lit("docs").alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            F.lit("").alias("label"),
+            F.col("n_chars").cast("double").alias("val"),
+            F.col("rn").cast("int").alias("rn"),
         )
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01"))
+        )
+        li = _t(spark, sf, "lineitem")
+        rev = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+        rev_leg = ranked_topk(
+            rev, 10, [(F.col("revenue"), True), (F.col("c_custkey"), False)]
+        ).select(
+            F.lit("rev").alias("leg"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.col("c_name").alias("label"),
+            F.round("revenue", 4).alias("val"),
+            F.col("rank").cast("int").alias("rn"),
+        )
+        return docs_leg.unionByName(rev_leg)
 
     q["q08_limit_ordered"] = q08_limit_ordered
 
@@ -740,36 +781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q41_multimodal_features"] = q41_multimodal_features
 
     # ---- general analytics parity: joins + partitioned windows ---------------
-    def q43_revenue_topk(spark, sf):
-        # classic multi-join agg (TPC-H Q10 shape): customer x orders x
-        # lineitem, quarter filter, revenue top-10. Revenue summed as
-        # decimal so the aggregate is order-independent (hash-stable);
-        # customer is the broadcast side, lineitem never broadcast.
-        cust = _t(spark, sf, "customer")
-        orders = _t(spark, sf, "orders").filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01"))
-            & (F.col("o_orderdate") < F.lit("1995-07-01"))
-        )
-        li = _t(spark, sf, "lineitem")
-        rev = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            .groupBy("c_custkey", "c_name")
-            .agg(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
-                )
-                .cast("double")
-                .alias("revenue")
-            )
-        )
-        return ranked_topk(
-            rev, 10, [(F.col("revenue"), True), (F.col("c_custkey"), False)]
-        ).select("c_custkey", "c_name", F.round("revenue", 4).alias("revenue"), "rank")
-
-    q["q43_revenue_topk"] = q43_revenue_topk
 
     def q44_events_latest_per_user(spark, sf):
         # partitioned window (the legal kind): per-user 3 most recent
@@ -1492,6 +1503,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q61_sample_split"] = q61_sample_split
 
+    def q62_lm_logprob(spark, sf):
+        # CCNet-style LM perplexity scoring (functions/lm.py): a
+        # stupid-backoff bigram LM trained on 3/4 of the corpus scores
+        # every doc — training is a partial-agg groupBy per order,
+        # scoring is posexplode + left joins on gram strings + one
+        # per-doc agg, 100% JVM. Gate emits logprob_per_token (bounded
+        # magnitude, hash-stable at the harness's 1e-6 float rounding)
+        # rather than perplexity (10^-x amplifies summation-order noise).
+        from markdown_lab_spark.functions.lm import score_docs, train_ngram_lm
+
+        docs = _t(spark, sf, "documents")
+        lm = train_ngram_lm(docs.filter((F.col("doc_id") % 4) < 3), "text", 2)
+        return score_docs(docs, lm).select(
+            "doc_id", "n_scored", F.col("logprob_per_token")
+        )
+
+    q["q62_lm_logprob"] = q62_lm_logprob
+
     return q
 
 
@@ -1553,11 +1582,32 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q08_limit_ordered"] = """
-        SELECT doc_id, n_chars, rn FROM (
+        WITH rev AS (
+          SELECT c_custkey, c_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1995-07-01'
+          GROUP BY c_custkey, c_name
+        )
+        SELECT 'docs' AS leg, CAST(doc_id AS BIGINT) AS key, '' AS label,
+               CAST(n_chars AS DOUBLE) AS val, CAST(rn AS INTEGER) AS rn
+        FROM (
           SELECT doc_id, n_chars,
                  row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
           FROM documents
         ) WHERE rn <= 100
+        UNION ALL
+        SELECT 'rev' AS leg, CAST(c_custkey AS BIGINT) AS key, c_name AS label,
+               ROUND(revenue, 4) AS val, CAST(rank AS INTEGER) AS rn
+        FROM (
+          SELECT c_custkey, c_name, revenue,
+                 ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+          FROM rev
+        ) WHERE rank <= 10
     """
 
     o["q09_status_counts"] = """
@@ -2227,25 +2277,6 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 3 = 1
     """
 
-    o["q43_revenue_topk"] = """
-        WITH rev AS (
-          SELECT c_custkey, c_name,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-          FROM lineitem
-          JOIN orders ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-            AND o_orderdate <  TIMESTAMP '1995-07-01'
-          GROUP BY c_custkey, c_name
-        )
-        SELECT c_custkey, c_name, ROUND(revenue, 4) AS revenue,
-               CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey)
-                    AS BIGINT) AS rank
-        FROM rev
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 10
-    """
 
     o["q44_events_latest_per_user"] = """
         WITH r AS (
@@ -2718,6 +2749,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_uvar("mix")} <
           CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
                       WHEN 'src2' THEN 0.0 ELSE 0.3 END
+    """
+
+    # stupid-backoff bigram LM recomputed end-to-end in SQL: count
+    # tables from the padded token stream of the training subset, then
+    # the same join-formulation scoring the Spark pipeline compiles to
+    _PAD = (
+        "list_concat(['<s>'], list_concat("
+        "COALESCE(regexp_split_to_array(NULLIF(trim(lower(text)), ''), '\\s+'), []),"
+        " ['</s>']))"
+    )
+    o["q62_lm_logprob"] = f"""
+        WITH tr AS (
+          SELECT {_PAD} AS t FROM documents WHERE doc_id % 4 < 3
+        ),
+        uni AS (
+          SELECT tk AS gram, count(*) AS cnt
+          FROM tr, unnest(t) AS u(tk) GROUP BY tk
+        ),
+        bi AS (
+          SELECT t[i] || ' ' || t[i+1] AS gram, count(*) AS cnt
+          FROM tr, unnest(range(1, len(t))) AS u(i) GROUP BY 1
+        ),
+        tot AS (SELECT sum(cnt) AS n FROM uni),
+        sc AS (SELECT doc_id, {_PAD} AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t[i] AS w, t[i-1] AS ctx
+          FROM sc, unnest(range(2, len(t) + 1)) AS u(i)
+        ),
+        joined AS (
+          SELECT p.doc_id,
+            CASE WHEN b.cnt IS NOT NULL
+                 THEN b.cnt::DOUBLE / cu.cnt::DOUBLE
+                 ELSE 0.4 * (COALESCE(u.cnt, 1)::DOUBLE / (SELECT n FROM tot))
+            END AS s
+          FROM pos p
+          LEFT JOIN bi b ON b.gram = p.ctx || ' ' || p.w
+          LEFT JOIN uni cu ON cu.gram = p.ctx
+          LEFT JOIN uni u ON u.gram = p.w
+        )
+        SELECT doc_id, count(*) AS n_scored,
+               avg(log10(s)) AS logprob_per_token
+        FROM joined GROUP BY doc_id
     """
 
     return o
