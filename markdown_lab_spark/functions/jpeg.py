@@ -421,8 +421,9 @@ def _encode_block(
     writer: _BitWriter,
     dc_codes: Dict[int, Tuple[int, int]],
     ac_codes: Dict[int, Tuple[int, int]],
+    level: float = 128.0,
 ) -> int:
-    coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    coef = _C @ (block.astype(np.float64) - level) @ _C.T
     # snap the float-DCT epsilon (~1e-12) before quantizing: a constant
     # block's DC is integrally 8*(v-128), and for odd v the quotient
     # DC/q00 lands exactly on the half-up .5 boundary, where the epsilon's
@@ -594,6 +595,63 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_gray12(arr: np.ndarray, quant_dc: int = 16) -> bytes:
+    """12-bit extended-sequential (SOF1) grayscale JPEG for a uint16
+    HxW array of 0..4095 samples — the medical/scan-data shape, and the
+    decoder's in-repo fixture source for 12-bit precision. Emits a
+    16-bit (Pq=1) DQT so the wide-quant parse path is exercised; DC
+    categories go to 15 and AC sizes to 14 per T.81's extended tables."""
+    if arr.dtype != np.uint16 or arr.ndim != 2:
+        raise ValueError("need a uint16 HxW array")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    height, width = arr.shape
+    q = np.full((8, 8), 32, dtype=np.int32)
+    q[0, 0] = quant_dc
+    dc_syms = list(range(16))
+    ac_syms = sorted(
+        {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 15)}
+    )
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload)
+
+    zz16 = b"".join(
+        struct.pack(">H", int(q[r, c])) for r, c in ZIGZAG
+    )
+    seg(0xDB, bytes([0x10]) + zz16)  # Pq=1, Tq=0
+    seg(0xC1, struct.pack(">BHHB", 12, height, width, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    writer = _BitWriter()
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    padded = np.pad(
+        arr.astype(np.int32),
+        ((0, bh * 8 - height), (0, bw * 8 - width)),
+        mode="edge",
+    )
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            prev_dc = _encode_block(
+                block, q, prev_dc, writer, dc_codes, ac_codes, level=2048.0
+            )
+    writer.flush()
+    out.extend(writer.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -617,6 +675,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     frame = None
     restart_interval = 0
     progressive = False
+    precision = 8
     coef: List[np.ndarray] = []  # per-comp (bh, bw, 64) dequantizable ints
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -636,18 +695,23 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + length]
         pos += 2 + length
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError("bad DQT precision")
                 t = np.zeros((8, 8), dtype=np.int32)
-                vals = body[i + 1 : i + 65]
+                step = 2 if pq else 1
+                vals = body[i + 1 : i + 1 + 64 * step]
+                if len(vals) < 64 * step:
+                    raise ValueError("truncated DQT")
                 for k, (r, c) in enumerate(ZIGZAG):
-                    t[r, c] = vals[k]
+                    t[r, c] = (
+                        (vals[2 * k] << 8) | vals[2 * k + 1] if pq else vals[k]
+                    )
                 quant[tq] = t
-                i += 65
+                i += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -658,17 +722,25 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
+            # 12-bit — same entropy coding, wider categories) / SOF2
+            # progressive. 12-bit support is scoped to single-component
+            # sequential frames (the medical/scan-data shape); 12-bit
+            # color or progressive raises per the boundary contract.
             progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise ValueError("only 8-bit supported")
+            if prec not in (8, 12):
+                raise ValueError("only 8- or 12-bit precision supported")
+            if prec == 12 and (progressive or ncomp != 1):
+                raise ValueError("12-bit supported for sequential grayscale only")
+            precision = prec
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (width, height, ncomp, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("unsupported JPEG coding process")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -682,7 +754,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 scan.append((cs, tdta >> 4, tdta & 0xF))
             if not progressive:
                 return _decode_scan(
-                    payload, pos, frame, scan, quant, huff, restart_interval
+                    payload, pos, frame, scan, quant, huff, restart_interval,
+                    precision=precision,
                 )
             ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
             if not coef:
@@ -699,7 +772,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
 
 
 def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval,
-                 _force_legacy: bool = False):
+                 _force_legacy: bool = False, precision: int = 8):
     width, height, ncomp, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -760,15 +833,21 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval,
         qvec = quant[tq][ZIGZAG[:, 0], ZIGZAG[:, 1]].astype(np.float64)
         coefs = np.zeros((len(allzz), 8, 8), dtype=np.float64)
         coefs[:, ZIGZAG[:, 0], ZIGZAG[:, 1]] = allzz * qvec
-        blocks = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True) + 128.0
+        blocks = np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True) + float(
+            1 << (precision - 1)
+        )
         plane = planes[ci]
         for (y0, x0), block in zip(comp_pos[ci], blocks):
             plane[y0 : y0 + 8, x0 : x0 + 8] = block
-    return _finish_planes(planes, comps, hmax, vmax, width, height, ncomp)
+    return _finish_planes(
+        planes, comps, hmax, vmax, width, height, ncomp, precision
+    )
 
 
-def _finish_planes(planes, comps, hmax, vmax, width, height, ncomp):
-    """Upsample subsampled planes, crop, YCbCr->RGB, half-up round."""
+def _finish_planes(planes, comps, hmax, vmax, width, height, ncomp, precision=8):
+    """Upsample subsampled planes, crop, YCbCr->RGB, half-up round.
+    12-bit samples clamp to [0, 4095] and scale to 8-bit output (>> 4)
+    so every downstream pipeline keeps the uint8 pixel contract."""
     out_planes = []
     for ci, (_cid, h, v, _tq) in enumerate(comps):
         p = planes[ci]
@@ -783,8 +862,11 @@ def _finish_planes(planes, comps, hmax, vmax, width, height, ncomp):
         img = np.stack([r, g, b], axis=2)
     else:
         img = out_planes[0][:, :, None]
-    img = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
-    return width, height, ncomp, img
+    maxv = (1 << precision) - 1
+    img = np.clip(np.floor(img + 0.5), 0, maxv)
+    if precision > 8:
+        img = np.floor(img / float(1 << (precision - 8)))
+    return width, height, ncomp, img.astype(np.uint8)
 
 
 def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:

@@ -449,9 +449,10 @@ def test_jpeg_fast_and_legacy_readers_agree():
     fast = J.decode_jpeg(enc)
     orig = J._decode_scan
 
-    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval):
+    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval,
+                    **kw):
         return orig(data, pos, frame, scan, quant, huff, restart_interval,
-                    _force_legacy=True)
+                    _force_legacy=True, **kw)
 
     J._decode_scan = legacy_scan
     try:
@@ -472,9 +473,10 @@ def test_jpeg_fast_reader_handles_restart_streams():
     rng = np.random.default_rng(13)
     orig = J._decode_scan
 
-    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval):
+    def legacy_scan(data, pos, frame, scan, quant, huff, restart_interval,
+                    **kw):
         return orig(data, pos, frame, scan, quant, huff, restart_interval,
-                    _force_legacy=True)
+                    _force_legacy=True, **kw)
 
     cases = [
         J.encode_jpeg(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8),
