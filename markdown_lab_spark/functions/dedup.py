@@ -779,3 +779,245 @@ def near_dedup_keep(
     return dedup_near_duplicates(
         df, id_col, verified, "id_a", "id_b", max_rounds=max_rounds
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr variant): any token
+# span of length >= L that occurs more than once ACROSS THE CORPUS is
+# removed from every document that contains it. The published tool builds
+# a single-machine suffix array; the Spark-native equivalent below is the
+# fixed-width windowed formulation (hash every length-L token window,
+# count, remove covered positions), which detects exactly the duplicated
+# spans of length >= L: a span of length m >= L duplicated across docs
+# duplicates all m-L+1 of its windows, and the union of those windows is
+# the span itself.
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(text_col):
+    """Whitespace tokens, empties dropped (split on leading/trailing
+    whitespace emits '' both here and in the DuckDB oracle's
+    regexp_split_to_array — filter them identically)."""
+    return F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_windows(
+    df: DataFrame, id_col: str, text_col: str, length: int = 50
+) -> DataFrame:
+    """(id, s, whash) for every length-L token window: whash is the md5
+    of the 0x1F-joined window tokens, so a DuckDB oracle reproduces it
+    byte-for-byte (md5(array_to_string(toks[s+1:s+L], chr(31)))).
+
+    Scale: output is one row per token (corpus-sized) but stays narrow
+    (id, int, 32-char hex); the downstream count is a partial-agg
+    groupBy, so a boilerplate window duplicated 10^6 times collapses
+    map-side before the exchange. The O(L) slice copy per window is the
+    price of the oracle-exact hash; `duplicate_window_starts_fast`
+    is the O(1)-per-window rolling-hash path for the 100 TB run."""
+    toks = _ws_tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= length)
+        .select(
+            "id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_toks") - F.lit(length))
+            ).alias("s"),
+        )
+        .select(
+            "id",
+            "s",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.slice("_toks", F.col("s") + 1, length)
+                )
+            ).alias("whash"),
+        )
+    )
+
+
+def duplicate_window_starts(
+    df: DataFrame, id_col: str, text_col: str, length: int = 50
+) -> DataFrame:
+    """(id, s) of every window whose hash occurs >1 times corpus-wide.
+
+    Plan: windows -> groupBy(whash).count (ONE corpus-sized shuffle,
+    partial agg absorbs boilerplate skew) -> inner join back on whash
+    (the duplicated-hash set is usually tiny relative to the corpus;
+    AQE broadcasts it when it fits, shuffle-hash otherwise — either
+    way no sort). md5 gives 128 bits, so cross-doc collisions are
+    negligible at any realistic corpus size (~n^2 / 2^128)."""
+    w = token_windows(df, id_col, text_col, length)
+    dup = (
+        w.groupBy("whash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("whash")
+    )
+    return w.join(dup, "whash").select("id", "s")
+
+
+def _merge_starts(starts_col, length: int):
+    """Fold a SORTED array of window starts into disjoint [b, e)
+    intervals (each start covers [s, s+L)), so the per-token coverage
+    test is O(intervals), not O(starts) — heavily duplicated docs have
+    few merged intervals even when they have thousands of dup windows."""
+    empty = F.expr("CAST(array() AS array<struct<b:int,e:int>>)")
+    return F.aggregate(
+        starts_col,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("b").alias("b"),
+                        (s + F.lit(length)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("b"), (s + F.lit(length)).alias("e"))
+                ),
+            )
+        ),
+    )
+
+
+def dedup_substrings(
+    df: DataFrame, id_col: str, text_col: str, length: int = 50
+) -> DataFrame:
+    """Remove every duplicated (corpus-wide, length >= L) token span
+    from every document. Returns one row per input row:
+    (id, total_tokens, removed_tokens, kept_text) — kept_text is the
+    space-joined surviving tokens in original order (the published
+    behavior: duplicated spans are CUT, the remainder is re-joined).
+
+    Plan: duplicate_window_starts (one shuffle) -> groupBy(id) to a
+    sorted start array (second shuffle, bounded by doc length) -> left
+    join back to the corpus -> pure-JVM interval merge + coverage
+    filter (no Python, no window function, no per-token shuffle). Docs
+    with no duplicated window never enter the starts table and pass
+    through the left join with zero removals."""
+    L = length
+    starts = (
+        duplicate_window_starts(df, id_col, text_col, L)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("s")).alias("_starts"))
+    )
+    toks = _ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    j = base.join(starts, "id", "left").withColumn(
+        "_iv",
+        _merge_starts(
+            F.coalesce(
+                F.col("_starts"), F.expr("CAST(array() AS array<int>)")
+            ),
+            L,
+        ),
+    )
+    idx = F.when(
+        F.size("_toks") > 0,
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("_iv"),
+            lambda iv: (iv.getField("b") <= i) & (i < iv.getField("e")),
+        ),
+    )
+    return j.select(
+        "id",
+        F.size("_toks").cast("long").alias("total_tokens"),
+        (F.size("_toks") - F.size(kept_idx)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1)),
+        ).alias("kept_text"),
+    )
+
+
+def duplicate_window_starts_fast(
+    df: DataFrame, id_col: str, text_col: str, length: int = 50
+) -> DataFrame:
+    """Rolling-hash twin of `duplicate_window_starts` for the at-scale
+    run: each window hash is O(1) amortized (two 64-bit polynomial
+    lanes over blake2b token hashes, no O(L) slice copy), emitted from
+    an Arrow-batched mapInPandas. Downstream plan is identical (partial
+    -agg count on the hash, join back). Collisions need BOTH 64-bit
+    lanes to collide (~2^-128 per pair, same regime as md5); agreement
+    with the exact path is pinned by test on planted corpora."""
+    import hashlib
+
+    L = length
+    schema = "id long, s int, h1 long, h2 long"
+    p1, p2 = 1000003, 999983
+    m = (1 << 64) - 59  # largest 64-bit prime
+
+    def gen(batches):
+        pw1 = pow(p1, L - 1, m)
+        pw2 = pow(p2, L - 1, m)
+        for pdf in batches:
+            out_id, out_s, out_h1, out_h2 = [], [], [], []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue  # JVM twin: size(NULL) < L excludes the row
+                toks = text.split()
+                n = len(toks)
+                if n < L:
+                    continue
+                th = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                t.encode(), digest_size=8
+                            ).digest(),
+                            "big",
+                        )
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                h1 = 0
+                h2 = 0
+                for k in range(L):  # first window
+                    h1 = (h1 * p1 + int(th[k])) % m
+                    h2 = (h2 * p2 + int(th[k])) % m
+                for s in range(n - L + 1):
+                    out_id.append(did)
+                    out_s.append(s)
+                    out_h1.append(h1 - (1 << 63))
+                    out_h2.append(h2 - (1 << 63))
+                    if s + L < n:
+                        h1 = (
+                            (h1 - int(th[s]) * pw1) * p1 + int(th[s + L])
+                        ) % m
+                        h2 = (
+                            (h2 - int(th[s]) * pw2) * p2 + int(th[s + L])
+                        ) % m
+            yield pd.DataFrame(
+                {"id": out_id, "s": out_s, "h1": out_h1, "h2": out_h2}
+            )
+
+    w = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, schema)
+    dup = (
+        w.groupBy("h1", "h2")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("h1", "h2")
+    )
+    return w.join(dup, ["h1", "h2"]).select("id", "s")
