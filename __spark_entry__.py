@@ -184,14 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q03_url_parts"] = q03_url_parts
 
-    def q05_md5_chunk_ids(spark, sf):
-        df = _t(spark, sf, "documents").withColumn("url", _url_col())
-        return df.select(
-            "doc_id",
-            F.md5(F.concat(F.col("url"), F.lit(":text:0"))).alias("chunk_id"),
-        )
-
-    q["q05_md5_chunk_ids"] = q05_md5_chunk_ids
+    # (round-5 note: the X6 md5-chunk-id demo gate q05 was retired — its
+    # exact expression md5(url || ':text:0') is the start_idx=0 row of
+    # EVERY q15_text_chunks doc, so the merged gate q15 value-hashes the
+    # same assertion for all doc_ids; the slot funds q63_substring_dedup)
 
     # ---- F6/F7/F8: sitemap-style filters -----------------------------------
     def q06_sitemap_filters(spark, sf):
@@ -1521,6 +1517,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q62_lm_logprob"] = q62_lm_logprob
 
+    def q63_substring_dedup(spark, sf):
+        # ExactSubstr-style corpus-wide duplicated-span removal (L=15
+        # tokens; Lee et al. 2021, windowed formulation): one partial-agg
+        # shuffle on the window hash, join back, pure-JVM interval merge
+        # + coverage splice (functions/dedup.py:dedup_substrings).
+        # Duplicates planted deterministically so the span structure is
+        # rich at every SF: doc_id%3==0 appends a shared 20-token
+        # boilerplate, doc_id%5==1 prepends an 18-token one (doc_id%15==6
+        # gets both); windows straddling a plant boundary mix doc-unique
+        # context, so removal must be EXACTLY the planted span.
+        from markdown_lab_spark.functions.dedup import dedup_substrings
+
+        b1 = (
+            "scan filter join agg sort table query data line fast slow "
+            "big key column index merge group order limit page"
+        )
+        b2 = (
+            "crawl fetch parse chunk convert embed dedup rank score clean "
+            "split token shard batch cache store emit flush"
+        )
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.when((F.col("doc_id") % 5) == 1, F.lit(b2 + " ")).otherwise(
+                    F.lit("")
+                ),
+                F.col("text"),
+                F.when((F.col("doc_id") % 3) == 0, F.lit(" " + b1)).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        out = dedup_substrings(docs, "doc_id", "text", length=15)
+        return out.select(
+            F.col("id").alias("doc_id"),
+            "total_tokens",
+            "removed_tokens",
+            F.md5("kept_text").alias("kept_md5"),
+        )
+
+    q["q63_substring_dedup"] = q63_substring_dedup
+
     return q
 
 
@@ -1564,9 +1602,8 @@ def oracle_sql() -> dict[str, str]:
         FROM parts
     """
 
-    o["q05_md5_chunk_ids"] = f"""
-        SELECT doc_id, md5({_URL_SQL} || ':text:0') AS chunk_id FROM documents
-    """
+    # (q05 oracle retired round 5 — the md5(url || ':text:0') assertion is
+    # q15_text_chunks' start_idx=0 row for every doc_id)
 
     o["q06_sitemap_filters"] = """
         WITH p AS (
@@ -2791,6 +2828,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_scored,
                avg(log10(s)) AS logprob_per_token
         FROM joined GROUP BY doc_id
+    """
+
+    # ExactSubstr windowed dedup rebuilt end-to-end in SQL: the same
+    # planted boilerplates, window hashing (md5 of the 0x1F-joined
+    # 15-token slice), corpus-wide dup counting, and per-token coverage
+    # via a correlated EXISTS range test (the set-union equivalent of
+    # the engine's merged-interval splice)
+    _B1 = (
+        "scan filter join agg sort table query data line fast slow "
+        "big key column index merge group order limit page"
+    )
+    _B2 = (
+        "crawl fetch parse chunk convert embed dedup rank score clean "
+        "split token shard batch cache store emit flush"
+    )
+    o["q63_substring_dedup"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 1 THEN '{_B2} ' ELSE '' END ||
+                 text ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' {_B1}' ELSE '' END AS t
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM base
+        ),
+        win AS (
+          SELECT doc_id, CAST(i AS INT) AS s,
+                 md5(array_to_string(toks[i+1 : i+15], chr(31))) AS whash
+          FROM tok, UNNEST(range(len(toks) - 15 + 1)) u(i)
+          WHERE len(toks) >= 15
+        ),
+        dup AS (SELECT whash FROM win GROUP BY whash HAVING count(*) > 1),
+        ds AS (SELECT w.doc_id, w.s FROM win w JOIN dup USING (whash)),
+        ti AS (
+          SELECT doc_id, CAST(i AS INT) AS i, toks[i+1] AS tok
+          FROM tok, UNNEST(range(len(toks))) u(i)
+        ),
+        marked AS (
+          SELECT t.doc_id, t.i, t.tok,
+                 EXISTS (SELECT 1 FROM ds d WHERE d.doc_id = t.doc_id
+                         AND d.s <= t.i AND t.i < d.s + 15) AS rm
+          FROM ti t
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(CASE WHEN rm THEN 1 END), 0) AS BIGINT)
+                 AS removed_tokens,
+               md5(coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                 ORDER BY i), '')) AS kept_md5
+        FROM marked GROUP BY doc_id
     """
 
     return o

@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "q39_chunk_semantic_sections",
     "q40_corpus_curation",
     "q41_multimodal_features",
-    "q43_revenue_topk",
+    "q08_limit_ordered",
+    "q63_substring_dedup",
     "q44_events_latest_per_user",
     "q47_png_decode",
     "q48_jpeg_decode",
