@@ -43,7 +43,7 @@ _CRLF = b"\r\n"
 
 WARC_RECORDS_SCHEMA = (
     "warc_type string, url string, warc_ts timestamp, http_status int, "
-    "mime string, html binary"
+    "mime string, content_type string, html binary"
 )
 
 
@@ -79,21 +79,24 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
-def _parse_http_response(block: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
-    """(status, content-type, body) from an HTTP response block."""
+def _parse_http_response(
+    block: bytes,
+) -> Tuple[Optional[int], Optional[str], Optional[str], bytes]:
+    """(status, bare mime, raw content-type, body) from an HTTP
+    response block — the raw header keeps its charset parameter for
+    the WHATWG sniff (functions/encoding.py)."""
     sep = block.find(_CRLF + _CRLF)
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, None, block
     head, body = block[:sep], block[sep + 4 :]
     status_line = head.split(_CRLF, 1)[0].split(b" ")
     try:
         status = int(status_line[1])
     except (IndexError, ValueError):
         status = None
-    mime = _parse_headers(head).get("content-type")
-    if mime is not None:
-        mime = mime.split(";", 1)[0].strip()
-    return status, mime, body
+    ctype = _parse_headers(head).get("content-type")
+    mime = ctype.split(";", 1)[0].strip() if ctype is not None else None
+    return status, mime, ctype, body
 
 
 def _parse_ts(value: Optional[str]):
@@ -137,15 +140,17 @@ def parse_warc_stream(payload: bytes) -> Iterator[dict]:
             url = headers.get("warc-target-uri")
             ts = _parse_ts(headers.get("warc-date"))
             if wtype == "response":
-                status, mime, html = _parse_http_response(body)
+                status, mime, ctype, html = _parse_http_response(body)
             else:
-                status, mime, html = None, headers.get("content-type"), body
+                status, html = None, body
+                mime = ctype = headers.get("content-type")
             yield {
                 "warc_type": wtype,
                 "url": url,
                 "warc_ts": ts,
                 "http_status": status,
                 "mime": mime,
+                "content_type": ctype,
                 "html": html,
             }
             pos = sep + 4 + length
@@ -222,3 +227,25 @@ def encode_warc(records: List[dict], compress: bool = True) -> bytes:
         else:
             out.write(member)
     return out.getvalue()
+
+
+def warc_text_pages(spark: SparkSession, path: str) -> DataFrame:
+    """``warc_pages_table`` plus the charset step the reference gets
+    from ``requests.Response.text`` (markdown_lab/core/client.py:181):
+    WHATWG sniff (BOM > Content-Type charset > meta prescan > utf-8
+    validity > windows-1252) and decode to a ``text`` column, with
+    (encoding, enc_source) kept for curation filters. Decode is
+    scan-local (fuses into the ingest stage, no shuffle); errors
+    replace, never abort."""
+    from markdown_lab_spark.functions.encoding import decode_html_bytes
+
+    rec = read_warc(spark, path)
+    pages = rec.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("url").isNotNull())
+        & (F.coalesce(F.col("mime"), F.lit("")).startswith("text/html"))
+    ).select("url", "warc_ts", "content_type", "html")
+    return decode_html_bytes(pages, "html", "content_type").select(
+        "url", "warc_ts", "text", "encoding", "enc_source"
+    )
