@@ -39,7 +39,7 @@ from ..functions.udfs import (
 )
 from ..oracle.sitemap import RobotsRules
 from .bloom import ShardedBloom
-from .politeness import politeness_budget, schedule_wave
+from .politeness import cap_schedule_by_delay, politeness_budget, schedule_wave
 
 
 import time as _time
@@ -125,6 +125,13 @@ class CrawlConfig:
     # the rest defer to the next wave. orderBy().limit() compiles to
     # TakeOrderedAndProject (distributed partial top-k, no global sort).
     wave_fetch_cap: Optional[int] = None
+    # honor robots.txt Crawl-delay (de-facto standard; Bing/Yandex honor
+    # it) as a per-host wave budget cap b_h = clamp(floor(wave_seconds /
+    # delay), 1, budget) — exact prefix cut AFTER schedule_wave, so the
+    # window only ever partitions the bounded schedule. Default off: the
+    # reference fetches with a global throttle only (throttle.py), and
+    # every pinned trace/gate hash predates this knob.
+    honor_crawl_delay: bool = False
     # co-located fetch join: at cluster scale the default broadcast of
     # the per-wave schedule ships hosts*budget rows to EVERY executor
     # (100 MB x 1000 executors); with bucketed_fetch the corpus is
@@ -212,6 +219,36 @@ def robots_rules_df(pages: DataFrame) -> DataFrame:
                 )
 
     return robots_pages.mapInPandas(parse_batches, ROBOTS_RULES_SCHEMA)
+
+
+def robots_crawl_delays(pages: DataFrame) -> DataFrame:
+    """(host, crawl_delay) for every host whose robots.txt declares a
+    ``Crawl-delay`` in the ``*`` group — parsed distributively like
+    robots_rules_df (executor-side, Arrow-batched), only the tiny
+    per-host scalar rows flow on."""
+    robots_pages = pages.filter(F.col("url").endswith("/robots.txt")).select(
+        "url", F.col("html").cast("string").alias("body")
+    )
+
+    def parse_batches(iterator):
+        from ..oracle.sitemap import parse_robots as _parse  # noqa: PLC0415
+
+        for pdf in iterator:
+            hosts: List[str] = []
+            delays: List[float] = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                rr = _parse(body or "")
+                if rr.crawl_delay is not None:
+                    hosts.append(
+                        (url or "").split("://", 1)[-1].split("/", 1)[0]
+                    )
+                    delays.append(rr.crawl_delay)
+            if hosts:
+                yield pd.DataFrame({"host": hosts, "crawl_delay": delays})
+
+    return robots_pages.mapInPandas(
+        parse_batches, "host string, crawl_delay double"
+    )
 
 
 def robots_host_rules(rules: DataFrame) -> DataFrame:
@@ -463,6 +500,10 @@ class CrawlEngine:
         # corpus for robots bodies
         self.host_rules = robots_host_rules(robots_rules_df(pages)).cache()
         self.host_rules.count()
+        self.host_delays: Optional[DataFrame] = None
+        if self.config.honor_crawl_delay:
+            self.host_delays = robots_crawl_delays(pages).cache()
+            self.host_delays.count()
         self._corpus_tbl: Optional[str] = None
         if self.config.bucketed_fetch:
             # one-time ingest: the corpus as a canon_url-bucketed table,
@@ -864,6 +905,11 @@ class CrawlEngine:
                 )
             else:
                 scheduled, deferred = schedule_wave(allowed, cfg.budget, cfg.salt_n)
+            if self.host_delays is not None:
+                scheduled, cut = cap_schedule_by_delay(
+                    scheduled, self.host_delays, cfg.wave_seconds, cfg.budget
+                )
+                deferred = deferred.unionByName(cut)
             if cfg.wave_fetch_cap is not None:
                 kept = scheduled.orderBy(
                     F.col("priority").desc(),

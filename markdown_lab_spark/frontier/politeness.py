@@ -111,3 +111,54 @@ def schedule_wave(
 def politeness_budget(rps: float, wave_seconds: int) -> int:
     """floor(rps * wave_seconds), min 1 (throttle.py clamps rps at 0.1)."""
     return max(1, int(max(0.1, rps) * wave_seconds))
+
+
+def cap_schedule_by_delay(
+    scheduled: DataFrame,
+    host_delays: DataFrame,
+    wave_seconds: int,
+    budget: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, cut): enforce robots ``Crawl-delay`` as a per-host wave
+    budget ``b_h = clamp(floor(wave_seconds / crawl_delay), 1, budget)``
+    — at b_h fetches per wave of wave_seconds, inter-request spacing
+    meets the declared delay.
+
+    Exact by prefix composition: ``scheduled`` is the per-host
+    top-``budget`` of the frontier in order_cols() order and
+    b_h <= budget, so ranking the SCHEDULE (never the frontier) and
+    keeping rank <= b_h equals the naive per-host top-b_h of the whole
+    frontier. The window is legal at any scale: it partitions the
+    schedule, whose per-host size is bounded by ``budget`` rows by
+    construction. Hosts with no declared delay bypass the window
+    entirely (the common case), mirroring schedule_wave's under-budget
+    bypass; ``cut`` rows defer to the next wave unchanged.
+
+    b_h has a floor of 1: a delay longer than the wave still makes
+    progress (the alternative starves the host forever); the wave
+    cadence itself is the spacing at b_h = 1.
+    """
+    delays = host_delays.filter(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0)
+    ).select(
+        "host",
+        F.least(
+            F.lit(budget),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(wave_seconds)) / F.col("crawl_delay")),
+            ),
+        )
+        .cast("int")
+        .alias("_bh"),
+    )
+    # no broadcast hint for the same reason as schedule_wave's counts
+    # side: AQE broadcasts when small, shuffles on host otherwise
+    tagged = scheduled.join(delays, on="host", how="left")
+    free = tagged.filter(F.col("_bh").isNull()).drop("_bh")
+    capped = tagged.filter(F.col("_bh").isNotNull())
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    ranked = capped.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= F.col("_bh")).drop("_rn", "_bh")
+    cut = ranked.filter(F.col("_rn") > F.col("_bh")).drop("_rn", "_bh")
+    return free.unionByName(kept), cut

@@ -192,6 +192,10 @@ class RobotsRules:
 
     rules: List[Tuple[str, bool]]  # (path_prefix, is_allow), longest first
     sitemaps: List[str]
+    # Crawl-delay of the '*' group, seconds (de-facto standard honored by
+    # Bing/Yandex; Google ignores it — a polite crawler honors it).
+    # None = not declared.
+    crawl_delay: "float | None" = None
 
     def is_allowed(self, path: str) -> bool:
         for prefix, is_allow in self.rules:
@@ -204,6 +208,7 @@ def parse_robots(content: str) -> RobotsRules:
     """Parse a robots.txt body for the ``*`` agent group + Sitemap lines."""
     rules: List[Tuple[str, bool]] = []
     sitemaps: List[str] = []
+    crawl_delay: "float | None" = None
     active = False
     seen_any_agent = False
     for raw in content.splitlines():
@@ -222,6 +227,13 @@ def parse_robots(content: str) -> RobotsRules:
             if value:
                 rules.append((value, key == "allow"))
             # empty Disallow: means allow-all (no rule)
+        elif key == "crawl-delay" and (active or not seen_any_agent):
+            try:
+                d = float(value)
+            except ValueError:
+                continue  # malformed value: ignored, like bad rules
+            if d > 0:
+                crawl_delay = d
     # longest prefix wins; Allow wins length ties
     rules.sort(key=lambda r: (len(r[0]), r[1]), reverse=True)
-    return RobotsRules(rules=rules, sitemaps=sitemaps)
+    return RobotsRules(rules=rules, sitemaps=sitemaps, crawl_delay=crawl_delay)

@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--max-retries", type=int, default=0)
     ap.add_argument("--ttl-waves", type=int, default=None,
                     help="re-crawl URLs after N waves (cuckoo seen-filter)")
+    ap.add_argument("--honor-crawl-delay", action="store_true",
+                    help="honor robots.txt Crawl-delay as a per-host "
+                         "wave budget cap (exact post-schedule prefix cut)")
     ap.add_argument("--wave-fetch-cap", type=int, default=None,
                     help="global per-wave fetch budget (priority DESC wins)")
     ap.add_argument("--bucketed-state", action="store_true",
@@ -163,6 +166,7 @@ def main() -> int:
         max_retries=args.max_retries,
         ttl_waves=args.ttl_waves,
         wave_fetch_cap=args.wave_fetch_cap,
+        honor_crawl_delay=args.honor_crawl_delay,
         bucketed_state=args.bucketed_state,
         lazy_deferred=args.lazy_deferred or args.tail_rank,
         tail_rank=args.tail_rank,
