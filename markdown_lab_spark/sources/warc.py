@@ -249,3 +249,81 @@ def warc_text_pages(spark: SparkSession, path: str) -> DataFrame:
     return decode_html_bytes(pages, "html", "content_type").select(
         "url", "warc_ts", "text", "encoding", "enc_source"
     )
+
+
+def encode_wet(records: List[dict], compress: bool = True) -> bytes:
+    """WET bytes (Common Crawl's extracted-text layout: WARC 1.0
+    ``conversion`` records, text/plain, member-per-record gzip).
+    Each record dict: url, text (str), warc_ts (datetime). Deterministic
+    for fixed inputs (mtime pinned to 0) — the egress twin of
+    ``read_wet``, and what a curation pipeline publishes."""
+    out = io.BytesIO()
+    for i, r in enumerate(records):
+        body = r["text"].encode("utf-8")
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1")
+        member = head + body + _CRLF + _CRLF
+        if compress:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(member)
+            out.write(buf.getvalue())
+        else:
+            out.write(member)
+    return out.getvalue()
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text) from WET files — ``conversion`` records'
+    blocks decoded as utf-8 (WET is utf-8 by construction; the charset
+    sniff belongs to raw ``response`` ingest, not here)."""
+    rec = read_warc(spark, path)
+    return rec.filter(
+        (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
+    ).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("text")
+    )
+
+
+def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed WET egress: each partition writes ONE
+    ``part-<id>.warc.wet.gz`` executor-side (no driver collect, no
+    shuffle — the writer fuses into whatever stage produced the rows).
+    ``df`` needs (url, text, warc_ts). Returns the small (path,
+    n_records) manifest DataFrame — materialized by the caller, which
+    makes the write happen exactly once per partition task."""
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark import TaskContext  # noqa: PLC0415
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        recs: List[dict] = []
+        for pdf in batches:
+            for url, text, ts in zip(pdf["url"], pdf["text"], pdf["warc_ts"]):
+                if url is None or text is None:
+                    continue
+                recs.append(
+                    {"url": url, "text": text, "warc_ts": ts.to_pydatetime()}
+                )
+        if not recs:
+            return
+        p = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        with open(p, "wb") as f:
+            f.write(encode_wet(recs))
+        yield pd.DataFrame({"path": [p], "n_records": [len(recs)]})
+
+    return df.select("url", "text", "warc_ts").mapInPandas(
+        run, "path string, n_records long"
+    )

@@ -128,3 +128,62 @@ def test_warc_pages_feed_the_crawl_engine(spark, tmp_path):
     ).crawl(["https://wc.test/"])
     tr = {r["canon_url"]: r["status"] for r in out["trace"].collect()}
     assert tr == {"https://wc.test/": "ok", "https://wc.test/a": "ok"}
+
+
+def test_wet_roundtrip_and_interop(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from markdown_lab_spark.sources.warc import (
+        encode_wet,
+        parse_warc_stream,
+        read_wet,
+        write_wet,
+    )
+
+    ts = datetime(2026, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    rows = [
+        (f"https://h{i % 3}.example/p{i}", f"extracted text {i} — ページ {i}", ts)
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text string, warc_ts timestamp"
+    ).repartition(4)
+
+    out_dir = str(tmp_path / "wet")
+    manifest = write_wet(df, out_dir).collect()
+    assert sum(r["n_records"] for r in manifest) == 25
+    assert all(r["path"].endswith(".warc.wet.gz") for r in manifest)
+
+    back = read_wet(spark, out_dir)
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    assert got == {(u, t) for u, t, _ in rows}
+    # timestamps survive the second-resolution WET date format
+    # (Spark collects session-local naive datetimes)
+    assert {
+        r["warc_ts"].replace(tzinfo=timezone.utc) for r in back.collect()
+    } == {ts}
+
+    # raw interop: members parse as conversion records
+    raw = open(manifest[0]["path"], "rb").read()
+    recs = list(parse_warc_stream(raw))
+    assert recs and all(r["warc_type"] == "conversion" for r in recs)
+    # determinism: same records -> same bytes
+    one = [{"url": "https://x.example/a", "text": "t", "warc_ts": ts}]
+    assert encode_wet(one) == encode_wet(one)
+
+
+def test_wet_skips_null_rows(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from markdown_lab_spark.sources.warc import read_wet, write_wet
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("https://a.example/1", "keep", ts), (None, "drop", ts),
+         ("https://a.example/2", None, ts)],
+        "url string, text string, warc_ts timestamp",
+    ).coalesce(1)
+    out_dir = str(tmp_path / "wet2")
+    m = write_wet(df, out_dir).collect()
+    assert sum(r["n_records"] for r in m) == 1
+    assert [r["text"] for r in read_wet(spark, out_dir).collect()] == ["keep"]
