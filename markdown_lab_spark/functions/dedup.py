@@ -1021,3 +1021,77 @@ def duplicate_window_starts_fast(
         .select("h1", "h2")
     )
     return w.join(dup, ["h1", "h2"]).select("id", "s")
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical deduplication — the declared-duplicate signal every
+# production crawl applies before content dedup: pages naming the same
+# <link rel=canonical> target are duplicates BY DECLARATION (print views,
+# tracking-parameter variants, mirrors), no similarity computation needed.
+# ---------------------------------------------------------------------------
+
+
+def canonical_targets(
+    df: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """Append ``canonical_target``: the first <link rel=canonical href>
+    resolved absolute (oracle/html_parser.extract_canonical), falling
+    back to the page's own URL when absent. Arrow-batched pandas UDF,
+    scan-local — fuses into whatever stage reads the html."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _canon(url: pd.Series, html: pd.Series) -> pd.Series:
+        from ..oracle.html_parser import extract_canonical  # noqa: PLC0415
+
+        out = []
+        for u, h in zip(url, html):
+            if h is None or u is None:
+                out.append(u)
+                continue
+            try:
+                out.append(extract_canonical(h, u) or u)
+            except Exception:  # noqa: BLE001 — decoder-boundary contract
+                out.append(u)
+        return pd.Series(out)
+
+    return df.withColumn(
+        "canonical_target", _canon(F.col(url_col), F.col(html_col))
+    )
+
+
+def canonical_dedup(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """Keep ONE row per canonical target: the target page itself when it
+    is in the corpus (url == canonical_target), else the min-url member
+    (deterministic). Rows that declare no canonical form their own
+    group (target falls back to self), so undeclared pages always pass
+    through.
+
+    Plan: one partial-agg groupBy on canonical_target picking
+    min(struct(is_not_self, url)) + a semi-join back on (target, url) —
+    the same skew-safe shape as paragraph_dedup: a mega-group (a site
+    canonicalizing a million variants to one URL) collapses map-side,
+    never pins one task in a window."""
+    tagged = canonical_targets(df, url_col, html_col)
+    keep = (
+        tagged.groupBy("canonical_target")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col(url_col) != F.col("canonical_target"))
+                    .cast("int")
+                    .alias("_not_self"),
+                    F.col(url_col).alias("_u"),
+                )
+            ).alias("_k")
+        )
+        .select(
+            F.col("canonical_target").alias("_t"), F.col("_k._u").alias("_u")
+        )
+    )
+    return tagged.join(
+        keep,
+        (F.col("canonical_target") == F.col("_t"))
+        & (F.col(url_col) == F.col("_u")),
+        "left_semi",
+    )

@@ -10,7 +10,8 @@ substrings, exactly as in the reference).
 
 from __future__ import annotations
 
-from typing import List
+import re
+from typing import List, Optional
 
 from .htmldom import Element, HtmlDocument, Selector, parse_document  # noqa: F401 (parse_document re-exported for UDF hot path)
 from .url_utils import url_join
@@ -188,3 +189,39 @@ def extract_links_parsed(document: HtmlDocument, base_url: str) -> List[str]:
 def get_element_text(element: Element) -> str:
     """Port of src/html_parser.rs:293-301."""
     return element.text_joined()
+
+
+SEL_CANONICAL = Selector("link[href]")
+
+
+def extract_canonical(html: str, base_url: str) -> Optional[str]:
+    """First ``<link rel=canonical href=..>`` in document order (the
+    first-wins handling search engines document), resolved absolute
+    against ``base_url``; None when absent, unresolvable, or not
+    http(s). ``rel`` is matched as a space-separated token list,
+    case-insensitive (HTML's rel attribute is a token set). The
+    reference parser extracts only ``a[href]`` — rel=canonical is the
+    standard crawl-pipeline dedup signal layered on top."""
+    return extract_canonical_parsed(parse_document(html), base_url)
+
+
+def extract_canonical_parsed(
+    document: HtmlDocument, base_url: str
+) -> Optional[str]:
+    """extract_canonical on an already-parsed tree (hot-path variant,
+    shares the parse with link extraction)."""
+    for element in document.select(SEL_CANONICAL):
+        if element.tag != "link":
+            continue
+        rel = (element.attr("rel") or "").lower().split()
+        if "canonical" not in rel:
+            continue
+        href = (element.attr("href") or "").strip()
+        if not href:
+            continue
+        if href.startswith("http://") or href.startswith("https://"):
+            return href
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", href):
+            return None  # non-http(s) scheme (ftp:, mailto:, data:, ...)
+        return url_join(base_url, href)
+    return None

@@ -195,3 +195,77 @@ def test_plan_has_no_window_or_cartesian(spark):
     plan = dedup_substrings(_mk(spark, rows), "doc_id", "text", L)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # coverage filter is a JVM higher-order fn
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical dedup (same family: declared duplicates)
+# ---------------------------------------------------------------------------
+
+
+def _page(canon=None, body="x"):
+    link = f'<link rel="canonical" href="{canon}">' if canon else ""
+    return f"<html><head>{link}</head><body><p>{body}</p></body></html>"
+
+
+def test_extract_canonical_rules():
+    from markdown_lab_spark.oracle.html_parser import extract_canonical
+
+    base = "https://a.example/dir/page?utm=1"
+    assert extract_canonical(_page("https://a.example/clean"), base) == (
+        "https://a.example/clean"
+    )
+    assert extract_canonical(_page("/clean"), base) == "https://a.example/clean"
+    assert extract_canonical(_page(), base) is None
+    # first canonical wins; rel token list is case-insensitive
+    two = (
+        '<link REL="Canonical" href="/first">'
+        '<link rel="canonical" href="/second">'
+    )
+    assert extract_canonical(two, base) == "https://a.example/first"
+    multi = '<link rel="alternate canonical" href="/tok">'
+    assert extract_canonical(multi, base) == "https://a.example/tok"
+    assert extract_canonical(_page("mailto:x@y"), base) is None
+    assert extract_canonical('<link rel="stylesheet" href="/s.css">', base) is None
+
+
+def test_canonical_dedup_keeps_target_else_min(spark):
+    from markdown_lab_spark.functions.dedup import (
+        canonical_dedup,
+        canonical_targets,
+    )
+
+    rows = [
+        # group 1: target page present -> keep it, drop both variants
+        ("https://a.example/x", _page()),
+        ("https://a.example/x?utm=1", _page("https://a.example/x")),
+        ("https://a.example/x?print=1", _page("https://a.example/x")),
+        # group 2: target ABSENT -> keep min-url declaring member
+        ("https://b.example/v2", _page("https://b.example/master")),
+        ("https://b.example/v1", _page("https://b.example/master")),
+        # undeclared page passes through
+        ("https://c.example/solo", _page()),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    tgt = {
+        r["url"]: r["canonical_target"]
+        for r in canonical_targets(df, "url", "html").collect()
+    }
+    assert tgt["https://a.example/x?utm=1"] == "https://a.example/x"
+    assert tgt["https://c.example/solo"] == "https://c.example/solo"
+
+    kept = {r["url"] for r in canonical_dedup(df, "url", "html").collect()}
+    assert kept == {
+        "https://a.example/x",
+        "https://b.example/v1",
+        "https://c.example/solo",
+    }
+
+
+def test_canonical_dedup_null_html_passes_through(spark):
+    from markdown_lab_spark.functions.dedup import canonical_dedup
+
+    df = spark.createDataFrame(
+        [("https://a.example/1", None), ("https://a.example/2", "<p>")],
+        "url string, html string",
+    )
+    assert canonical_dedup(df, "url", "html").count() == 2
