@@ -178,7 +178,9 @@ class CrawlConfig:
         return politeness_budget(self.rps, self.wave_seconds)
 
 
-ROBOTS_RULES_SCHEMA = "host string, prefix string, is_allow boolean, rule_len int"
+ROBOTS_RULES_SCHEMA = (
+    "host string, prefix string, is_allow boolean, rule_len int, rx string"
+)
 
 
 def robots_rules_df(pages: DataFrame) -> DataFrame:
@@ -194,13 +196,17 @@ def robots_rules_df(pages: DataFrame) -> DataFrame:
     )
 
     def parse_batches(iterator):
-        from ..oracle.sitemap import parse_robots as _parse  # noqa: PLC0415
+        from ..oracle.sitemap import (  # noqa: PLC0415
+            parse_robots as _parse,
+            robots_pattern_regex as _rx,
+        )
 
         for pdf in iterator:
             hosts: List[str] = []
             prefixes: List[str] = []
             allows: List[bool] = []
             lens_: List[int] = []
+            rxs: List[Optional[str]] = []
             for url, body in zip(pdf["url"], pdf["body"]):
                 host = (url or "").split("://", 1)[-1].split("/", 1)[0]
                 for prefix, is_allow in _parse(body or "").rules:
@@ -208,6 +214,7 @@ def robots_rules_df(pages: DataFrame) -> DataFrame:
                     prefixes.append(prefix)
                     allows.append(is_allow)
                     lens_.append(len(prefix))
+                    rxs.append(_rx(prefix))
             if hosts:
                 yield pd.DataFrame(
                     {
@@ -215,6 +222,7 @@ def robots_rules_df(pages: DataFrame) -> DataFrame:
                         "prefix": prefixes,
                         "is_allow": allows,
                         "rule_len": lens_,
+                        "rx": rxs,
                     }
                 )
 
@@ -255,8 +263,13 @@ def robots_host_rules(rules: DataFrame) -> DataFrame:
     """One row per host with its rules as an array (bounded: a robots.txt
     has dozens of rules, not millions) — lets the frontier filter be a
     plain equi-join + JVM array expression with NO post-join aggregation."""
+    # rx LAST in the struct: array_max compares fields in order, so the
+    # best-match pick stays (rule_len, is_allow, prefix) — RFC 9309
+    # longest-pattern-wins, Allow wins length ties
     return rules.groupBy("host").agg(
-        F.collect_list(F.struct("rule_len", "is_allow", "prefix")).alias("_rules")
+        F.collect_list(
+            F.struct("rule_len", "is_allow", "prefix", "rx")
+        ).alias("_rules")
     )
 
 
@@ -265,8 +278,10 @@ def host_rules_from_dict(
 ) -> DataFrame:
     """Seed-scale path: a driver-side dict (e.g. from hand-parsed fixtures)
     lifted to the same (host, _rules) shape."""
+    from ..oracle.sitemap import robots_pattern_regex  # noqa: PLC0415
+
     rule_rows = [
-        (host, prefix, is_allow, len(prefix))
+        (host, prefix, is_allow, len(prefix), robots_pattern_regex(prefix))
         for host, rr in robots.items()
         for prefix, is_allow in rr.rules
     ]
@@ -286,8 +301,15 @@ def robots_filter(
     keyed on host, which is the right plan). No rule => allowed
     (markdown_lab has no fetch-time robots check; north_rule adds it)."""
     path = F.regexp_extract(F.col("canon_url"), r"^[a-z]+://[^/]*(/.*)?$", 1)
+    # plain prefixes keep the startswith fast path; wildcard/$ patterns
+    # (RFC 9309) carry a precompiled anchored regex in rx
     best = F.array_max(
-        F.filter(F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"]))
+        F.filter(
+            F.col("_rules"),
+            lambda r: F.when(
+                r["rx"].isNull(), F.col("_path").startswith(r["prefix"])
+            ).otherwise(F.regexp_like(F.col("_path"), r["rx"])),
+        )
     )
     flagged = (
         df.withColumn("_path", F.coalesce(path, F.lit("/")))

@@ -199,9 +199,31 @@ class RobotsRules:
 
     def is_allowed(self, path: str) -> bool:
         for prefix, is_allow in self.rules:
-            if path.startswith(prefix):
+            rx = robots_pattern_regex(prefix)
+            if (
+                re.match(rx, path) is not None
+                if rx is not None
+                else path.startswith(prefix)
+            ):
                 return is_allow
         return True
+
+
+def robots_pattern_regex(pattern: str) -> "str | None":
+    """RFC 9309 path-pattern -> anchored regex, or None for a plain
+    prefix (the startswith fast path). Per the RFC: ``*`` matches any
+    character sequence, a TRAILING ``$`` anchors the match at the end
+    of the path (a mid-pattern ``$`` is a literal octet). The escape
+    set is Python's re.escape, whose backslash-punctuation escapes are
+    also valid Java regex literals — the JVM matcher
+    (crawler.robots_filter via regexp_like) and this oracle compile the
+    SAME string; agreement is pinned by test."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    return rx + "$" if anchored else rx
 
 
 def parse_robots(content: str) -> RobotsRules:

@@ -114,3 +114,49 @@ def test_cuckoo_insert_contains_delete():
     assert cf.delete(urls[:100]) == 100
     assert not cf.contains(urls[:100]).mean() > 0.02
     assert cf.contains(urls[100:]).all()
+
+
+def test_robots_filter_wildcard_jvm_matches_oracle(spark):
+    """RFC 9309 wildcard rules: the JVM regexp_like path and the Python
+    oracle must agree rule-for-rule on adversarial paths (same compiled
+    regex string, two engines)."""
+    from pyspark.sql import functions as F
+
+    from markdown_lab_spark.frontier.crawler import (
+        host_rules_from_dict,
+        robots_filter,
+    )
+    from markdown_lab_spark.oracle.sitemap import parse_robots
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.php\n"
+        "Allow: /shared*.php\n"
+        "Disallow: /fish*.asc$\n"
+        "Disallow: /exact$\n"
+        "Disallow: /a$b\n"
+        "Disallow: /m.n(o)+\n"
+        "Allow: /\n"
+    )
+    rr = parse_robots(body)
+    paths = [
+        "/index.php", "/a/b/deep.php", "/shared-lib.php", "/sharedx.php",
+        "/fishery/x.asc", "/fishery/x.asc.txt", "/exact", "/exact/sub",
+        "/a$b/c", "/ab/c", "/m.n(o)+x", "/mXn(o)+x", "/", "/plain/page",
+        "/sharedphp", "/shared.php",
+    ]
+    host = "w.example"
+    hr = host_rules_from_dict(spark, {host: rr})
+    df = spark.createDataFrame(
+        [(host, f"https://{host}{p}") for p in paths],
+        "host string, canon_url string",
+    )
+    allowed, denied = robots_filter(df, hr)
+    got_allowed = {
+        r["canon_url"].split(host, 1)[1] for r in allowed.collect()
+    }
+    want_allowed = {p for p in paths if rr.is_allowed(p)}
+    assert got_allowed == want_allowed
+    assert {r["canon_url"].split(host, 1)[1] for r in denied.collect()} == (
+        set(paths) - want_allowed
+    )

@@ -150,3 +150,32 @@ def test_parse_robots_allow_deny():
     assert rules.is_allowed("/public/x")
     assert not rules.is_allowed("/private/secret")
     assert rules.is_allowed("/private/ok/page")  # longest prefix wins
+
+
+def test_robots_wildcard_rfc9309_oracle():
+    from markdown_lab_spark.oracle.sitemap import parse_robots
+
+    # the RFC's documented pattern forms: *, trailing-$ anchor, both
+    rr = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.php\n"
+        "Allow: /shared*.php\n"
+        "Disallow: /fish*.asc$\n"
+        "Disallow: /exact$\n"
+    )
+    assert not rr.is_allowed("/index.php")
+    assert not rr.is_allowed("/a/b/deep.php")  # * spans path segments
+    assert rr.is_allowed("/shared-lib.php")  # longer Allow wins
+    assert not rr.is_allowed("/fishery/x.asc")
+    assert rr.is_allowed("/fishery/x.asc.txt")  # $ anchors at end
+    assert not rr.is_allowed("/exact")
+    assert rr.is_allowed("/exact/sub")  # $ anchored: no prefix match
+    assert rr.is_allowed("/page.html")
+    # mid-pattern $ is a literal octet, not an anchor
+    rr2 = parse_robots("User-agent: *\nDisallow: /a$b\n")
+    assert not rr2.is_allowed("/a$b/c")
+    assert rr2.is_allowed("/ab/c")
+    # regex metacharacters in paths are literal
+    rr3 = parse_robots("User-agent: *\nDisallow: /a.b(c)+\n")
+    assert not rr3.is_allowed("/a.b(c)+x")
+    assert rr3.is_allowed("/aXb(c)+x")
