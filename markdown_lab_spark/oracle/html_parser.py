@@ -225,3 +225,31 @@ def extract_canonical_parsed(
             return None  # non-http(s) scheme (ftp:, mailto:, data:, ...)
         return url_join(base_url, href)
     return None
+
+
+def extract_links_with_anchors(
+    html: str, base_url: str
+) -> List[tuple]:
+    """(resolved_url, anchor_text) for every <a href> occurrence, same
+    resolution/skip regime as extract_links but WITHOUT the sort+dedup:
+    anchor aggregation wants every occurrence (frequency is the
+    signal). Anchor text is the element's whitespace-normalized text,
+    capped at 256 chars to bound row width."""
+    document = parse_document(html)
+    out: List[tuple] = []
+    for element in document.select(SEL_LINKS):
+        href = element.attr("href")
+        if href is None:
+            continue
+        if href.startswith("javascript:") or href.startswith("#") or href == "":
+            continue
+        if href.startswith("http://") or href.startswith("https://"):
+            processed = href
+        else:
+            joined = url_join(base_url, href)
+            if joined is None:
+                continue
+            processed = joined
+        anchor = " ".join(get_element_text(element).split())[:256]
+        out.append((processed, anchor))
+    return out
