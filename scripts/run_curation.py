@@ -57,6 +57,13 @@ def main() -> int:
     ap.add_argument("--lm-keep-buckets", type=int, default=2,
                     help="keep the N lowest-perplexity terciles of 3 (CCNet "
                     "head+middle default)")
+    ap.add_argument("--substr-dedup-len", type=int, default=0,
+                    help="remove corpus-wide duplicated token spans of this "
+                    "length or longer (ExactSubstr, Lee et al. 2021); 0 "
+                    "disables; docs left with < 10 tokens are dropped")
+    ap.add_argument("--wet-out",
+                    help="also publish the curated corpus as WET "
+                    "(.warc.wet.gz conversion records) to this directory")
     ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
     ap.add_argument("--salt", default="curation")
     ap.add_argument("--target-len", type=int, default=4096, help="pack budget in tokens; 0 disables packing")
@@ -134,6 +141,25 @@ def main() -> int:
         )
         counts["fuzzy_dedup"] = docs.count()
 
+    # 5b. exact substring dedup: cut duplicated spans, keep the remainder
+    if args.substr_dedup_len > 0:
+        from markdown_lab_spark.functions.dedup import dedup_substrings
+
+        cleaned = dedup_substrings(
+            docs, "doc_id", "text", length=args.substr_dedup_len
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.col("kept_text").alias("_new_text"),
+            (F.col("total_tokens") - F.col("removed_tokens")).alias("_kept_n"),
+        )
+        docs = (
+            docs.join(cleaned, on="doc_id", how="inner")
+            .filter(F.col("_kept_n") >= 10)
+            .withColumn("text", F.col("_new_text"))
+            .drop("_new_text", "_kept_n")
+        )
+        counts["substr_dedup"] = docs.count()
+
     # 6. benchmark decontamination
     if args.bench:
         bench = spark.read.parquet(args.bench).select(
@@ -179,6 +205,22 @@ def main() -> int:
             "n_tokens", X.ws_token_count(F.col("text")).cast("long")
         )
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "documents.parquet"))
+
+    if args.wet_out:
+        from markdown_lab_spark.sources.warc import write_wet
+
+        wet_in = docs
+        if "url" not in wet_in.columns:
+            wet_in = wet_in.withColumn(
+                "url", F.concat(F.lit("urn:mls:doc:"), F.col("doc_id"))
+            )
+        if "warc_ts" not in wet_in.columns:
+            wet_in = wet_in.withColumn(
+                "warc_ts", F.to_timestamp(F.lit("2000-01-01 00:00:00"))
+            )
+        manifest = write_wet(wet_in, args.wet_out).collect()
+        counts["wet_files"] = len(manifest)
+        counts["wet_records"] = int(sum(r["n_records"] for r in manifest))
 
     # 9. pack into fixed-token-budget sequences
     if args.target_len > 0:

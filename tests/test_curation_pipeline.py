@@ -185,3 +185,48 @@ def test_pipeline_stage_flags_disable(spark, corpus, tmp_path, monkeypatch, caps
     )
     assert "c4" not in counts and "packs" not in counts
     assert 0 < counts["sampled"] < counts["input"]
+
+
+def test_pipeline_substr_dedup_and_wet_out(
+    spark, corpus, tmp_path, monkeypatch, capsys
+):
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts_dir not in _sys.path:
+        _sys.path.insert(0, scripts_dir)
+    inp, _bpath = corpus
+    out = str(tmp_path / "out_substr")
+    wet = str(tmp_path / "wet_out")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", out, "--wet-out", wet,
+            "--substr-dedup-len", "8", "--no-fuzzy-dedup",
+            "--target-len", "0", "--lang", "", "--min-quality", "0.0",
+            "--no-c4", "--no-gopher", "--no-exact-dedup",
+        ],
+    )
+    # the exact-dup family (ids 0..4 vs 100..104) consists of whole-doc
+    # duplicated spans: substring dedup guts BOTH copies below the
+    # 10-token floor, so all 10 rows drop; near-dup chain keeps its
+    # unique-number remainder or drops — accounting must reflect a cut
+    assert counts["substr_dedup"] < counts["input"]
+    assert counts["wet_records"] == counts["substr_dedup"]
+    assert counts["wet_files"] >= 1
+
+    from markdown_lab_spark.sources.warc import read_wet
+
+    back = read_wet(spark, wet)
+    assert back.count() == counts["substr_dedup"]
+    assert back.filter(back.url.startswith("urn:mls:doc:")).count() == back.count()
+
+    # the surviving corpus has no cross-doc duplicated 8-token span
+    from markdown_lab_spark.functions.dedup import duplicate_window_starts
+
+    survivors = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert duplicate_window_starts(survivors, "doc_id", "text", 8).count() == 0
