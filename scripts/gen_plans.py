@@ -22,6 +22,8 @@ PICK = {
  "q40_corpus_curation": "curation composite: two hash-agg shuffles + one inner join, all JVM",
  "q30_agg_parity": "TPC-H-style agg (merged events+lineitem gate): scan shows PushedFilters + pruned ReadSchema",
  "q52_paragraph_dedup": "paragraph dedup (round-4 rewrite): partial_min BEFORE the para_hash exchange absorbs mega-duplicate skew; no Window node",
+ "q58_decontaminate": "benchmark decontamination: broadcast bench-ngram membership, corpus side narrow shingle+explode, one partial-agg groupBy",
+ "q63_substring_dedup": "exact substring dedup: JVM window hashing (no Python), ONE partial-agg count shuffle on whash, join back, higher-order coverage splice — no Window node",
 }
 
 out = ["""# PLANS — frozen physical-plan evidence (regenerate: `python scripts/gen_plans.py`)
