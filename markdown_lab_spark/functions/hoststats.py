@@ -44,6 +44,8 @@ def host_stats(
         F.avg("_q").alias("mean_quality"),
         F.avg("_keep").alias("keep_rate"),
         F.avg("_en").alias("en_frac"),
+        # exact distinct is fine to ~10^6 docs/host; at pathological
+        # per-host volumes swap in approx_count_distinct (same plan shape)
         (1.0 - F.countDistinct("_h") / F.count("*")).alias("dup_frac"),
     )
 

@@ -314,6 +314,10 @@ def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
             for url, text, ts in zip(pdf["url"], pdf["text"], pdf["warc_ts"]):
                 if url is None or text is None:
                     continue
+                try:  # WARC headers are latin-1; a raw unicode URL must
+                    url.encode("latin-1")  # skip, not abort the partition
+                except UnicodeEncodeError:
+                    continue
                 recs.append(
                     {"url": url, "text": text, "warc_ts": ts.to_pydatetime()}
                 )

@@ -180,7 +180,8 @@ def test_wet_skips_null_rows(spark, tmp_path):
     ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
     df = spark.createDataFrame(
         [("https://a.example/1", "keep", ts), (None, "drop", ts),
-         ("https://a.example/2", None, ts)],
+         ("https://a.example/2", None, ts),
+         ("https://пример.example/3", "drop-too", ts)],
         "url string, text string, warc_ts timestamp",
     ).coalesce(1)
     out_dir = str(tmp_path / "wet2")
