@@ -253,3 +253,41 @@ def extract_links_with_anchors(
         anchor = " ".join(get_element_text(element).split())[:256]
         out.append((processed, anchor))
     return out
+
+
+_META_REFRESH_RE = re.compile(
+    r"""^\s*\d+(?:\.\d*)?\s*[;,]\s*(?:url\s*=\s*)?['"]?\s*([^'">\s]+)""",
+    re.IGNORECASE,
+)
+
+
+def extract_meta_refresh(html: str, base_url: str) -> Optional[str]:
+    """Target of the first ``<meta http-equiv=refresh content="N; url=..">``
+    (the client-side redirect real sites use and ``requests`` does NOT
+    follow — a crawler that ignores it records shell pages). Content is
+    parsed WHATWG-style (delay, ``;``/``,`` separator, optional
+    ``url=`` and quotes); the target resolves like link hrefs: absolute
+    http(s) pass through, relative joins ``base_url``, any other scheme
+    is rejected. None when absent or malformed."""
+    document = parse_document(html)
+    for element in document.select(SEL_META_REFRESH):
+        if element.tag != "meta":
+            continue
+        if (element.attr("http-equiv") or "").strip().lower() != "refresh":
+            continue
+        content = element.attr("content") or ""
+        m = _META_REFRESH_RE.match(content)
+        if not m:
+            continue
+        href = m.group(1).strip()
+        if not href:
+            continue
+        if href.startswith("http://") or href.startswith("https://"):
+            return href
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", href):
+            return None
+        return url_join(base_url, href)
+    return None
+
+
+SEL_META_REFRESH = Selector("meta[content]")
