@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--max-retries", type=int, default=0)
     ap.add_argument("--ttl-waves", type=int, default=None,
                     help="re-crawl URLs after N waves (cuckoo seen-filter)")
+    ap.add_argument("--follow-meta-refresh", action="store_true",
+                    help="resolve <meta http-equiv=refresh> chains corpus-"
+                         "side before crawling (effective-pages view)")
     ap.add_argument("--honor-crawl-delay", action="store_true",
                     help="honor robots.txt Crawl-delay as a per-host "
                          "wave budget cap (exact post-schedule prefix cut)")
@@ -159,6 +162,10 @@ def main() -> int:
         pages = warc_pages_table(spark, args.pages_warc).select("url", "html")
     else:
         pages = spark.read.parquet(args.pages)
+    if args.follow_meta_refresh:
+        from markdown_lab_spark.frontier.redirects import effective_pages
+
+        pages = effective_pages(pages)
     cfg = CrawlConfig(
         rps=args.rps,
         wave_seconds=args.wave_seconds,
