@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--bench", help="eval-set parquet with a text column for decontamination")
     ap.add_argument("--bench-text-col", default="text")
+    ap.add_argument("--fix-text", action="store_true",
+                    help="ftfy-shaped repair first: mojibake (utf-8-as-"
+                    "cp1252), NFC normalize, control strip")
     ap.add_argument("--lang", default="en", help="language to keep ('' disables)")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--no-c4", action="store_true")
@@ -102,6 +105,13 @@ def main() -> int:
 
     docs = spark.read.parquet(args.input)
     counts = {"input": docs.count()}
+
+    # 0. text repair (mojibake / normalize / controls) before any gate
+    # reads the text — corrupt bytes would otherwise skew lang/quality
+    if args.fix_text:
+        from markdown_lab_spark.functions.fixtext import fix_text_udf
+
+        docs = docs.withColumn("text", fix_text_udf()(F.col("text")))
 
     # 1. cheap row-local gates first: lang + quality
     if args.lang:
