@@ -547,3 +547,43 @@ def test_decontaminate_matches_duckdb_oracle(spark):
     assert {k: v[0] for k, v in got.items()} == expect
     assert all((v[0] == 0) == v[1] for v in got.values())
     assert any(v[0] > 0 for v in got.values())  # planted spans detected
+
+
+def test_predicted_lang_full_scripts_and_latin(spark):
+    from markdown_lab_spark.functions.text import (
+        predicted_lang,
+        predicted_lang_full,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "これは日本語のテキストです。漢字も含まれています。", "ja"),
+        (2, "这是一段中文文本，包含很多汉字内容。", "zh"),
+        (3, "이것은 한국어 텍스트입니다 많은 내용이 있습니다", "ko"),
+        (4, "Это русский текст с большим количеством слов", "ru"),
+        (5, "هذا نص باللغة العربية مع كلمات كثيرة", "ar"),
+        (6, "यह हिन्दी में लिखा गया पाठ है", "hi"),
+        (7, "นี่คือข้อความภาษาไทยที่มีหลายคำ", "th"),
+        (8, "Αυτό είναι ένα ελληνικό κείμενο με πολλές λέξεις", "el"),
+        (9, "זהו טקסט בעברית עם מילים רבות", "he"),
+        (10, "the cat sat on the mat and it was happy for the day", "en"),
+        (11, "der Hund ist nicht mit der Katze und das ist gut zu sehen", "de"),
+        (12, "il problema è che anche la soluzione non funziona più per tutti", "it"),
+        (13, "não há uma solução para que os problemas são mais fáceis", "pt"),
+        (14, "de kat en het huis zijn niet van dat dorp maar ook mooi", "nl"),
+        (15, "12345 67890 !!!", "und"),
+        # Japanese page with embedded Latin brand names: kana still wins
+        (16, "Apple の新しい iPhone は日本で発売されます。詳細はこちら。", "ja"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, want string")
+    got = {
+        r["id"]: (r["lang"], r["want"])
+        for r in df.select(
+            "id", "want", predicted_lang_full(F.col("text")).alias("lang")
+        ).collect()
+    }
+    for i, (lang, want) in sorted(got.items()):
+        assert lang == want, (i, lang, want)
+    # the gated 4-language function is untouched on its domain
+    en = df.filter("id = 10").select(predicted_lang(F.col("text"))).collect()
+    assert en[0][0] == "en"
