@@ -352,3 +352,85 @@ def resize_images(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, RESIZED_SCHEMA
     )
+
+
+def _luma(px):
+    """HxWxC uint8 -> HxW float luma (BT.601 weights; gray passes through)."""
+    if px.shape[2] == 1:
+        return px[:, :, 0].astype("float64")
+    return (
+        0.299 * px[:, :, 0].astype("float64")
+        + 0.587 * px[:, :, 1].astype("float64")
+        + 0.114 * px[:, :, 2].astype("float64")
+    )
+
+
+def dhash_bits(px) -> str:
+    """64-bit difference hash (dHash) of decoded pixels as a 64-char
+    '0'/'1' string — the perceptual-dedup fingerprint (row-wise
+    brightness gradient signs over a 9x8 nearest-neighbor thumbnail;
+    public method, widely used for LAION-style image dedup). Stable
+    under re-encoding/resizing because only gradient SIGNS survive."""
+    import numpy as np  # noqa: PLC0415
+
+    g = _luma(px)
+    h, w = g.shape
+    rows = np.minimum((np.arange(8) * h) // 8, h - 1)
+    cols = np.minimum((np.arange(9) * w) // 9, w - 1)
+    thumb = g[np.ix_(rows, cols)]
+    bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.uint8).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def dhash_images(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    image_decoder=None,
+) -> DataFrame:
+    """(id, dhash) for every decodable image — Arrow-batched, scan-
+    local; undecodable payloads are dropped (native-seam formats).
+    The bit-string column plugs STRAIGHT into
+    ``dedup.simhash_hamming_pairs`` (same 64-bit representation), so
+    perceptual near-dup pairing inherits the pigeonhole-exact banded
+    join instead of growing its own."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                if raw is None:
+                    continue
+                try:
+                    _w, _h, _c, px = _decode_image_any(
+                        bytes(raw), image_decoder
+                    )
+                except ValueError:
+                    continue
+                ids.append(mid)
+                hashes.append(dhash_bits(px))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, dhash string"
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 8,
+    max_hamming: int = 7,
+    image_decoder=None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) perceptual near-duplicate image pairs:
+    dHash fingerprints + the SimHash stack's banded Hamming join
+    (pigeonhole-exact for the radius, candidates ~O(true dups))."""
+    from .dedup import simhash_hamming_pairs  # noqa: PLC0415
+
+    fps = dhash_images(media, id_col, payload_col, image_decoder)
+    return simhash_hamming_pairs(
+        fps, id_col=id_col, sim_col="dhash",
+        bands=bands, max_hamming=max_hamming,
+    )
