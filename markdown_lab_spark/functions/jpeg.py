@@ -6,8 +6,11 @@ spectral selection, successive approximation, EOB runs, all four scan
 types incl. AC refinement), 8-bit, grayscale or YCbCr with sampling
 factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, quant +
 huffman tables read from the file's own DQT/DHT segments (so any
-conforming file decodes, not just ours). Arithmetic coding and 12-bit
-raise ValueError — callers fall back to the declared stub.
+conforming file decodes, not just ours). 12-bit extended-sequential
+grayscale (SOF1) decodes for real; arithmetic-coded sequential (SOF9)
+dispatches to the QM coder in jpeg_arith.py. Progressive-arithmetic
+(SOF10), lossless, and hierarchical processes raise ValueError —
+callers fall back to the declared stub.
 
 Encoder (fixtures + sinks): baseline, Annex-K quant tables, flat
 canonical huffman tables (valid per spec; embedded in DHT, so the
@@ -675,6 +678,8 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     frame = None
     restart_interval = 0
     progressive = False
+    arith = False
+    dac: Dict[Tuple[str, int], object] = {}
     precision = 8
     coef: List[np.ndarray] = []  # per-comp (bh, bw, 64) dequantizable ints
     while pos + 4 <= len(payload):
@@ -722,17 +727,20 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
             # 12-bit — same entropy coding, wider categories) / SOF2
-            # progressive. 12-bit support is scoped to single-component
-            # sequential frames (the medical/scan-data shape); 12-bit
-            # color or progressive raises per the boundary contract.
+            # progressive / SOF9 arithmetic sequential (QM coder,
+            # jpeg_arith.py). 12-bit support is scoped to
+            # single-component huffman-sequential frames (the
+            # medical/scan-data shape); 12-bit color, progressive, or
+            # arithmetic raises per the boundary contract.
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec not in (8, 12):
                 raise ValueError("only 8- or 12-bit precision supported")
-            if prec == 12 and (progressive or ncomp != 1):
+            if prec == 12 and (progressive or arith or ncomp != 1):
                 raise ValueError("12-bit supported for sequential grayscale only")
             precision = prec
             comps = []
@@ -740,8 +748,18 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (width, height, ncomp, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if tc == 0:
+                    dac[("dc", tb)] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    dac[("ac", tb)] = cs  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -752,6 +770,13 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             for si in range(ns):
                 cs, tdta = body[1 + si * 2 : 3 + si * 2]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
+            if arith:
+                from .jpeg_arith import decode_arith_scan
+
+                return decode_arith_scan(
+                    payload, pos, frame, scan, quant, dac, restart_interval,
+                    precision=precision,
+                )
             if not progressive:
                 return _decode_scan(
                     payload, pos, frame, scan, quant, huff, restart_interval,
