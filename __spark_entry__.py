@@ -432,16 +432,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q18_dedup_exact"] = q18_dedup_exact
 
-    def q19_minhash_signatures(spark, sf):
-        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
-        return D.minhash_signatures(docs, "doc_id", "content", k=8)
-
-    q["q19_minhash_signatures"] = q19_minhash_signatures
-
     def q20_minhash_lsh_pairs(spark, sf):
+        # two legs union-aligned under one gate (q19_minhash_signatures
+        # folded in, round-5 continuation, to free a slot for the
+        # curation-op promotions): 'sig' rows pin every doc's 8-lane
+        # MinHash signature (folded to one md5 so the schema aligns),
+        # 'pair' rows the banded-LSH candidates with estimated Jaccard.
         docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
         sigs = D.minhash_signatures(docs, "doc_id", "content", k=8)
-        return D.minhash_lsh_pairs(sigs, "doc_id", k=8, bands=4, min_est_jaccard=0.5)
+        sig_leg = sigs.select(
+            F.lit("sig").alias("leg"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(8)])
+            ).alias("sig"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+        pair_leg = D.minhash_lsh_pairs(
+            sigs, "doc_id", k=8, bands=4, min_est_jaccard=0.5
+        ).select(
+            F.lit("pair").alias("leg"),
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.lit(None).cast("string").alias("sig"),
+            F.col("est_jaccard").cast("double"),
+        )
+        return sig_leg.unionByName(pair_leg)
 
     q["q20_minhash_lsh_pairs"] = q20_minhash_lsh_pairs
 
@@ -456,17 +473,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_functions.py so the driver's 50-query cap fits every
     # operator family)
 
-    def q36_simhash64(spark, sf):
-        docs = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
-        return D.simhash64(docs, "doc_id", "text")
-
-    q["q36_simhash64"] = q36_simhash64
-
     def q37_simhash_hamming(spark, sf):
-        fps = D.simhash64(_simdocs(spark, sf), "doc_id", "content")
-        return D.simhash_hamming_pairs(
-            fps, id_col="doc_id", bands=8, max_hamming=7
+        # two legs union-aligned under one gate (q36_simhash64 folded
+        # in, round-5 continuation, to free a slot): 'fp' rows pin the
+        # 64-bit fingerprints themselves (over the plain documents
+        # corpus q36 used), 'ham' rows the pigeonhole-banded Hamming
+        # pairs over the grouped synthetic corpus.
+        plain = _t(spark, sf, "documents").filter((F.col("doc_id") % 10) == 0)
+        fp_leg = D.simhash64(plain, "doc_id", "text").select(
+            F.lit("fp").alias("leg"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("simhash"),
+            F.lit(None).cast("long").alias("hamming"),
         )
+        fps = D.simhash64(_simdocs(spark, sf), "doc_id", "content")
+        ham_leg = D.simhash_hamming_pairs(
+            fps, id_col="doc_id", bands=8, max_hamming=7
+        ).select(
+            F.lit("ham").alias("leg"),
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.lit(None).cast("string").alias("simhash"),
+            F.col("hamming").cast("long"),
+        )
+        return fp_leg.unionByName(ham_leg)
 
     q["q37_simhash_hamming"] = q37_simhash_hamming
 
@@ -667,33 +698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q32_chunk_markdown"] = q32_chunk_markdown
 
-    def q39_chunk_semantic_sections(spark, sf):
-        # multi-section semantic chunking: '# Doc' + first '## Intro'
-        # fold into one section (seen_h2_under_h1, chunk_utils.py:70-79);
-        # '## Details' starts its own, sized to exercise BOTH the small
-        # 'section' chunk and the large-section word-window paths
-        docs = _t(spark, sf, "documents").withColumn("url", _url_col())
-        md = F.concat(
-            F.lit("# Doc "), F.col("doc_id").cast("string"),
-            F.lit("\n\n## Intro\n\n"), F.col("text"),
-            F.lit("\n\n## Details\n\n"),
-            F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")),
-        )
-        exploded = docs.withColumn("md", md).select(
-            "doc_id",
-            F.explode(chunk_semantic_udf(F.col("md"), F.col("url"))).alias("c"),
-        )
-        return exploded.select(
-            "doc_id",
-            F.col("c.id").alias("chunk_id"),
-            F.col("c.content").alias("content"),
-            F.col("c.chunk_type").alias("chunk_type"),
-            F.col("c.word_count").cast("long").alias("word_count"),
-            F.col("c.char_count").cast("long").alias("char_count"),
-        )
-
-    q["q39_chunk_semantic_sections"] = q39_chunk_semantic_sections
-
     def q40_corpus_curation(spark, sf):
         # composite training-data curation: language == en AND quality >=
         # 0.5 AND canonical representative of its exact-dup group — the
@@ -800,23 +804,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q44_events_latest_per_user"] = q44_events_latest_per_user
 
     def q33_chunk_semantic(spark, sf):
-        docs = _webdocs(spark, sf)
-        converted = docs.withColumn(
-            "doc", convert_html_udf(F.col("html"), F.col("url"))
+        # two legs union-aligned under one gate
+        # (q39_chunk_semantic_sections folded in, round-5 continuation,
+        # to free a slot): 'html' chunks the converted web corpus;
+        # 'sections' the synthetic multi-section markdown — '# Doc' +
+        # first '## Intro' fold into one section (seen_h2_under_h1,
+        # chunk_utils.py:70-79), '## Details' starts its own, sized to
+        # exercise BOTH the small 'section' chunk and the large-section
+        # word-window paths.
+        def _chunks(with_md, leg):
+            return with_md.select(
+                F.lit(leg).alias("leg"),
+                "doc_id",
+                F.explode(
+                    chunk_semantic_udf(F.col("md"), F.col("url"))
+                ).alias("c"),
+            ).select(
+                "leg",
+                "doc_id",
+                F.col("c.id").alias("chunk_id"),
+                F.col("c.content").alias("content"),
+                F.col("c.chunk_type").alias("chunk_type"),
+                F.col("c.word_count").cast("long").alias("word_count"),
+                F.col("c.char_count").cast("long").alias("char_count"),
+            )
+
+        html_leg = _chunks(
+            _webdocs(spark, sf)
+            .withColumn("doc", convert_html_udf(F.col("html"), F.col("url")))
+            .withColumn("md", F.col("doc.markdown")),
+            "html",
         )
-        return converted.select(
-            "doc_id",
-            F.explode(
-                chunk_semantic_udf(F.col("doc.markdown"), F.col("url"))
-            ).alias("c"),
-        ).select(
-            "doc_id",
-            F.col("c.id").alias("chunk_id"),
-            F.col("c.content").alias("content"),
-            F.col("c.chunk_type").alias("chunk_type"),
-            F.col("c.word_count").cast("long").alias("word_count"),
-            F.col("c.char_count").cast("long").alias("char_count"),
+        md = F.concat(
+            F.lit("# Doc "), F.col("doc_id").cast("string"),
+            F.lit("\n\n## Intro\n\n"), F.col("text"),
+            F.lit("\n\n## Details\n\n"),
+            F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")),
         )
+        sect_leg = _chunks(
+            _t(spark, sf, "documents")
+            .withColumn("url", _url_col())
+            .withColumn("md", md),
+            "sections",
+        )
+        return html_leg.unionByName(sect_leg)
 
     q["q33_chunk_semantic"] = q33_chunk_semantic
 
@@ -966,9 +997,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                 yield pd.DataFrame(rows)
 
-        return _spread(docs).mapInPandas(
+        png_leg = _spread(docs).mapInPandas(
             gen_decode, "media_id long, width int, height int, pixel_sum long"
+        ).select(F.lit("png").alias("codec"), "*")
+
+        # GIF leg (q55_gif_decode folded in, round-5 continuation, to
+        # free a slot): index (y,x) = (y*7 + x*3 + media_id) % 256
+        # through palette p[i] = ((i*5)%256, (i*7)%256, (i*11)%256),
+        # encoded INTERLACED (odd media_id) or sequential — LZW, the
+        # width-bump boundary, and the four interlace passes all sit on
+        # the verified path; the oracle folds the palette into a
+        # closed-form pixel sum.
+        gif_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 120)
         )
+
+        def gif_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            i256 = np.arange(256)
+            pal = np.stack(
+                [(i256 * 5) % 256, (i256 * 7) % 256, (i256 * 11) % 256], axis=1
+            ).astype(np.uint8)
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 16 + i % 17, 16 + i % 13
+                    idx = (
+                        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + i)
+                        % 256
+                    ).astype(np.uint8)
+                    payload = codecs.encode_gif(idx, pal, interlace=bool(i % 2))
+                    dw, dh, _c, px = codecs.decode_gif(payload)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": int(px.astype(np.int64).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        gif_leg = gif_docs.mapInPandas(
+            gif_decode, "media_id long, width int, height int, pixel_sum long"
+        ).select(F.lit("gif").alias("codec"), "*")
+        return png_leg.unionByName(gif_leg)
 
     q["q47_png_decode"] = q47_png_decode
 
@@ -1257,56 +1337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q54_image_resize"] = q54_image_resize
 
-    def q55_gif_decode(spark, sf):
-        # REAL GIF decode under the hash gate: index (y,x) = (y*7 + x*3 +
-        # media_id) % 256 through palette p[i] = ((i*5)%256, (i*7)%256,
-        # (i*11)%256), encoded INTERLACED (odd media_id) or sequential —
-        # LZW, the width-bump boundary, and the four interlace passes all
-        # sit on the verified path; the oracle folds the palette into a
-        # closed-form pixel sum.
-        docs = (
-            _t(spark, sf, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") < 120)
-        )
-
-        def gen_decode(batches):
-            import numpy as np  # noqa: PLC0415
-            import pandas as pd  # noqa: PLC0415
-
-            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
-
-            i256 = np.arange(256)
-            pal = np.stack(
-                [(i256 * 5) % 256, (i256 * 7) % 256, (i256 * 11) % 256], axis=1
-            ).astype(np.uint8)
-            for pdf in batches:
-                rows = []
-                for i in pdf["doc_id"]:
-                    i = int(i)
-                    w, h = 16 + i % 17, 16 + i % 13
-                    idx = (
-                        (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + i)
-                        % 256
-                    ).astype(np.uint8)
-                    payload = codecs.encode_gif(idx, pal, interlace=bool(i % 2))
-                    dw, dh, _c, px = codecs.decode_gif(payload)
-                    rows.append(
-                        {
-                            "media_id": i,
-                            "width": dw,
-                            "height": dh,
-                            "pixel_sum": int(px.astype(np.int64).sum()),
-                        }
-                    )
-                yield pd.DataFrame(rows)
-
-        return docs.mapInPandas(
-            gen_decode, "media_id long, width int, height int, pixel_sum long"
-        )
-
-    q["q55_gif_decode"] = q55_gif_decode
-
     def q56_pii_redaction(spark, sf):
         # BigScience/ROOTS-style PII scrub (emails -> <EMAIL>, IPv4 ->
         # <IP>, phones -> <PHONE>) over docs with injected PII. The Spark
@@ -1559,6 +1589,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q63_substring_dedup"] = q63_substring_dedup
 
+    def q64_crawl_delay_cap(spark, sf):
+        # robots Crawl-delay honored as an exact per-host wave budget:
+        # politeness.cap_schedule_by_delay composed after schedule_wave,
+        # b_h = clamp(floor(wave_seconds / delay), 1, budget). The
+        # composition is exact by prefix identity (the schedule is the
+        # per-host top-budget in order_cols() order, b_h <= budget), so
+        # the oracle is ONE window over the whole frontier with the
+        # per-host limit — frontier/politeness.py:117; reference
+        # behavior: requests-level throttling src/client.rs (per-host
+        # spacing), generalized to the declared robots delay.
+        from markdown_lab_spark.frontier.politeness import (  # noqa: PLC0415
+            cap_schedule_by_delay,
+            schedule_wave,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        hn = F.col("doc_id") % 37
+        frontier = d.select(
+            F.concat(F.lit("h"), hn.cast("string")).alias("host"),
+            F.concat(
+                F.lit("https://h"), hn.cast("string"),
+                F.lit(".example/p"), F.col("doc_id").cast("string"),
+            ).alias("canon_url"),
+            (F.col("doc_id") % 3).cast("int").alias("depth"),
+            (F.col("doc_id") % 7).cast("double").alias("priority"),
+        )
+        delays = spark.range(37).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            F.when(F.col("id") % 4 == 0, F.lit(2.5))  # b_h = 4: prefix cut
+            .when(F.col("id") % 4 == 1, F.lit(0.5))  # b_h = budget: uncut
+            .otherwise(F.lit(None).cast("double"))
+            .alias("crawl_delay"),
+        )
+        scheduled, _deferred = schedule_wave(frontier, budget=5)
+        kept, _cut = cap_schedule_by_delay(
+            scheduled, delays, wave_seconds=10, budget=5
+        )
+        return kept.select(
+            "host", "canon_url", F.col("depth").cast("int").alias("depth"),
+            F.col("priority").cast("double").alias("priority"),
+        )
+
+    q["q64_crawl_delay_cap"] = q64_crawl_delay_cap
+
+    def q65_canonical_dedup(spark, sf):
+        # rel=canonical declared-duplicate collapse (dedup.canonical_dedup
+        # over the real HTML parser): URL groups of 3 declare the group
+        # base as canonical; every 4th group's base itself declares an
+        # OFF-corpus target, exercising both keep rules — the target page
+        # itself when present, else the min-url member. Undeclared pages
+        # form their own group and pass through.
+        d = _t(spark, sf, "documents").select("doc_id")
+        url = F.concat(F.lit("https://c.example/p"), F.col("doc_id").cast("string"))
+        base = F.col("doc_id") - F.col("doc_id") % 3
+        member_target = F.concat(
+            F.lit("https://c.example/p"), base.cast("string")
+        )
+        base_target = F.when(
+            (F.col("doc_id") % 12) == 0,
+            F.concat(F.lit("https://c.example/q"), F.col("doc_id").cast("string")),
+        )
+        target = F.when(
+            (F.col("doc_id") % 3) == 0, base_target
+        ).otherwise(member_target)
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(
+                target.isNotNull(),
+                F.concat(
+                    F.lit('<link rel="canonical" href="'), target, F.lit('">')
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body><p>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</p></body></html>"),
+        )
+        docs = d.select("doc_id", url.alias("url"), html.alias("html"))
+        return D.canonical_dedup(docs, "url", "html").select(
+            "doc_id", "url", "canonical_target"
+        )
+
+    q["q65_canonical_dedup"] = q65_canonical_dedup
+
+    def q66_near_dedup_keep(spark, sf):
+        # the full FineWeb-shaped fuzzy-dedup composition as one gate
+        # (functions/dedup.near_dedup_keep): MinHash -> LSH candidates
+        # (ALL band collisions) -> exact-Jaccard verify >= 0.8 ->
+        # connected components -> keep the min-id representative; rows
+        # outside every verified pair pass through. The oracle rebuilds
+        # the identical pipeline in SQL (bands included — LSH recall is
+        # part of the contract) with a recursive-CTE component labeling.
+        docs = _dupdocs(spark, sf).filter((F.col("doc_id") % 5) == 0)
+        kept = D.near_dedup_keep(
+            docs, "doc_id", "content", k=8, bands=4, shingle_n=3,
+            min_jaccard=0.8,
+        )
+        return kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5("content").alias("content_md5"),
+        )
+
+    q["q66_near_dedup_keep"] = q66_near_dedup_keep
+
+    def q67_pack_sequences(spark, sf):
+        # deterministic sequence packing (functions/packing.py):
+        # xxhash64-bucketed first-fit-decreasing into target_len-token
+        # packs, oversize docs flagged overflow. FFD's pack assignment is
+        # inherently sequential (each placement depends on every prior
+        # one), so this gate is rows-only by design — the exact
+        # assignment is pinned by tests/test_packing.py (determinism
+        # across partitionings, capacity/overflow invariants, utilization
+        # floor vs the naive packer).
+        from markdown_lab_spark.functions.packing import (  # noqa: PLC0415
+            pack_sequences,
+        )
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+        return pack_sequences(
+            docs, "doc_id", "n_tokens", target_len=256, n_buckets=8
+        ).orderBy("pack_id", "pack_offset")
+
+    q["q67_pack_sequences"] = q67_pack_sequences
+
     return q
 
 
@@ -1756,16 +1912,6 @@ def oracle_sql() -> dict[str, str]:
     mh_lanes = ",\n               ".join(
         f"min(md5(sh || ':{i}')) AS mh_{i}" for i in range(8)
     )
-    o["q19_minhash_signatures"] = f"""
-        WITH d AS (
-          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
-        ),
-        sh AS ({_SHINGLES})
-        SELECT doc_id,
-               {mh_lanes}
-        FROM sh GROUP BY doc_id
-    """
-
     band_defs = ",\n               ".join(
         f"md5('{b}' || '|' || mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_{b}"
         for b in range(4)
@@ -1794,7 +1940,16 @@ def oracle_sql() -> dict[str, str]:
           FROM buckets l JOIN buckets r
             ON l.bucket = r.bucket AND l.doc_id < r.doc_id
         )
-        SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+        SELECT 'sig' AS leg, CAST(doc_id AS BIGINT) AS id_a,
+               CAST(NULL AS BIGINT) AS id_b,
+               md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 || '|' ||
+                   mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) AS sig,
+               CAST(NULL AS DOUBLE) AS est_jaccard
+        FROM sigs
+        UNION ALL
+        SELECT 'pair' AS leg, id_a, id_b, CAST(NULL AS VARCHAR) AS sig,
+               est_jaccard
+        FROM pairs WHERE est_jaccard >= 0.5
     """
 
     o["q21_ngram_jaccard"] = f"""
@@ -1831,23 +1986,10 @@ def oracle_sql() -> dict[str, str]:
     fp64 = " || ".join(
         f"CASE WHEN v_{d} > 0 THEN '1' ELSE '0' END" for d in range(64)
     )
-    o["q36_simhash64"] = f"""
-        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        toks AS (
-          SELECT doc_id, md5(tok) AS h
-          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d)
-        ),
-        agg AS (
-          SELECT doc_id,
-               {votes64}
-          FROM toks GROUP BY doc_id
-        )
-        SELECT doc_id, {fp64} AS simhash FROM agg
-    """
-
-    # q37: banded candidate generation is exhaustive for hamming <= 7 with
-    # 8 bands (pigeonhole), so the oracle can brute-force all pairs and get
-    # the identical result set
+    # q37 'ham' leg: banded candidate generation is exhaustive for
+    # hamming <= 7 with 8 bands (pigeonhole), so the oracle can
+    # brute-force all pairs and get the identical result set; the 'fp'
+    # leg (folded-in q36) pins the raw 64-bit fingerprints
     _GTAG = (
         "rtrim(repeat('grp' || CAST(CAST(floor(doc_id / 30) AS BIGINT) "
         "AS VARCHAR) || ' ', 10))"
@@ -1869,8 +2011,24 @@ def oracle_sql() -> dict[str, str]:
                {votes64}
           FROM toks GROUP BY doc_id
         ),
-        fps AS (SELECT doc_id, {fp64} AS simhash FROM agg)
-        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        fps AS (SELECT doc_id, {fp64} AS simhash FROM agg),
+        pd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ptoks AS (
+          SELECT doc_id, md5(tok) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM pd)
+        ),
+        pagg AS (
+          SELECT doc_id,
+               {votes64}
+          FROM ptoks GROUP BY doc_id
+        )
+        SELECT 'fp' AS leg, CAST(doc_id AS BIGINT) AS id_a,
+               CAST(NULL AS BIGINT) AS id_b, {fp64} AS simhash,
+               CAST(NULL AS BIGINT) AS hamming
+        FROM pagg
+        UNION ALL
+        SELECT 'ham' AS leg, l.doc_id AS id_a, r.doc_id AS id_b,
+               CAST(NULL AS VARCHAR) AS simhash,
                bit_count(xor(CAST(l.simhash AS BIT), CAST(r.simhash AS BIT)))::BIGINT AS hamming
         FROM fps l JOIN fps r ON l.doc_id < r.doc_id
         WHERE bit_count(xor(CAST(l.simhash AS BIT), CAST(r.simhash AS BIT))) <= 7
@@ -2193,27 +2351,28 @@ def oracle_sql() -> dict[str, str]:
 
     # q33 partially: q33's single-section
     # semantic chunk IS expressible (all docs fit one section at this scale)
+    # q33 two legs: 'html' = converted web corpus through the Python
+    # semantic chunker; 'sections' = the multi-section case (folded-in
+    # q39). Section fold per chunk_utils.py:70-79 (first h2 under h1
+    # joins the h1 section, '## Details' starts its own); small sections
+    # emit one 'section' chunk, oversized ones word-window at 200 words
+    # / step 160
+    _WS4 = "' ' || chr(9) || chr(10) || chr(13)"
     o["q33_chunk_semantic"] = f"""
-        WITH m AS (
+        WITH hm AS (
           SELECT doc_id, source, {_MD_SQL} AS md, {_URL_SQL} AS url FROM documents
-        )
-        SELECT doc_id,
+        ),
+        html_leg AS (
+          SELECT 'html' AS leg, doc_id,
                md5(url || ':# Doc ' || CAST(doc_id AS VARCHAR)) AS chunk_id,
                md || chr(10) AS content,
                'section' AS chunk_type,
                (CASE WHEN trim(md) = '' THEN 0
                      ELSE len(regexp_split_to_array(trim(md), '\\s+')) END)::BIGINT AS word_count,
                (length(md) + 1)::BIGINT AS char_count
-        FROM m
-    """
-
-    # q39: Python semantic chunker, multi-section case. Section fold per
-    # chunk_utils.py:70-79 (first h2 under h1 joins the h1 section,
-    # '## Details' starts its own); small sections emit one 'section'
-    # chunk, oversized ones word-window at 200 words / step 160
-    _WS4 = "' ' || chr(9) || chr(10) || chr(13)"
-    o["q39_chunk_semantic_sections"] = f"""
-        WITH m AS (
+          FROM hm
+        ),
+        m AS (
           SELECT doc_id, {_URL_SQL} AS url,
                  '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
                    '## Intro' || chr(10) || chr(10) || text || chr(10) || chr(10) AS s1,
@@ -2251,7 +2410,9 @@ def oracle_sql() -> dict[str, str]:
                  length(array_to_string(words[i + 1 : i + 200], ' '))::BIGINT AS char_count
           FROM big, unnest(generate_series(0, greatest(len(words) - 1, 0), 160)) AS t(i)
         )
-        SELECT * FROM small UNION ALL SELECT * FROM wins
+        SELECT * FROM html_leg
+        UNION ALL SELECT 'sections' AS leg, * FROM small
+        UNION ALL SELECT 'sections' AS leg, * FROM wins
     """
 
     lang_cols_c = {
@@ -2356,12 +2517,32 @@ def oracle_sql() -> dict[str, str]:
                  CAST(16 + doc_id % 17 AS INT) AS width,
                  CAST(16 + doc_id % 13 AS INT) AS height
           FROM documents WHERE doc_id < 200
+        ),
+        ggrid AS (
+          SELECT y.g AS y, x.g AS x
+          FROM generate_series(0, 27) y(g), generate_series(0, 31) x(g)
+        ),
+        gids AS (
+          SELECT doc_id AS media_id,
+                 CAST(16 + doc_id % 17 AS INT) AS width,
+                 CAST(16 + doc_id % 13 AS INT) AS height
+          FROM documents WHERE doc_id < 120
+        ),
+        gpx AS (
+          SELECT i.media_id, i.width, i.height,
+                 (g.y * 7 + g.x * 3 + i.media_id) % 256 AS k
+          FROM gids i JOIN ggrid g ON g.y < i.height AND g.x < i.width
         )
-        SELECT i.media_id, i.width, i.height,
+        SELECT 'png' AS codec, i.media_id, i.width, i.height,
                CAST(SUM((g.y * 7 + g.x * 3 + g.c * 31) % 256) AS BIGINT)
                  AS pixel_sum
         FROM ids i JOIN grid g ON g.y < i.height AND g.x < i.width
         GROUP BY i.media_id, i.width, i.height
+        UNION ALL
+        SELECT 'gif' AS codec, media_id, width, height,
+               CAST(SUM((k * 5) % 256 + (k * 7) % 256 + (k * 11) % 256)
+                    AS BIGINT) AS pixel_sum
+        FROM gpx GROUP BY media_id, width, height
     """
 
     # q48: baseline-JPEG decode of block-constant grayscale images — each
@@ -2579,28 +2760,6 @@ def oracle_sql() -> dict[str, str]:
 
     # q55: GIF — pixel (y,x) index k = (y*7 + x*3 + id) % 256; RGB sum of
     # palette entry k = (k*5)%256 + (k*7)%256 + (k*11)%256
-    o["q55_gif_decode"] = """
-        WITH grid AS (
-          SELECT y.g AS y, x.g AS x
-          FROM generate_series(0, 27) y(g), generate_series(0, 31) x(g)
-        ),
-        ids AS (
-          SELECT doc_id AS media_id,
-                 CAST(16 + doc_id % 17 AS INT) AS width,
-                 CAST(16 + doc_id % 13 AS INT) AS height
-          FROM documents WHERE doc_id < 120
-        ),
-        px AS (
-          SELECT i.media_id, i.width, i.height,
-                 (g.y * 7 + g.x * 3 + i.media_id) % 256 AS k
-          FROM ids i JOIN grid g ON g.y < i.height AND g.x < i.width
-        )
-        SELECT media_id, width, height,
-               CAST(SUM((k * 5) % 256 + (k * 7) % 256 + (k * 11) % 256)
-                    AS BIGINT) AS pixel_sum
-        FROM px GROUP BY media_id, width, height
-    """
-
     # q56: PII scrub — RE2 (no lookarounds) versions of the core patterns;
     # the fixtures keep PII clear of adjacent digits/dots where the two
     # pattern families agree
@@ -2883,5 +3042,118 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY i), '')) AS kept_md5
         FROM marked GROUP BY doc_id
     """
+
+    # q64: Crawl-delay cap — exact by prefix composition, so the oracle
+    # is one window over the whole frontier with the per-host limit
+    # min(budget=5, b_h): delay 2.5 -> b_h=4, delay 0.5 -> b_h=5, none -> 5
+    o["q64_crawl_delay_cap"] = """
+        WITH f AS (
+          SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+                 'https://h' || CAST(doc_id % 37 AS VARCHAR) ||
+                   '.example/p' || CAST(doc_id AS VARCHAR) AS canon_url,
+                 CAST(doc_id % 3 AS INT) AS depth,
+                 CAST(doc_id % 7 AS DOUBLE) AS priority,
+                 doc_id % 37 AS hn
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY depth ASC, priority DESC, canon_url ASC
+          ) AS rn FROM f
+        )
+        SELECT host, canon_url, depth, priority FROM ranked
+        WHERE rn <= CASE WHEN hn % 4 = 0 THEN 4 ELSE 5 END
+    """
+
+    # q65: rel=canonical dedup — the gate's synthetic HTML carries
+    # absolute first-only canonical links, so the declared target is a
+    # closed form; keep rule = min(struct(not_self, url)) per target,
+    # mirrored as a min over the '0'/'1'-prefixed url key
+    o["q65_canonical_dedup"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 'https://c.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN
+                     CASE WHEN doc_id % 12 = 0
+                          THEN 'https://c.example/q' || CAST(doc_id AS VARCHAR)
+                     END
+                   ELSE 'https://c.example/p' ||
+                        CAST(doc_id - doc_id % 3 AS VARCHAR)
+                 END AS declared
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, url,
+                 coalesce(declared, url) AS canonical_target,
+                 (CASE WHEN url = coalesce(declared, url)
+                       THEN '0' ELSE '1' END) || url AS k
+          FROM d
+        ),
+        keep AS (
+          SELECT canonical_target AS tgt, min(k) AS mk
+          FROM keyed GROUP BY canonical_target
+        )
+        SELECT doc_id, url, canonical_target
+        FROM keyed JOIN keep ON canonical_target = tgt AND k = mk
+    """
+
+    # q66: fuzzy-dedup keep set — the oracle rebuilds the full pipeline
+    # (8-lane minhash, 4-band LSH candidates, exact-Jaccard verify,
+    # recursive-CTE connected components, min-id representative)
+    o["q66_near_dedup_keep"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, content FROM ({_DUP}) WHERE doc_id % 5 = 0
+        ),
+        sh AS ({_SHINGLES}),
+        sigs AS (
+          SELECT doc_id, {mh_lanes}
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (SELECT *, {band_defs} FROM sigs),
+        buckets AS (
+          SELECT doc_id,
+                 unnest([band_0, band_1, band_2, band_3]) AS bucket
+          FROM banded
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+            ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
+        dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN dsh a ON a.doc_id = c.id_a
+          JOIN dsh b ON b.doc_id = c.id_b AND a.sh = b.sh
+          GROUP BY c.id_a, c.id_b
+        ),
+        verified AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach(node, lab) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(content) AS content_md5
+        FROM d
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+    """
+
+    # q67_pack_sequences: rows-only by design (first-fit-decreasing is
+    # inherently sequential — each placement depends on every prior one,
+    # outside SQL's term algebra); the exact assignment is pinned by
+    # tests/test_packing.py instead.
 
     return o

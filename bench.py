@@ -49,10 +49,9 @@ BENCH_QUERIES = [
     "q31_convert_markdown",
     "q32_chunk_markdown",
     "q35_embedding_neardup_lsh",
-    "q36_simhash64",
-    "q37_simhash_hamming",
+    "q37_simhash_hamming",  # carries the folded-in q36 fp leg (round 5)
     "q38_ivf_ann",
-    "q39_chunk_semantic_sections",
+    "q33_chunk_semantic",  # carries the folded-in q39 sections leg
     "q40_corpus_curation",
     "q41_multimodal_features",
     "q08_limit_ordered",
@@ -65,11 +64,15 @@ BENCH_QUERIES = [
     "q52_paragraph_dedup",
     "q53_c4_filter",
     "q54_image_resize",
-    "q55_gif_decode",
     "q56_pii_redaction",
     "q57_url_quality_filter",
     "q58_decontaminate",
     "q59_cap_per_group",
+    # round-5 continuation promotions (q47 carries the folded-in q55 GIF leg)
+    "q64_crawl_delay_cap",
+    "q65_canonical_dedup",
+    "q66_near_dedup_keep",
+    "q67_pack_sequences",
 ]
 
 

@@ -93,5 +93,9 @@ def test_queries_fit_driver_gate_cap():
     oracles = entry.oracle_sql()
     assert len(qs) <= 50, f"{len(qs)} queries exceed the driver's 50-row cap"
     missing = [k for k in qs if k not in oracles]
-    # q46 stateful streaming is the one allowed rows-only check
-    assert missing == [] or missing == ["q46_stateful_first_seen"], missing
+    # declared rows-only checks: stateful streaming (q46, if ever
+    # de-oracled) and FFD packing (q67 — first-fit is inherently
+    # sequential, outside SQL's term algebra; assignment pinned by
+    # tests/test_packing.py)
+    allowed = {"q46_stateful_first_seen", "q67_pack_sequences"}
+    assert set(missing) <= allowed, missing
