@@ -8,9 +8,9 @@ factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, quant +
 huffman tables read from the file's own DQT/DHT segments (so any
 conforming file decodes, not just ours). 12-bit extended-sequential
 grayscale (SOF1) decodes for real; arithmetic-coded sequential (SOF9)
-dispatches to the QM coder in jpeg_arith.py. Progressive-arithmetic
-(SOF10), lossless, and hierarchical processes raise ValueError —
-callers fall back to the declared stub.
+and progressive (SOF10) dispatch to the QM coder in jpeg_arith.py.
+Lossless and hierarchical processes raise ValueError — callers fall
+back to the declared stub.
 
 Encoder (fixtures + sinks): baseline, Annex-K quant tables, flat
 canonical huffman tables (valid per spec; embedded in DHT, so the
@@ -727,16 +727,17 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {(c, l): s for s, (c, l) in codes.items()}
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
             # 12-bit — same entropy coding, wider categories) / SOF2
-            # progressive / SOF9 arithmetic sequential (QM coder,
-            # jpeg_arith.py). 12-bit support is scoped to
-            # single-component huffman-sequential frames (the
-            # medical/scan-data shape); 12-bit color, progressive, or
-            # arithmetic raises per the boundary contract.
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # progressive / SOF9 arithmetic sequential / SOF10
+            # arithmetic progressive (QM coder, jpeg_arith.py). 12-bit
+            # support is scoped to single-component huffman-sequential
+            # frames (the medical/scan-data shape); 12-bit color,
+            # progressive, or arithmetic raises per the boundary
+            # contract.
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec not in (8, 12):
                 raise ValueError("only 8- or 12-bit precision supported")
@@ -748,7 +749,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (width, height, ncomp, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError("unsupported JPEG coding process")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             i = 0
@@ -770,7 +771,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             for si in range(ns):
                 cs, tdta = body[1 + si * 2 : 3 + si * 2]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            if arith:
+            if arith and not progressive:
                 from .jpeg_arith import decode_arith_scan
 
                 return decode_arith_scan(
@@ -785,10 +786,18 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
             if not coef:
                 coef = _alloc_coef(frame)
-            pos = _decode_progressive_scan(
-                payload, pos, frame, scan, huff, restart_interval,
-                coef, ss, se, ahal >> 4, ahal & 0xF,
-            )
+            if arith:
+                from .jpeg_arith import decode_arith_progressive_scan
+
+                pos = decode_arith_progressive_scan(
+                    payload, pos, frame, scan, dac, restart_interval,
+                    coef, ss, se, ahal >> 4, ahal & 0xF,
+                )
+            else:
+                pos = _decode_progressive_scan(
+                    payload, pos, frame, scan, huff, restart_interval,
+                    coef, ss, se, ahal >> 4, ahal & 0xF,
+                )
         # else: APPn / COM / others — skipped
     if progressive and coef:
         # tolerate a truncated tail after at least one complete scan

@@ -1,11 +1,12 @@
-"""Arithmetic-coded sequential JPEG (SOF9) codec in pure numpy/python —
-the QM coder of ITU-T T.81 Annex D with the Annex F sequential-DCT
-statistical models, no native deps.
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive) codec in
+pure numpy/python — the QM coder of ITU-T T.81 Annex D with the Annex F
+sequential and Annex G progressive statistical models, no native deps.
 
-This closes the engine's last declared JPEG stub short of
-progressive-arithmetic (SOF10): 8-bit sequential frames, grayscale or
-YCbCr up to 2x2 sampling, DAC conditioning segments (L/U DC bounds, Kx
-AC threshold), restart markers (full coder + statistics reset).
+This closes the engine's last declared JPEG stubs: 8-bit frames,
+grayscale or YCbCr up to 2x2 sampling, DAC conditioning segments (L/U
+DC bounds, Kx AC threshold), restart markers (full coder + statistics
+reset), and for SOF10 all four progressive scan types (DC first/refine,
+AC first/refine with per-k EOB decisions gated past EOBx).
 
 Fidelity posture, stated honestly:
 - The probability-estimation state machine is the 113-state Qe table of
@@ -680,3 +681,415 @@ def encode_jpeg_arith(
     out.extend(enc.flush())
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive arithmetic (SOF10): T.81 G.1.3 / G.2 models
+# ---------------------------------------------------------------------------
+
+
+def decode_arith_progressive_scan(
+    data, pos, frame, scan, dac, restart_interval, coef, ss, se, ah, al
+):
+    """Decode one progressive-arithmetic scan's entropy data in place
+    (T.81 G.2): DC first = the sequential DC model on point-transformed
+    diffs; DC refinement = one fixed-bin bit per block; AC first = the
+    sequential AC model band-limited with values << Al; AC refinement =
+    per-k EOB decisions gated past EOBx (last nonzero of the previous
+    stage), correction bits on bin 3(k-1)+2, newly-nonzero on 3(k-1)+1
+    with a fixed-bin sign. Statistics reset per scan and at restarts
+    (each scan is an independent entropy segment). Returns the position
+    of the terminating marker."""
+    from .jpeg import _grid, _nonint_grid  # noqa: PLC0415
+
+    width, height, ncomp, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _grid(frame)
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+    members = [(cidx[cs], td, ta) for cs, td, ta in scan]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and (se < ss or se > 63):
+        raise ValueError("invalid progressive spectral band")
+    if ah not in (0, al + 1) or al > 13:
+        raise ValueError("invalid successive-approximation parameters")
+    if not is_dc and len(members) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+
+    if len(members) > 1:
+        n_units = mcus_x * mcus_y
+        member_geom = [
+            (ci, td, ta, comps[ci][1], comps[ci][2]) for ci, td, ta in members
+        ]
+
+        def blocks_of_unit(unit_no):
+            my, mx = divmod(unit_no, mcus_x)
+            return [
+                (ci, td, ta, my * v + by, mx * h + bx)
+                for ci, td, ta, h, v in member_geom
+                for by in range(v)
+                for bx in range(h)
+            ]
+
+    else:
+        ci0, td0, ta0 = members[0]
+        _bh, bw0 = _nonint_grid(frame, ci0)
+        n_units = _bh * bw0
+
+        def blocks_of_unit(unit_no):
+            by, bx = divmod(unit_no, bw0)
+            return ((ci0, td0, ta0, by, bx),)
+
+    dec = _ArithDecoder(data, pos)
+
+    def fresh_stats():
+        dc_s = {td: bytearray(_DC_BINS) for _ci, td, _ta in members}
+        ac_s = {ta: bytearray(_AC_BINS) for _ci, _td, ta in members}
+        return dc_s, ac_s
+
+    dc_stats, ac_stats = fresh_stats()
+    dc_ctx = [0] * ncomp
+    last_dc = [0] * ncomp
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for unit_no in range(n_units):
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            dec.restart()
+            dc_stats, ac_stats = fresh_stats()
+            dc_ctx = [0] * ncomp
+            last_dc = [0] * ncomp
+        for ci, td, ta, by, bx in blocks_of_unit(unit_no):
+            zz = coef[ci][by, bx]
+            if is_dc and ah == 0:  # DC first (G.2.1 = F.2.4.1 on diffs)
+                dl, du = dac.get(("dc", td), (0, 1))
+                diff = _decode_dc(dec, dc_stats[td], dc_ctx, ci, dl, du)
+                last_dc[ci] += diff
+                zz[0] = last_dc[ci] << al
+            elif is_dc:  # DC refinement: one fixed-bin bit per block
+                if dec.decode_fixed():
+                    zz[0] = int(zz[0]) | p1
+            elif ah == 0:  # AC first: sequential AC model, band-limited
+                st = ac_stats[ta]
+                kx = dac.get(("ac", ta), 5)
+                k = ss
+                while k <= se:
+                    s = 3 * (k - 1)
+                    if dec.decode(st, s):
+                        break  # EOB: rest of the band is zero
+                    while dec.decode(st, s + 1) == 0:
+                        s += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError("arith AC run past band end")
+                    sign = dec.decode_fixed()
+                    s += 2
+                    m = dec.decode(st, s)
+                    if m:
+                        if dec.decode(st, s):
+                            m <<= 1
+                            s = 189 if k <= kx else 217
+                            while dec.decode(st, s):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arith AC magnitude overflow"
+                                    )
+                                s += 1
+                    v = m
+                    s += 14
+                    while m := m >> 1:
+                        if dec.decode(st, s):
+                            v |= m
+                    v += 1
+                    zz[k] = (-v if sign else v) << al
+                    k += 1
+            else:  # AC refinement (G.2.3)
+                st = ac_stats[ta]
+                kex = 0
+                for kk in range(se, 0, -1):
+                    if zz[kk]:
+                        kex = kk
+                        break
+                k = ss
+                while k <= se:
+                    s = 3 * (k - 1)
+                    if k > kex and dec.decode(st, s):
+                        break  # EOB decision
+                    while True:
+                        c = int(zz[k])
+                        if c:
+                            if dec.decode(st, s + 2):
+                                zz[k] = c + (p1 if c > 0 else m1)
+                            break
+                        if dec.decode(st, s + 1):
+                            zz[k] = m1 if dec.decode_fixed() else p1
+                            break
+                        s += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError("arith AC refine run overflow")
+                    k += 1
+    return _terminating_marker_pos(dec)
+
+
+def _terminating_marker_pos(dec: _ArithDecoder) -> int:
+    """Position of the 0xFF that begins the marker ending this scan —
+    either already consumed into the decoder's lookahead, or still
+    ahead of its read position (fill 0xFFs before markers tolerated)."""
+    if dec.marker:
+        return dec.marker_pos
+    d, n = dec.data, len(dec.data)
+    p = dec.pos
+    while p < n:
+        if d[p] == 0xFF and p + 1 < n and d[p + 1] not in (0x00, 0xFF):
+            return p
+        p += 1
+    return n
+
+
+def encode_jpeg_arith_progressive(
+    arr: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    dc_l: int = 0,
+    dc_u: int = 1,
+    ac_kx: int = 5,
+) -> bytes:
+    """Progressive-arithmetic (SOF10) JPEG with the same libjpeg-shaped
+    scan script as encode_jpeg_progressive — interleaved DC first
+    (Al=1), banded AC first scans with successive approximation, AC and
+    DC refinement passes. Coefficients are identical to encode_jpeg /
+    encode_jpeg_arith of the same array, so all four entropy
+    organizations decode to identical pixels (test-pinned)."""
+    height, width, ncomp, samp, hmax, vmax, planes, quants = _prepare_planes(
+        arr, subsample
+    )
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = _padded_planes(planes, samp, hmax, vmax, width, height, mcus_x, mcus_y)
+    zzs = [
+        _quantize_blocks(padded[ci], quants[0 if ci == 0 else 1])
+        for ci in range(ncomp)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload)
+
+    for tq, q in enumerate(quants):
+        seg(0xDB, bytes([tq]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    compdef = b""
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        compdef += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    seg(0xCA, struct.pack(">BHHB", 8, height, width, ncomp) + compdef)
+    ntab = 2 if ncomp == 3 else 1
+    dacseg = b""
+    for t in range(ntab):
+        dacseg += bytes([t, (dc_u << 4) | dc_l])
+        dacseg += bytes([0x10 | t, ac_kx])
+    seg(0xCC, dacseg)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    if ncomp == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    nonint = []
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        nonint.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    for members, sss, sse, sah, sal in script:
+        sos = bytes([len(members)])
+        for ci in members:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([sss, sse, (sah << 4) | sal])
+        seg(0xDA, sos)
+        out.extend(
+            _encode_arith_progressive_scan(
+                zzs, members, samp, (mcus_x, mcus_y), nonint,
+                sss, sse, sah, sal, ncomp, restart_interval,
+                dc_l, dc_u, ac_kx,
+            )
+        )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _encode_arith_progressive_scan(
+    zzs, members, samp, frame_grid, nonint, ss, se, ah, al, ncomp,
+    restart_interval, dc_l, dc_u, ac_kx,
+) -> bytes:
+    mcus_x, mcus_y = frame_grid
+    is_dc = ss == 0
+
+    def units():
+        if len(members) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for ci in members:
+                        h, v = samp[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                blocks.append((ci, my * v + by, mx * h + bx))
+                    yield blocks
+        else:
+            ci = members[0]
+            bh, bw = nonint[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, by, bx)]
+
+    def fresh():
+        enc_ = _ArithEncoder()
+        dc_s = {0 if ci == 0 else 1: bytearray(_DC_BINS) for ci in members}
+        ac_s = {0 if ci == 0 else 1: bytearray(_AC_BINS) for ci in members}
+        return enc_, dc_s, ac_s
+
+    enc, dc_stats, ac_stats = fresh()
+    dc_ctx = [0] * ncomp
+    last_dc = [0] * ncomp
+    chunks = bytearray()
+    rst_n = 0
+    unit_no = 0
+    for blocks in units():
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            chunks.extend(enc.flush())
+            chunks.extend(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) % 8
+            enc, dc_stats, ac_stats = fresh()
+            dc_ctx = [0] * ncomp
+            last_dc = [0] * ncomp
+        unit_no += 1
+        for ci, by, bx in blocks:
+            zz = zzs[ci][by, bx]
+            t = 0 if ci == 0 else 1
+            if is_dc and ah == 0:  # DC first
+                dc = int(zz[0]) >> al  # DC point transform
+                _encode_dc(
+                    enc, dc_stats[t], dc_ctx, ci, dc - last_dc[ci], dc_l, dc_u
+                )
+                last_dc[ci] = dc
+            elif is_dc:  # DC refinement: the Al bit, fixed bin
+                enc.encode_fixed((int(zz[0]) >> al) & 1)
+            elif ah == 0:  # AC first
+                _enc_arith_ac_first(enc, ac_stats[t], zz, ss, se, al, ac_kx)
+            else:  # AC refinement
+                _enc_arith_ac_refine(enc, ac_stats[t], zz, ss, se, ah, al)
+    chunks.extend(enc.flush())
+    return bytes(chunks)
+
+
+def _pt(c: int, al: int) -> int:
+    """AC point transform: toward-zero integer division by 2^al."""
+    return (abs(c) >> al) * (1 if c >= 0 else -1)
+
+
+def _enc_arith_ac_first(enc, st, zz, ss, se, al, kx):
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        enc.encode(st, s, 0)  # not EOB
+        v = _pt(int(zz[k]), al)
+        while v == 0:
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+            v = _pt(int(zz[k]), al)
+        enc.encode(st, s + 1, 1)
+        if v > 0:
+            enc.encode_fixed(0)
+        else:
+            v = -v
+            enc.encode_fixed(1)
+        s += 2
+        m = 0
+        vm = v - 1
+        if vm:
+            enc.encode(st, s, 1)
+            m = 1
+            v2 = vm
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, s, 1)
+                m <<= 1
+                s = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, s, 1)
+                    m <<= 1
+                    s += 1
+        enc.encode(st, s, 0)
+        s += 14
+        while m := m >> 1:
+            enc.encode(st, s, 1 if (m & vm) else 0)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _enc_arith_ac_refine(enc, st, zz, ss, se, ah, al):
+    # ke: end of band at THIS stage's precision; kex: at the previous
+    # stage's (G.1.3.3) — EOB decisions are coded only past kex
+    ke = 0
+    for k in range(se, 0, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    kex = 0
+    for k in range(ke, 0, -1):
+        if abs(int(zz[k])) >> ah:
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, s, 0)  # EOB decision: not yet
+        while True:
+            c = int(zz[k])
+            v = abs(c) >> al
+            if v:
+                if v >> 1:  # previously nonzero: correction bit
+                    enc.encode(st, s + 2, v & 1)
+                else:  # newly nonzero at this stage
+                    enc.encode(st, s + 1, 1)
+                    enc.encode_fixed(0 if c > 0 else 1)
+                break
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB

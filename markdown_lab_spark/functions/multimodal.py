@@ -3,17 +3,17 @@
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing) is real and tested. Decode is REAL for the
 formats implementable without a codec library — PNG (stdlib zlib + the
-five spec filters, ``codecs.py``), baseline AND progressive AND
-arithmetic-coded (SOF9 QM coder, ``jpeg_arith.py``) AND 12-bit
-sequential JPEG (pure-numpy huffman + IDCT + successive approximation,
-``jpeg.py``),
+five spec filters, ``codecs.py``), JPEG in every T.81 DCT process the
+real web carries: baseline, progressive, 12-bit sequential
+(``jpeg.py``), and arithmetic-coded sequential + progressive (SOF9/
+SOF10 QM coder, ``jpeg_arith.py``),
 GIF (LZW + interlacing, ``codecs.py``), baseline TIFF (none/PackBits/
 LZW-early-change strips + horizontal predictor, ``tiff.py``), 16-bit
 PCM WAV (stdlib wave),
 and AVI video carrying MJPEG or uncompressed-DIB frames (RIFF demuxer
 + frame sampler, ``video.py``) — selected by magic-byte sniffing;
-anything else (inter-frame video codecs like H.264/VP9,
-progressive-arithmetic JPEG)
+anything else (inter-frame video codecs like H.264/VP9 — the one
+remaining stub, genuinely needing native libs)
 falls back to ``decode_image_stub``, a deterministic fake (dimensions
 and a checksum derived from the bytes) that raises
 ``NotImplementedError`` when ``strict=True``.

@@ -215,3 +215,93 @@ def test_multimodal_pipeline_decodes_arith_jpeg(spark):
     # (checksum hashes the payload bytes, which legitimately differ)
     assert out[1]["feature"] == out[2]["feature"]
     assert out[1]["checksum"] != out[2]["checksum"]
+
+
+# ---------------------------------------------------------------------------
+# progressive arithmetic (SOF10)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_arith_gray_matches_baseline():
+    from markdown_lab_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _test_image(color=False)
+    _, _, _, base = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    _, _, _, prog = jpeg.decode_jpeg(encode_jpeg_arith_progressive(img))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_arith_color_variants_match_baseline():
+    from markdown_lab_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _test_image(seed=9)
+    for kwargs in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 3},
+        {"dc_l": 1, "dc_u": 3, "ac_kx": 20},
+    ):
+        rkw = {
+            k: v for k, v in kwargs.items()
+            if k in ("subsample", "restart_interval")
+        }
+        _, _, _, base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, **rkw))
+        _, _, _, prog = jpeg.decode_jpeg(
+            encode_jpeg_arith_progressive(img, **kwargs)
+        )
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_all_four_entropy_paths_agree():
+    # baseline huffman, progressive huffman, sequential arithmetic, and
+    # progressive arithmetic carry IDENTICAL coefficients — four
+    # disjoint entropy organizations, one pixel result
+    from markdown_lab_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _test_image(seed=41, shape=(40, 56))
+    payloads = [
+        jpeg.encode_jpeg(img, subsample=True),
+        jpeg.encode_jpeg_progressive(img, subsample=True),
+        encode_jpeg_arith(img, subsample=True),
+        encode_jpeg_arith_progressive(img, subsample=True),
+    ]
+    decoded = [jpeg.decode_jpeg(p)[3] for p in payloads]
+    for px in decoded[1:]:
+        np.testing.assert_array_equal(decoded[0], px)
+    # each organization produced a genuinely different byte stream
+    assert len({p for p in payloads}) == 4
+
+
+def test_progressive_arith_nonint_grid_excludes_pad_blocks():
+    # odd dims + 4:2:0: single-component AC scans cover the component's
+    # own block grid, not the padded MCU grid (T.81 A.2.2)
+    from markdown_lab_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _test_image(seed=43, shape=(19, 27))
+    _, _, _, base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsample=True))
+    _, _, _, prog = jpeg.decode_jpeg(
+        encode_jpeg_arith_progressive(img, subsample=True)
+    )
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_arith_truncation_partial_but_no_crash():
+    from markdown_lab_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _test_image(seed=47)
+    payload = encode_jpeg_arith_progressive(img)
+    # cut inside a later scan, re-terminate: decodes the scans seen so far
+    trunc = payload[: int(len(payload) * 0.7)] + b"\xff\xd9"
+    w, h, c, px = jpeg.decode_jpeg(trunc)
+    assert (w, h, c) == (48, 36, 3) and px.dtype == np.uint8
