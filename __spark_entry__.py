@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from markdown_lab_spark.functions import classifier as C
 from markdown_lab_spark.functions import dedup as D
 from markdown_lab_spark.functions import multimodal as M
 from markdown_lab_spark.functions import similarity as S
@@ -1048,7 +1049,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gif_leg = gif_docs.mapInPandas(
             gif_decode, "media_id long, width int, height int, pixel_sum long"
         ).select(F.lit("gif").alias("codec"), "*")
-        return png_leg.unionByName(gif_leg)
+
+        # WAV leg (q49_wav_decode folded in, round-5 continuation, to free
+        # a slot for q68): 16-bit PCM stereo sawtooth (sample k of media i
+        # = ((i*37 + k*11) % 2001) - 1000, right = negated left), decoded
+        # by the stdlib-wave codec. Union alignment preserves EVERY q49
+        # assertion: codec = 'wav' || n_channels (channel count), width =
+        # sample_rate, height = n_samples, pixel_sum = left-channel sum.
+        wav_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 100)
+        )
+
+        def wav_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    n = 500 + (i % 7) * 100
+                    k = np.arange(n, dtype=np.int64)
+                    left = ((i * 37 + k * 11) % 2001) - 1000
+                    stereo = np.stack([left, -left], axis=1).astype(np.int16)
+                    payload = codecs.encode_wav(stereo, rate=8000)
+                    rate, nch, samples = codecs.decode_wav(payload)
+                    rows.append(
+                        {
+                            "codec": f"wav{nch}",
+                            "media_id": i,
+                            "width": rate,
+                            "height": int(samples.shape[0]),
+                            "pixel_sum": int(
+                                samples[:, 0].astype(np.int64).sum()
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        wav_leg = wav_docs.mapInPandas(
+            wav_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
+        return png_leg.unionByName(gif_leg).unionByName(wav_leg)
 
     q["q47_png_decode"] = q47_png_decode
 
@@ -1102,52 +1150,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q48_jpeg_decode"] = q48_jpeg_decode
 
-    def q49_wav_decode(spark, sf):
-        # REAL WAV decode under the hash gate: 16-bit PCM payloads built
-        # from a closed-form integer sawtooth (sample k of media i =
-        # ((i*37 + k*11) % 2001) - 1000, stereo = the negated channel),
-        # decoded by the stdlib-wave codec; the oracle reconstructs the
-        # exact integer sample sum and counts.
-        docs = (
-            _t(spark, sf, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") < 100)
+    def q68_quality_classifier(spark, sf):
+        # DCLM / FineWeb-Edu-style MODEL-BASED quality filter with the
+        # closed-form NBSVM weighting (Wang & Manning 2012 log-count
+        # ratios): train NB log-odds weights on the even-doc_id half
+        # (label: lang == 'en' — the classifier genuinely separates, the
+        # English n-grams earn positive weights), score the odd half with
+        # the pure-JVM join scorer. Being closed-form, the WHOLE
+        # train+score pipeline is one declarative query the DuckDB oracle
+        # replays — functions/classifier.py (the iterative logreg refiner
+        # is pytest-gated, like k-means). Plan: one distinct-presence
+        # agg + one term agg for training, broadcast weights join + one
+        # per-doc agg for scoring.
+        d = _t(spark, sf, "documents")
+        train = d.filter((F.col("doc_id") % 2) == 0).select(
+            "doc_id", "text", (F.col("lang") == "en").alias("y")
+        )
+        w = C.nb_logodds_weights(train, "doc_id", "text", "y", min_df=3)
+        hold = d.filter((F.col("doc_id") % 2) == 1)
+        scored = C.score_docs(hold, w, "doc_id", "text")
+        return scored.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            (F.round("score", 4) >= 0.5).alias("keep"),
         )
 
-        def gen_decode(batches):
-            import numpy as np  # noqa: PLC0415
-            import pandas as pd  # noqa: PLC0415
-
-            from markdown_lab_spark.functions import codecs  # noqa: PLC0415
-
-            for pdf in batches:
-                rows = []
-                for i in pdf["doc_id"]:
-                    i = int(i)
-                    n = 500 + (i % 7) * 100
-                    k = np.arange(n, dtype=np.int64)
-                    left = ((i * 37 + k * 11) % 2001) - 1000
-                    stereo = np.stack([left, -left], axis=1).astype(np.int16)
-                    payload = codecs.encode_wav(stereo, rate=8000)
-                    rate, nch, samples = codecs.decode_wav(payload)
-                    rows.append(
-                        {
-                            "media_id": i,
-                            "sample_rate": rate,
-                            "n_channels": nch,
-                            "n_samples": int(samples.shape[0]),
-                            "left_sum": int(samples[:, 0].astype(np.int64).sum()),
-                        }
-                    )
-                yield pd.DataFrame(rows)
-
-        return docs.mapInPandas(
-            gen_decode,
-            "media_id long, sample_rate int, n_channels int, "
-            "n_samples long, left_sum long",
-        )
-
-    q["q49_wav_decode"] = q49_wav_decode
+    q["q68_quality_classifier"] = q68_quality_classifier
 
     def _gopher_synth_text(spark, sf):
         # deterministic multi-line doc per row (the corpus text is
@@ -2543,6 +2571,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM((k * 5) % 256 + (k * 7) % 256 + (k * 11) % 256)
                     AS BIGINT) AS pixel_sum
         FROM gpx GROUP BY media_id, width, height
+        UNION ALL
+        -- wav leg (q49 folded in): codec carries the channel count,
+        -- width = sample_rate, height = n_samples, pixel_sum = the exact
+        -- left-channel integer sawtooth sum
+        SELECT 'wav2' AS codec, doc_id AS media_id,
+               CAST(8000 AS INT) AS width,
+               CAST(500 + (doc_id % 7) * 100 AS INT) AS height,
+               CAST((SELECT SUM((doc_id * 37 + k.g * 11) % 2001 - 1000)
+                     FROM generate_series(0, 1099) k(g)
+                     WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
+                 AS pixel_sum
+        FROM documents WHERE doc_id < 100
     """
 
     # q48: baseline-JPEG decode of block-constant grayscale images — each
@@ -2572,21 +2612,72 @@ def oracle_sql() -> dict[str, str]:
         FROM px GROUP BY media_id, width, height
     """
 
-    # q49: the WAV codec's decoded sample sum, reconstructed exactly
-    o["q49_wav_decode"] = """
-        WITH ids AS (
-          SELECT doc_id AS media_id,
-                 CAST(500 + (doc_id % 7) * 100 AS BIGINT) AS n
-          FROM documents WHERE doc_id < 100
+    # q68: NBSVM-weighted quality classifier — the full closed-form
+    # train (NB log-odds on the even half, label lang='en', min_df 3)
+    # + score (tf features joined to the weight table, sigmoid) replayed
+    # declaratively; mirrors functions/classifier.py term-for-term
+    o["q68_quality_classifier"] = r"""
+        WITH tok AS (
+          SELECT doc_id, lang = 'en' AS y,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, y, w[i] AS term
+          FROM tok, UNNEST(generate_series(1, len(w))) AS t(i)
+        ),
+        bi AS (
+          SELECT doc_id, y, w[i] || ' ' || w[i+1] AS term
+          FROM tok, UNNEST(generate_series(1, greatest(len(w) - 1, 0)))
+               AS t(i)
+        ),
+        terms AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        -- MATERIALIZED: DuckDB's binder otherwise inlines the aggregate
+        -- CTE into the lateral UNNEST chain and rejects the plan
+        cls AS MATERIALIZED (
+          SELECT count(*) FILTER (WHERE lang = 'en') AS npos,
+                 count(*) FILTER (WHERE lang <> 'en') AS nneg
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        pres AS (
+          SELECT DISTINCT doc_id, y, term FROM terms WHERE doc_id % 2 = 0
+        ),
+        dfc AS (
+          SELECT term,
+                 count(*) FILTER (y) AS dfp,
+                 count(*) FILTER (NOT y) AS dfn
+          FROM pres GROUP BY term HAVING count(*) >= 3
+        ),
+        wts AS (
+          SELECT term,
+                 ln((dfp + 1.0) / (npos + 2.0))
+                   - ln((dfn + 1.0) / (nneg + 2.0)) AS wt
+          FROM dfc CROSS JOIN cls
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS cnt
+          FROM terms WHERE doc_id % 2 = 1 GROUP BY doc_id, term
+        ),
+        tot AS (SELECT doc_id, sum(cnt) AS n FROM tf GROUP BY doc_id),
+        feat AS (
+          SELECT tf.doc_id, tf.term, tf.cnt / tot.n AS x
+          FROM tf JOIN tot USING (doc_id)
+        ),
+        dot AS (
+          SELECT f.doc_id, sum(f.x * w.wt) AS m
+          FROM feat f JOIN wts w USING (term) GROUP BY f.doc_id
+        ),
+        sc AS (
+          SELECT d.doc_id,
+                 round(1.0 / (1.0 + exp(-(coalesce(dot.m, 0)
+                       + ln((cls.npos + 1.0) / (cls.nneg + 1.0))))), 4)
+                   AS score
+          FROM documents d CROSS JOIN cls
+          LEFT JOIN dot ON dot.doc_id = d.doc_id
+          WHERE d.doc_id % 2 = 1
         )
-        SELECT i.media_id,
-               CAST(8000 AS INT) AS sample_rate,
-               CAST(2 AS INT) AS n_channels,
-               i.n AS n_samples,
-               CAST((SELECT SUM((i.media_id * 37 + k.g * 11) % 2001 - 1000)
-                     FROM generate_series(0, 1099) k(g)
-                     WHERE k.g < i.n) AS BIGINT) AS left_sum
-        FROM ids i
+        SELECT doc_id, score, score >= 0.5 AS keep FROM sc
     """
 
     # q50/q51: Gopher-style repetition/shape signals over the same

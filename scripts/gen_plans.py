@@ -24,6 +24,10 @@ PICK = {
  "q52_paragraph_dedup": "paragraph dedup (round-4 rewrite): partial_min BEFORE the para_hash exchange absorbs mega-duplicate skew; no Window node",
  "q58_decontaminate": "benchmark decontamination: broadcast bench-ngram membership, corpus side narrow shingle+explode, one partial-agg groupBy",
  "q63_substring_dedup": "exact substring dedup: JVM window hashing (no Python), ONE partial-agg count shuffle on whash, join back, higher-order coverage splice — no Window node",
+ "q64_crawl_delay_cap": "Crawl-delay cap: every Window partitions the SCHEDULE (per-host size <= budget by construction, all carry WindowGroupLimit rank pushdown; union legs repeat the subtree), under-budget hosts bypass it; delays join is AQE-broadcastable",
+ "q65_canonical_dedup": "canonical dedup: ONE partial-agg groupBy on canonical_target (min(struct) collapses mega-groups map-side) + semi-join back — no Window",
+ "q68_quality_classifier": "NBSVM quality classifier, closed-form train+score in ONE declarative query: distinct-presence agg + term agg build the weight table (partial agg absorbs Zipf skew), scoring is a broadcast weights join + ONE per-doc agg; no Window, no Python UDF",
+ "q66_near_dedup_keep": "fuzzy-dedup composition: banded LSH candidates -> candidate-restricted exact-Jaccard verify (joins touch only candidate rows) -> bounded-iteration components -> ONE left_anti; no O(n^2) stage",
 }
 
 out = ["""# PLANS — frozen physical-plan evidence (regenerate: `python scripts/gen_plans.py`)

@@ -17,6 +17,11 @@ Stage order (each is an already-tested operator; flags disable stages):
     7. LM perplexity cut      (CCNet-style stupid-backoff n-gram LM
                                trained on a trusted reference corpus,
                                join-based JVM scoring; --lm-ref enables)
+    7b. quality classifier    (GPT-3 appendix A / DCLM shape: NB
+                               log-odds or logreg-refined linear model,
+                               positives = --classifier-ref corpus,
+                               negatives = corpus sample; JVM join
+                               scoring)
     8. deterministic sample   (identity-hash Bernoulli; reproducible)
     9. sequence packing       (bucketed FFD -> (pack_id, offset) table)
 
@@ -60,6 +65,20 @@ def main() -> int:
     ap.add_argument("--lm-keep-buckets", type=int, default=2,
                     help="keep the N lowest-perplexity terciles of 3 (CCNet "
                     "head+middle default)")
+    ap.add_argument("--classifier-ref", help="trusted-corpus parquet (text "
+                    "column) = positives for the model-based quality filter "
+                    "(GPT-3 appendix A / DCLM); negatives are a deterministic "
+                    "sample of the corpus itself")
+    ap.add_argument("--classifier-threshold", type=float, default=0.5)
+    ap.add_argument("--classifier-neg-sample", type=float, default=0.5,
+                    help="corpus fraction used as negatives")
+    ap.add_argument("--classifier-min-df", type=int, default=3)
+    ap.add_argument("--classifier-vocab", type=int, default=200000,
+                    help="top-V vocabulary cap (model rows collected per "
+                    "logreg iteration are bounded by this)")
+    ap.add_argument("--classifier-iters", type=int, default=0,
+                    help="logistic-regression refinement iterations over the "
+                    "NB init; 0 = closed-form NB weights only")
     ap.add_argument("--substr-dedup-len", type=int, default=0,
                     help="remove corpus-wide duplicated token spans of this "
                     "length or longer (ExactSubstr, Lee et al. 2021); 0 "
@@ -196,6 +215,50 @@ def main() -> int:
         keep = buckets.filter(F.col("bucket") < args.lm_keep_buckets).select("doc_id")
         docs = docs.join(keep, on="doc_id", how="left_semi")
         counts["perplexity"] = docs.count()
+
+    # 7b. model-based quality filter (GPT-3 appendix A / DCLM shape):
+    # positives = the trusted reference corpus, negatives = a
+    # deterministic sample of the current corpus, NB log-odds weights
+    # (optionally logreg-refined), keep score >= threshold
+    if args.classifier_ref:
+        from markdown_lab_spark.functions.classifier import (
+            nb_logodds_weights,
+            score_docs as clf_score,
+            train_logreg,
+        )
+
+        pos = (
+            spark.read.parquet(args.classifier_ref)
+            .select(F.col("text"))
+            .withColumn("_lid", -(F.monotonically_increasing_id() + 1))
+            .withColumn("_ly", F.lit(True))
+        )
+        neg = (
+            deterministic_sample(
+                docs, "doc_id", args.classifier_neg_sample, args.salt + ":clf"
+            )
+            .select(F.col("doc_id").alias("_lid"), "text")
+            .withColumn("_ly", F.lit(False))
+        )
+        labeled = pos.select("_lid", "text", "_ly").unionByName(neg)
+        if args.classifier_iters > 0:
+            weights, _ = train_logreg(
+                labeled, "_lid", "text", "_ly",
+                iters=args.classifier_iters, min_df=args.classifier_min_df,
+                vocab_size=args.classifier_vocab,
+            )
+        else:
+            weights = nb_logodds_weights(
+                labeled, "_lid", "text", "_ly",
+                min_df=args.classifier_min_df, vocab_size=args.classifier_vocab,
+            )
+        keep = (
+            clf_score(docs, weights, "doc_id", "text")
+            .filter(F.col("score") >= args.classifier_threshold)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, on="doc_id", how="left_semi")
+        counts["classifier"] = docs.count()
 
     # 8. reproducible subsample
     if args.sample < 1.0:

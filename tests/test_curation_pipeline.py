@@ -230,3 +230,61 @@ def test_pipeline_substr_dedup_and_wet_out(
 
     survivors = spark.read.parquet(os.path.join(out, "documents.parquet"))
     assert duplicate_window_starts(survivors, "doc_id", "text", 8).count() == 0
+
+
+def test_pipeline_classifier_stage(spark, tmp_path, monkeypatch, capsys):
+    """--classifier-ref enables the GPT-3-appendix-A-shaped model filter:
+    positives = trusted reference prose, negatives = the corpus itself;
+    spam-vocabulary docs score below threshold and drop, the prose docs
+    survive. Runs both the closed-form NB path and the logreg-refined
+    path."""
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts_dir not in _sys.path:
+        _sys.path.insert(0, scripts_dir)
+    ref = spark.createDataFrame(
+        [(2000 + i, _sentences(2000 + i)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    refp = str(tmp_path / "clf_ref.parquet")
+    ref.select("text").write.parquet(refp)
+    spam = [
+        "the casino bonus is free and you can win cheap pills now {i}.",
+        "click here for the free offer and buy cheap followers today {i}.",
+        "win the jackpot now with free spins at the casino site {i}.",
+    ]
+    docs = spark.createDataFrame(
+        [(i, _sentences(i)) for i in range(10)]
+        + [
+            (800 + i, "\n".join(s.format(i=j) for j, s in enumerate(spam)))
+            for i in range(3)
+        ],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "clf_docs.parquet")
+    docs.write.parquet(inp)
+    for extra, tag in ([], "nb"), (["--classifier-iters", "3"], "lr"):
+        outdir = str(tmp_path / f"out_clf_{tag}")
+        counts = _run(
+            monkeypatch,
+            capsys,
+            [
+                "--input", inp, "--output", outdir,
+                "--classifier-ref", refp, "--classifier-neg-sample", "1.0",
+                "--classifier-min-df", "2",
+                "--no-c4", "--no-gopher", "--no-exact-dedup",
+                "--no-fuzzy-dedup", "--lang", "", "--min-quality", "0",
+                "--target-len", "0", *extra,
+            ],
+        )
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{outdir}/documents.parquet").collect()
+        }
+        assert counts["classifier"] < counts["input"], tag
+        assert not {800, 801, 802} & ids, tag  # spam dropped
+        assert len(ids & set(range(10))) >= 8, tag  # prose survives
