@@ -1096,7 +1096,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec string, media_id long, width int, height int, "
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
-        return png_leg.unionByName(gif_leg).unionByName(wav_leg)
+
+        # PDF leg (round-5 continuation): REAL PDF text extraction under
+        # the hash gate. Deterministic multi-page documents (page p line
+        # l of doc i = "Doc i page p line l") built executor-side by the
+        # encoder twin cycling the full variant grid — filters
+        # flate/LZW/A85/flate+A85, classic vs xref-stream vs ObjStm
+        # layouts, WinAnsi vs ToUnicode vs CID(2-byte) text encodings —
+        # and re-extracted by the full parser (sources/pdf.py). width =
+        # n_pages, height = extracted-text length, pixel_sum = the
+        # md5-prefix of the extracted text as a bigint, so the oracle's
+        # closed-form reconstruction pins the text byte-for-byte.
+        pdf_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 60)
+        )
+
+        def pdf_extract(batches):
+            import hashlib  # noqa: PLC0415
+
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.sources import pdf as pdfmod  # noqa: PLC0415
+
+            filts = ["flate", "lzw", "a85", "flate+a85"]
+            encs = ["winansi", "tounicode", "cid"]
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    np_, lp = 1 + i % 3, 2 + i % 2
+                    pages = [
+                        [f"Doc {i} page {p} line {l}" for l in range(lp)]
+                        for p in range(np_)
+                    ]
+                    payload = pdfmod.encode_pdf(
+                        pages,
+                        filt=filts[i % 4],
+                        encoding=encs[i % 3],
+                        xref_stream=(i % 2 == 1),
+                        object_streams=(i % 4 == 2),
+                    )
+                    txt = pdfmod.extract_pdf_text(payload)
+                    h = int(
+                        hashlib.md5(txt.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    rows.append(
+                        {
+                            "codec": "pdf",
+                            "media_id": i,
+                            "width": np_,
+                            "height": len(txt),
+                            "pixel_sum": h,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        pdf_leg = pdf_docs.mapInPandas(
+            pdf_extract,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
+        return (
+            png_leg.unionByName(gif_leg)
+            .unionByName(wav_leg)
+            .unionByName(pdf_leg)
+        )
 
     q["q47_png_decode"] = q47_png_decode
 
@@ -2583,6 +2649,35 @@ def oracle_sql() -> dict[str, str]:
                      WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
                  AS pixel_sum
         FROM documents WHERE doc_id < 100
+        UNION ALL
+        -- pdf leg: the extractor's output text reconstructed in closed
+        -- form (pages joined by formfeed, lines by newline), pinned via
+        -- an md5-prefix bigint; width = n_pages, height = text length
+        SELECT 'pdf' AS codec, i AS media_id, np AS width,
+               CAST(length(txt) AS INT) AS height,
+               CAST(('0x' || substr(md5(txt), 1, 15))::UBIGINT AS BIGINT)
+                 AS pixel_sum
+        FROM (
+          SELECT i, np,
+                 string_agg(ptxt, chr(12) ORDER BY p) AS txt
+          FROM (
+            SELECT i, np, p,
+                   string_agg(ln, chr(10) ORDER BY l) AS ptxt
+            FROM (
+              SELECT d.doc_id AS i,
+                     CAST(1 + d.doc_id % 3 AS INT) AS np,
+                     p.g AS p, l.g AS l,
+                     'Doc ' || d.doc_id || ' page ' || p.g
+                       || ' line ' || l.g AS ln
+              FROM documents d,
+                   generate_series(0, 2) p(g),
+                   generate_series(0, 2) l(g)
+              WHERE d.doc_id < 60
+                AND p.g < 1 + d.doc_id % 3
+                AND l.g < 2 + d.doc_id % 2
+            ) GROUP BY i, np, p
+          ) GROUP BY i, np
+        )
     """
 
     # q48: baseline-JPEG decode of block-constant grayscale images — each

@@ -99,7 +99,14 @@ def packbits_encode(data: bytes) -> bytes:
 _CLEAR, _EOI = 256, 257
 
 
-def lzw_decode(data: bytes, expected: int) -> bytes:
+def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF/PDF early-change LZW. ``expected`` = strip byte count (TIFF
+    strips declare their size); ``None`` decodes until EOI (the PDF
+    LZWDecode contract, same early-change variant per ISO 32000
+    §7.4.4.2)."""
+    until_eoi = expected is None
+    if until_eoi:
+        expected = 1 << 62  # bounded by the input stream's EOI
     out = bytearray()
     table: List[bytes] = []
 
@@ -125,6 +132,8 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
                 prev = None
                 continue
             if code == _EOI:
+                if until_eoi:
+                    return bytes(out)
                 if len(out) < expected:
                     raise ValueError("LZW EOI before declared strip size")
                 return bytes(out[:expected])
