@@ -337,12 +337,27 @@ def sample_video_frames(
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
                     try:
-                        info = parse_avi(payload)
-                        fps = info["fps_num"] / info["fps_den"]
-                        step = max(1, int(round(fps * every_n_seconds)))
-                        w, h, fps, frames = decode_avi_frames(
-                            payload, step, max_frames_per_video
-                        )
+                        if payload[:4] == b"\x00\x00\x01\xb3":
+                            # MPEG-1 elementary stream (inter-frame)
+                            from .mpeg1 import (  # noqa: PLC0415
+                                decode_mpeg1_frames,
+                                mpeg1_fps,
+                            )
+
+                            step = max(
+                                1,
+                                int(round(mpeg1_fps(payload) * every_n_seconds)),
+                            )
+                            w, h, fps, frames = decode_mpeg1_frames(
+                                payload, step, max_frames_per_video
+                            )
+                        else:
+                            info = parse_avi(payload)
+                            fps = info["fps_num"] / info["fps_den"]
+                            step = max(1, int(round(fps * every_n_seconds)))
+                            w, h, fps, frames = decode_avi_frames(
+                                payload, step, max_frames_per_video
+                            )
                     except ValueError:
                         continue
                     for idx, px in frames:
