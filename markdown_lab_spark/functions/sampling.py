@@ -73,6 +73,44 @@ def stratified_sample(
     return df.filter(hash_uniform(F.col(id_col), salt) < frac)
 
 
+def temperature_mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    weight_col: str | None = None,
+) -> Dict[str, float]:
+    """Per-source keep fractions from temperature-based mixture
+    weighting — the published multi-corpus sampling rule (GPT-3 table
+    2.2 hand weights formalized by LLaMA/PaLM as ``p_i ∝ n_i**alpha``):
+    raising size to ``alpha < 1`` flattens the mix so giant crawl
+    sources stop drowning small curated ones.
+
+    Computes per-stratum mass ``n_i`` (row count, or sum of
+    ``weight_col`` — pass token counts to mix by tokens), target share
+    ``p_i = n_i**alpha / Σ n**alpha``, and the keep fraction that
+    realizes it: ``f_i = min(1, p_i * N_target / n_i)`` with
+    ``N_target`` defaulting to the full corpus size (so flattening only
+    DOWN-samples the big sources; no source is oversampled past 1.0 —
+    deterministic sampling cannot replicate rows). Feed the result to
+    :func:`stratified_sample`. ONE partial-agg groupBy; the returned
+    dict is model-sized (one entry per source)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    mass = F.count("*") if weight_col is None else F.sum(F.col(weight_col))
+    rows = df.groupBy(strata_col).agg(mass.cast("double").alias("n")).collect()
+    ns = {r[strata_col]: float(r["n"]) for r in rows}
+    if not ns:
+        return {}
+    total = sum(ns.values())
+    n_target = float(target_rows) if target_rows is not None else total
+    z = sum(n ** alpha for n in ns.values() if n > 0)
+    return {
+        k: min(1.0, (n ** alpha / z) * n_target / n) if n > 0 else 0.0
+        for k, n in ns.items()
+    }
+
+
 def train_holdout_split(
     df: DataFrame, id_col: str, holdout_fraction: float, salt: str = "eval"
 ) -> Tuple[DataFrame, DataFrame]:

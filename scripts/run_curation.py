@@ -86,6 +86,11 @@ def main() -> int:
     ap.add_argument("--wet-out",
                     help="also publish the curated corpus as WET "
                     "(.warc.wet.gz conversion records) to this directory")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature source-mix weighting p_i ~ n_i^alpha "
+                    "over the 'source' column (GPT-3/LLaMA rule); flattens "
+                    "the mix by down-sampling large sources")
+    ap.add_argument("--mix-target-rows", type=int, default=None)
     ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
     ap.add_argument("--salt", default="curation")
     ap.add_argument("--target-len", type=int, default=4096, help="pack budget in tokens; 0 disables packing")
@@ -94,7 +99,11 @@ def main() -> int:
                     "curated corpus) and pack by real BPE token counts instead of "
                     "the whitespace proxy; 0 keeps the proxy")
     ap.add_argument("--bpe-sample", type=float, default=0.2,
-                    help="corpus fraction the BPE trainer sees")
+                    help="corpus fraction the BPE/Unigram trainer sees")
+    ap.add_argument("--unigram-vocab", type=int, default=0,
+                    help="train a Unigram-LM (SentencePiece-style) "
+                    "tokenizer with this vocab size and pack by its "
+                    "token counts; exclusive with --bpe-merges")
     ap.add_argument("--pack-buckets", type=int, default=64,
                     help="packing parallelism; size so a bucket's (id, len) "
                     "metadata fits one task — small corpora pack tighter "
@@ -260,11 +269,30 @@ def main() -> int:
         docs = docs.join(keep, on="doc_id", how="left_semi")
         counts["classifier"] = docs.count()
 
-    # 8. reproducible subsample
+    # 8. source-mix temperature weighting (p_i ∝ n_i^alpha, the
+    # GPT-3/LLaMA multi-corpus rule), then reproducible subsample
+    if args.mix_alpha is not None:
+        from markdown_lab_spark.functions.sampling import (
+            stratified_sample,
+            temperature_mix_fractions,
+        )
+
+        if "source" not in docs.columns:
+            raise SystemExit("--mix-alpha needs a 'source' column")
+        fr = temperature_mix_fractions(
+            docs, "source", alpha=args.mix_alpha,
+            target_rows=args.mix_target_rows,
+        )
+        docs = stratified_sample(
+            docs, "doc_id", "source", fr, salt=args.salt + ":mix"
+        )
+        counts["mixed"] = docs.count()
     if args.sample < 1.0:
         docs = deterministic_sample(docs, "doc_id", args.sample, args.salt)
         counts["sampled"] = docs.count()
 
+    if args.bpe_merges > 0 and args.unigram_vocab > 0:
+        raise SystemExit("--bpe-merges and --unigram-vocab are exclusive")
     if args.bpe_merges > 0:
         from markdown_lab_spark.functions.bpe import bpe_token_count, train_bpe
 
@@ -273,6 +301,18 @@ def main() -> int:
         )
         docs = bpe_token_count(docs, merges, out_col="n_tokens")
         counts["bpe_merges"] = len(merges)
+    elif args.unigram_vocab > 0:
+        from markdown_lab_spark.functions.unigram import (
+            train_unigram,
+            unigram_token_count,
+        )
+
+        model = train_unigram(
+            docs, vocab_size=args.unigram_vocab,
+            sample_fraction=args.bpe_sample,
+        )
+        docs = unigram_token_count(docs, model, out_col="n_tokens")
+        counts["unigram_pieces"] = len(model)
     else:
         docs = docs.withColumn(
             "n_tokens", X.ws_token_count(F.col("text")).cast("long")

@@ -7,6 +7,7 @@ import json
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 
 _TEMPLATES = [
@@ -288,3 +289,45 @@ def test_pipeline_classifier_stage(spark, tmp_path, monkeypatch, capsys):
         assert counts["classifier"] < counts["input"], tag
         assert not {800, 801, 802} & ids, tag  # spam dropped
         assert len(ids & set(range(10))) >= 8, tag  # prose survives
+
+
+def test_pipeline_mix_and_unigram_tokenizer(spark, tmp_path, monkeypatch, capsys):
+    """--mix-alpha flattens the source mix (big source down-sampled,
+    small kept whole); --unigram-vocab packs by Unigram token counts."""
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts_dir not in _sys.path:
+        _sys.path.insert(0, scripts_dir)
+    docs = spark.createDataFrame(
+        [(i, _sentences(i), "crawl") for i in range(60)]
+        + [(1000 + i, _sentences(1000 + i), "books") for i in range(6)],
+        ["doc_id", "text", "source"],
+    )
+    inp = str(tmp_path / "mix_docs.parquet")
+    docs.write.parquet(inp)
+    outdir = str(tmp_path / "out_mix")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", outdir,
+            "--mix-alpha", "0.0",
+            "--no-c4", "--no-gopher", "--no-exact-dedup",
+            "--no-fuzzy-dedup", "--lang", "", "--min-quality", "0",
+            "--unigram-vocab", "80", "--target-len", "256",
+        ],
+    )
+    assert counts["mixed"] < counts["input"]
+    assert counts["unigram_pieces"] >= 80  # chars + learned pieces
+    assert counts["packs"] >= 1
+    out = spark.read.parquet(f"{outdir}/documents.parquet")
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by.get("books", 0) == 6          # small source kept whole
+    assert by.get("crawl", 0) < 60          # big source flattened down

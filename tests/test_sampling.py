@@ -106,3 +106,59 @@ def test_validation(spark, docs):
         stratified_sample(docs, "doc_id", "source", {"web": -0.1})
     with pytest.raises(ValueError):
         train_holdout_split(docs, "doc_id", 2.0)
+
+
+def test_temperature_mix_fractions(spark):
+    """p_i ∝ n_i^alpha: alpha=1 keeps everything (f_i = 1), alpha=0
+    equalizes target shares, intermediate alpha down-samples only the
+    large sources; realized share tracks the closed form."""
+    from markdown_lab_spark.functions.sampling import (
+        stratified_sample,
+        temperature_mix_fractions,
+    )
+
+    rows = (
+        [(i, "crawl") for i in range(900)]
+        + [(10_000 + i, "books") for i in range(90)]
+        + [(20_000 + i, "wiki") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    f1 = temperature_mix_fractions(df, "source", alpha=1.0)
+    assert f1 == {"crawl": 1.0, "books": 1.0, "wiki": 1.0}
+
+    f0 = temperature_mix_fractions(df, "source", alpha=0.0, target_rows=30)
+    # equal target shares: 10 rows from each source
+    assert f0["wiki"] == pytest.approx(1.0)  # capped at 1
+    assert f0["books"] == pytest.approx(10 / 90)
+    assert f0["crawl"] == pytest.approx(10 / 900)
+
+    fa = temperature_mix_fractions(df, "source", alpha=0.5)
+    # closed form: z = 30 + ~9.487 + ~3.162; p_crawl*1000/900 etc.
+    z = 900 ** 0.5 + 90 ** 0.5 + 10 ** 0.5
+    assert fa["crawl"] == pytest.approx(min(1.0, (900 ** 0.5 / z) * 1000 / 900))
+    assert fa["wiki"] == pytest.approx(1.0)  # small source kept whole
+
+    kept = stratified_sample(df, "doc_id", "source", fa, salt="mix")
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["wiki"] == 10  # fraction 1.0 keeps all
+    # Bernoulli realization within a loose band of the target
+    assert abs(by["crawl"] - fa["crawl"] * 900) < 90
+
+
+def test_temperature_mix_by_token_weight(spark):
+    from markdown_lab_spark.functions.sampling import temperature_mix_fractions
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 800)],
+        "doc_id long, source string, n_tokens long",
+    )
+    f = temperature_mix_fractions(
+        df, "source", alpha=0.0, weight_col="n_tokens", target_rows=400
+    )
+    # masses: a=200, b=800; equal target shares of 400 -> 200 each
+    assert f["a"] == pytest.approx(1.0)
+    assert f["b"] == pytest.approx(200 / 800)
