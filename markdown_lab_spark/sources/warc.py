@@ -251,6 +251,57 @@ def warc_text_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def warc_pdf_docs(spark: SparkSession, path: str) -> DataFrame:
+    """The archive's ``application/pdf`` response records extracted to
+    text — (url, warc_ts, n_pages, title, text, error) — via the
+    in-repo PDF extractor (``sources/pdf.py``). Same fused scan-local
+    shape as ``warc_text_pages``: one WARC file per task, extraction in
+    the same stage, no shuffle; malformed PDFs are error rows, never
+    task failures. This is the Common-Crawl reality that a pages-only
+    ingest silently drops: a meaningful slice of crawled URLs serve
+    PDF, and the published pipelines (Dolma, FineWeb-2) extract them
+    into the same documents table as HTML."""
+    import pandas as pd  # noqa: PLC0415
+
+    from markdown_lab_spark.sources.pdf import extract_pdf  # noqa: PLC0415
+
+    rec = read_warc(spark, path).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("url").isNotNull())
+        & (F.coalesce(F.col("mime"), F.lit("")).startswith("application/pdf"))
+    ).select("url", "warc_ts", F.col("html").alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, ts, payload in zip(
+                pdf["url"], pdf["warc_ts"], pdf["payload"]
+            ):
+                try:
+                    d = extract_pdf(bytes(payload))
+                    rows.append(
+                        (url, ts, d["n_pages"], d["title"],
+                         "\f".join(d["pages"]), None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (url, ts, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "n_pages", "title", "text",
+                         "error"],
+            )
+
+    return rec.mapInPandas(
+        run,
+        "url string, warc_ts timestamp, n_pages int, title string, "
+        "text string, error string",
+    )
+
+
 def encode_wet(records: List[dict], compress: bool = True) -> bytes:
     """WET bytes (Common Crawl's extracted-text layout: WARC 1.0
     ``conversion`` records, text/plain, member-per-record gzip).

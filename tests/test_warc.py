@@ -188,3 +188,39 @@ def test_wet_skips_null_rows(spark, tmp_path):
     m = write_wet(df, out_dir).collect()
     assert sum(r["n_records"] for r in m) == 1
     assert [r["text"] for r in read_wet(spark, out_dir).collect()] == ["keep"]
+
+
+def test_warc_pdf_docs_extracts_pdf_records(spark, tmp_path):
+    """application/pdf response records in a mixed archive extract to
+    text through the in-repo PDF parser; HTML records are ignored;
+    corrupt PDFs become error rows."""
+    from datetime import datetime, timezone
+
+    from markdown_lab_spark.sources.pdf import encode_pdf
+    from markdown_lab_spark.sources.warc import encode_warc, warc_pdf_docs
+
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    good = encode_pdf(
+        [["A pdf line one.", "And line two."], ["Second page."]],
+        filt="flate",
+    )
+    recs = [
+        {"url": "https://a.example/x.html", "warc_ts": ts,
+         "html": b"<html><body>hi</body></html>"},
+        {"url": "https://a.example/doc.pdf", "warc_ts": ts,
+         "html": good, "mime": "application/pdf"},
+        {"url": "https://a.example/bad.pdf", "warc_ts": ts,
+         "html": b"%PDF-1.4 broken", "mime": "application/pdf"},
+    ]
+    p = tmp_path / "mixed.warc.gz"
+    p.write_bytes(encode_warc(recs))
+    rows = {r["url"]: r for r in warc_pdf_docs(spark, str(p)).collect()}
+    assert set(rows) == {
+        "https://a.example/doc.pdf", "https://a.example/bad.pdf"
+    }
+    ok = rows["https://a.example/doc.pdf"]
+    assert ok["n_pages"] == 2
+    assert ok["text"] == "A pdf line one.\nAnd line two.\fSecond page."
+    assert ok["error"] is None
+    bad = rows["https://a.example/bad.pdf"]
+    assert bad["text"] is None and bad["error"]
