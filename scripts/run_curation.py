@@ -91,6 +91,11 @@ def main() -> int:
                     "over the 'source' column (GPT-3/LLaMA rule); flattens "
                     "the mix by down-sampling large sources")
     ap.add_argument("--mix-target-rows", type=int, default=None)
+    ap.add_argument("--dsir-ref", help="trusted-corpus parquet (text column): "
+                    "select --dsir-k docs by DSIR importance resampling "
+                    "(hashed-n-gram target/raw models + Gumbel-top-k)")
+    ap.add_argument("--dsir-k", type=int, default=0)
+    ap.add_argument("--dsir-buckets", type=int, default=10000)
     ap.add_argument("--sample", type=float, default=1.0, help="keep fraction (hash-deterministic)")
     ap.add_argument("--salt", default="curation")
     ap.add_argument("--target-len", type=int, default=4096, help="pack budget in tokens; 0 disables packing")
@@ -287,6 +292,23 @@ def main() -> int:
             docs, "doc_id", "source", fr, salt=args.salt + ":mix"
         )
         counts["mixed"] = docs.count()
+    # 8b. DSIR importance resampling toward a trusted target corpus
+    # (Xie et al. 2023): fit hashed-n-gram models over target and raw,
+    # Gumbel-top-k the importance weights. An alternative final
+    # selection to the plain keep-fraction subsample.
+    if args.dsir_ref:
+        from markdown_lab_spark.functions.dsir import dsir_resample
+
+        if args.dsir_k <= 0:
+            raise SystemExit("--dsir-ref needs --dsir-k > 0")
+        tgt = spark.read.parquet(args.dsir_ref).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        docs = dsir_resample(
+            docs, "doc_id", "text", tgt, args.dsir_k,
+            buckets=args.dsir_buckets, salt=args.salt + ":dsir",
+        ).drop("logweight", "gumbel", "rank")
+        counts["dsir"] = docs.count()
     if args.sample < 1.0:
         docs = deterministic_sample(docs, "doc_id", args.sample, args.salt)
         counts["sampled"] = docs.count()

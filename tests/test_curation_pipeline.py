@@ -331,3 +331,57 @@ def test_pipeline_mix_and_unigram_tokenizer(spark, tmp_path, monkeypatch, capsys
     }
     assert by.get("books", 0) == 6          # small source kept whole
     assert by.get("crawl", 0) < 60          # big source flattened down
+
+
+def test_pipeline_dsir_stage(spark, corpus, tmp_path, monkeypatch, capsys):
+    """--dsir-ref selects exactly k docs, biased toward the target's
+    hashed-n-gram distribution: a planted off-distribution vocabulary
+    block loses to template prose at every selection margin."""
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts_dir not in _sys.path:
+        _sys.path.insert(0, scripts_dir)
+    # target = template prose (fresh seeds)
+    ref = spark.createDataFrame(
+        [(2000 + i, _sentences(2000 + i)) for i in range(20)], ["doc_id", "text"]
+    )
+    refp = str(tmp_path / "dsir_ref.parquet")
+    ref.select("text").write.parquet(refp)
+    # raw = 20 template docs + 10 finance-vocabulary docs (valid prose,
+    # pass the gates, but off the target distribution)
+    off = [
+        (800 + i,
+         "\n".join(
+             f"Quarterly earnings for ticker {800 + i}{j} beat forecast "
+             "estimates while bond yields dropped again." for j in range(6)
+         ))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(i, _sentences(i)) for i in range(20)] + off, ["doc_id", "text"]
+    )
+    inp = str(tmp_path / "docs_dsir.parquet")
+    docs.write.parquet(inp)
+    outdir = str(tmp_path / "out_dsir")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", outdir, "--dsir-ref", refp,
+            "--dsir-k", "12", "--dsir-buckets", "256",
+            "--no-fuzzy-dedup", "--target-len", "0",
+        ],
+    )
+    assert counts["dsir"] == 12
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{outdir}/documents.parquet").collect()
+    }
+    assert len(ids) == 12
+    # the majority of selections are target-like (importance-weighted,
+    # not uniform: 12 of 30 uniform picks would average 4 off-docs)
+    assert len([i for i in ids if i < 800]) >= 10
