@@ -317,3 +317,113 @@ def cosine_similarity_int8(qa, qb):
     na = F.sqrt(F.aggregate(qa, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(qb, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     return F.when((na > 0) & (nb > 0), num / na / nb).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# SemDedup — semantic deduplication (Abbas et al. 2023, arXiv 2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos, cell): within-cluster semantic-duplicate pairs —
+    the SemDedup candidate structure. Every vector is assigned to its
+    nearest centroid (``ivf_assign``: broadcast argmax, corpus never
+    shuffled for the centroid side), then pairs are generated ONLY
+    within a cell via an equi-join on the cell id; ``id_a < id_b``
+    halves the candidate set and cosine >= ``threshold`` keeps true
+    near-duplicates (the paper's 1 - eps).
+
+    Scale: the method's published complexity — O(sum_i c_i^2) over cell
+    sizes c_i instead of O(n^2); with k chosen so E[c] = n/k is bounded
+    (the paper uses ~11k clusters for 233M docs), each cell's quadratic
+    term fits one task. Skew posture: a degenerate embedding mass that
+    collapses many vectors into one cell makes that cell's join
+    quadratic — raise k, or pre-split hot cells with the banded
+    `dedup.embedding_neardup_pairs_banded` pair generator, which
+    composes with the same downstream cluster resolution."""
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [-1, 1]")
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    vecs = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("cos"),
+            "cell",
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    iters: int = 5,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """SemDedup end-to-end: k-means cluster the embeddings (or take
+    ``centroids`` as given), form within-cluster pairs at cosine >=
+    ``threshold``, resolve duplicate GROUPS as connected components
+    (similarity chains the pair list never states directly), and keep
+    one representative per group — per the paper's keep rule, the member
+    with the LOWEST cosine to its cluster centroid (the group's outlier,
+    which maximizes retained diversity), ties broken by id. Rows in no
+    duplicate group pass through untouched.
+
+    Plan: pair generation is cell-local (above); the keep rule is one
+    partial-agg ``min(struct(cos_to_centroid, id))`` per component plus
+    a join-back; the final cut is a left_anti against the (small)
+    dropped-id set. No Window anywhere."""
+    from .dedup import connected_components  # noqa: PLC0415 (one-way dep)
+
+    if centroids is None:
+        centroids = kmeans_train_centroids(
+            embeddings, k, iters=iters, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
+    pairs = semdedup_pairs(embeddings, centroids, id_col, vec_col, threshold)
+    cc = connected_components(pairs, "id_a", "id_b", max_rounds)
+
+    # cosine of every grouped member to ITS OWN cluster centroid
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cents = centroids.select(
+        F.col("cid").alias("cell"), F.col("cvec").alias("_cv")
+    )
+    member_cos = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col).alias("node"),
+            cosine_similarity_col(F.col(vec_col), F.col("_cv")).alias("_cc"),
+        )
+    )
+    members = cc.join(member_cos, "node")
+    keep = (
+        members.groupBy("component")
+        .agg(F.min(F.struct(F.col("_cc"), F.col("node"))).alias("_k"))
+        .select(F.col("_k.node").alias("_keep"))
+    )
+    drop = (
+        members.join(keep, members.node == keep._keep, "left_anti")
+        .select(F.col("node").alias(id_col))
+    )
+    return embeddings.join(drop, on=id_col, how="left_anti")

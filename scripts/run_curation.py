@@ -91,6 +91,11 @@ def main() -> int:
                     "over the 'source' column (GPT-3/LLaMA rule); flattens "
                     "the mix by down-sampling large sources")
     ap.add_argument("--mix-target-rows", type=int, default=None)
+    ap.add_argument("--semdedup-threshold", type=float, default=0.0,
+                    help="> 0 enables SemDedup over the input's 'embedding' "
+                    "column: k-means cells, within-cell cosine pairs at this "
+                    "threshold, keep the member farthest from its centroid")
+    ap.add_argument("--semdedup-k", type=int, default=16)
     ap.add_argument("--dsir-ref", help="trusted-corpus parquet (text column): "
                     "select --dsir-k docs by DSIR importance resampling "
                     "(hashed-n-gram target/raw models + Gumbel-top-k)")
@@ -292,6 +297,20 @@ def main() -> int:
             docs, "doc_id", "source", fr, salt=args.salt + ":mix"
         )
         counts["mixed"] = docs.count()
+    # 8a. SemDedup (Abbas et al. 2023): semantic near-dup removal over
+    # the embedding column — k-means cells, within-cell cosine pairs,
+    # keep the group member farthest from its centroid
+    if args.semdedup_threshold > 0:
+        from markdown_lab_spark.functions.similarity import semdedup_keep
+
+        if "embedding" not in docs.columns:
+            raise SystemExit("--semdedup-threshold needs an 'embedding' column")
+        docs = semdedup_keep(
+            docs, "doc_id", "embedding",
+            k=args.semdedup_k, threshold=args.semdedup_threshold,
+        )
+        counts["semdedup"] = docs.count()
+
     # 8b. DSIR importance resampling toward a trusted target corpus
     # (Xie et al. 2023): fit hashed-n-gram models over target and raw,
     # Gumbel-top-k the importance weights. An alternative final

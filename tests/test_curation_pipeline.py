@@ -385,3 +385,52 @@ def test_pipeline_dsir_stage(spark, corpus, tmp_path, monkeypatch, capsys):
     # the majority of selections are target-like (importance-weighted,
     # not uniform: 12 of 30 uniform picks would average 4 off-docs)
     assert len([i for i in ids if i < 800]) >= 10
+
+
+def test_pipeline_semdedup_stage(spark, tmp_path, monkeypatch, capsys):
+    """--semdedup-threshold removes within-cell semantic near-dups over
+    the input's embedding column, keeping one member per group."""
+    import os
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts_dir not in _sys.path:
+        _sys.path.insert(0, scripts_dir)
+    # 12 docs in 3 embedding directions; first direction holds a
+    # 3-member duplicate family (near-identical vectors)
+    def v(d, eps):
+        base = [0.0, 0.0, 0.0]
+        base[d] = 1.0
+        base[(d + 1) % 3] = eps
+        return base
+
+    rows = [
+        (i, _sentences(i), v(i % 3, 0.001 * (i // 3)) if i < 3 else v(i % 3, 0.3 + 0.01 * i))
+        for i in range(12)
+    ]
+    # ids 0,1,2 are spread across directions; make the dup family explicit:
+    rows = [(0, _sentences(0), v(0, 0.0)), (1, _sentences(1), v(0, 0.002)),
+            (2, _sentences(2), v(0, 0.004))] + [
+        (3 + i, _sentences(3 + i), v((3 + i) % 3, 0.25 + 0.05 * i)) for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, embedding array<float>")
+    inp = str(tmp_path / "docs_sem.parquet")
+    docs.write.parquet(inp)
+    outdir = str(tmp_path / "out_sem")
+    counts = _run(
+        monkeypatch,
+        capsys,
+        [
+            "--input", inp, "--output", outdir,
+            "--semdedup-threshold", "0.999", "--semdedup-k", "3",
+            "--no-fuzzy-dedup", "--target-len", "0",
+        ],
+    )
+    assert counts["semdedup"] <= counts["exact_dedup"] - 2
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{outdir}/documents.parquet").collect()
+    }
+    assert len(ids & {0, 1, 2}) == 1  # the family collapsed to one member
