@@ -1,0 +1,1781 @@
+"""H.264/AVC (ISO/IEC 14496-10 / ITU-T H.264) — baseline-profile
+INTRA decode + encode: the keyframe path of the dominant modern video
+codec, closing the frame-sampling story for H.264 payloads (keyframe
+sampling decodes exactly the I pictures this module implements).
+
+What is REAL here:
+- Annex B byte streams: start codes, emulation-prevention (EBSP<->RBSP),
+  SPS/PPS/IDR-slice NAL units, exp-Golomb (ue/se) header syntax,
+  VUI timing (fps);
+- I_4x4 (all nine 4x4 intra prediction modes with the spec's
+  availability and top-right substitution rules), I_16x16 (all four
+  modes incl. Plane), I_PCM, and 8x8 chroma prediction (DC with the
+  per-quadrant rules, H, V, Plane) — sample availability is derived
+  from first principles (a neighbor sample is available iff its
+  containing block precedes the current block in decode order);
+- CAVLC residual coding, complete: coeff_token (all three nC-context
+  VLC tables, the 6-bit FLC regime for nC >= 8, and the chroma-DC
+  table), trailing-one signs, level prefix/suffix with the adaptive
+  suffixLength state machine, total_zeros (4x4 + chroma DC) and
+  run_before tables, zig-zag placement;
+- the integer transform stack: 4x4 core inverse transform, the 4x4
+  Hadamard for Intra16x16 luma DC, the 2x2 Hadamard for chroma DC,
+  and the normative dequantization arithmetic (LevelScale = 16 * v,
+  the qP/6 shift regimes of 8.5.10-8.5.12) with the chroma QP map;
+- an encoder twin making real per-macroblock decisions (I_16x16 vs
+  I_4x4 by SAD, per-block 4x4 mode search over the legal mode set,
+  forward transform + quantization, and a bit-exact in-loop
+  reconstruction so fixtures pin decoder output == encoder
+  reconstruction on every path).
+
+Honesty note (the MPEG-1 / arithmetic-JPEG posture): no reference
+H.264 decoder exists in this environment, so the coder pair is
+mirrored and self-consistent, with prefix-freeness and Kraft-sum
+structure of every VLC table pinned by tests. The coeff_token tables
+were transcribed from the public spec (Table 9-5); in the 2<=nC<4
+context the rows for TotalCoeff >= 14 (12 of 62 codes — reachable
+only by blocks carrying 14+ nonzero coefficients) are a prefix-free
+completion consistent with the spec's code-length profile rather than
+a verified transcription; all other tables are either Kraft-complete
+(strong transcription evidence) or carry exactly the spec's reserved
+all-zeros slack. Out-of-scope features raise ValueError at the
+decoder boundary rather than mis-decode: CABAC (entropy_coding_mode
+1), inter slices (P/B), high profiles, interlace, multi-slice
+pictures, and in-loop deblocking (the encoder signals
+disable_deblocking_filter_idc = 1; streams requiring the filter are
+refused, since filtered output would silently differ).
+
+Reference behavior mapped: none — the reference engine has no video
+path; this extends the multimodal column story (functions/video.py)
+to the dominant keyframe codec at the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .mpeg1 import ycbcr420_to_rgb, rgb_to_ycbcr420, _build_decode_trie, _read_vlc
+
+# ---------------------------------------------------------------------------
+# VLC tables (Table 9-5, 9-7, 9-9, 9-10) — structure pinned by tests
+# ---------------------------------------------------------------------------
+
+# coeff_token, context 0 <= nC < 2: {(trailing_ones, total_coeff): code}
+_CT_NC0: Dict[Tuple[int, int], str] = {
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101", (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101", (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101", (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101", (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101", (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010", (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110", (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010", (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110", (2, 11): "00000000001001", (3, 11): "00000000001100",
+    (0, 12): "000000000001011", (1, 12): "000000000001010", (2, 12): "000000000001101", (3, 12): "00000000001000",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001", (2, 13): "000000000001001", (3, 13): "000000000001100",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110", (2, 14): "0000000000001101", (3, 14): "000000000001000",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010", (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110", (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+}
+
+# context 2 <= nC < 4 (rows TotalCoeff >= 14: prefix-free completion —
+# see the module honesty note)
+_CT_NC2: Dict[Tuple[int, int], str] = {
+    (0, 0): "11",
+    (0, 1): "001011", (1, 1): "10",
+    (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+    (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+    (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+    (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101", (3, 5): "00110",
+    (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101", (3, 6): "001000",
+    (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101", (3, 7): "000100",
+    (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101", (3, 8): "0000100",
+    (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001", (3, 9): "000000100",
+    (0, 10): "000000001011", (1, 10): "000000001110", (2, 10): "000000001101", (3, 10): "00000001100",
+    (0, 11): "000000001000", (1, 11): "000000001010", (2, 11): "000000001001", (3, 11): "00000001000",
+    (0, 12): "0000000001111", (1, 12): "0000000001110", (2, 12): "0000000001101", (3, 12): "000000001100",
+    (0, 13): "0000000001011", (1, 13): "0000000001010", (2, 13): "0000000001001", (3, 13): "0000000001000",
+    (0, 14): "0000000001100", (1, 14): "00000000001111", (2, 14): "00000000001110", (3, 14): "0000000000110",
+    (0, 15): "00000000001011", (1, 15): "00000000001010", (2, 15): "00000000001001", (3, 15): "0000000000011",
+    (0, 16): "00000000001000", (1, 16): "00000000000101", (2, 16): "00000000000100", (3, 16): "00000000000011",
+}
+
+# context 4 <= nC < 8
+_CT_NC4: Dict[Tuple[int, int], str] = {
+    (0, 0): "1111",
+    (0, 1): "001111", (1, 1): "1110",
+    (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+    (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+    (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+    (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+    (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+    (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+    (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101", (3, 8): "01101",
+    (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010", (3, 9): "001100",
+    (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101", (3, 10): "0001100",
+    (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001", (3, 11): "00001100",
+    (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101", (3, 12): "00001000",
+    (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001", (3, 13): "000001100",
+    (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011", (3, 14): "0000001010",
+    (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111", (3, 15): "0000000110",
+    (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011", (3, 16): "0000000010",
+}
+
+# chroma DC 2x2 (4:2:0), nC == -1
+_CT_CHROMA_DC: Dict[Tuple[int, int], str] = {
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010", (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010", (3, 4): "0000000",
+}
+
+COEFF_TOKEN_TABLES = (_CT_NC0, _CT_NC2, _CT_NC4)
+_CT_TRIES = tuple(_build_decode_trie(t) for t in COEFF_TOKEN_TABLES)
+_CT_CHROMA_TRIE = _build_decode_trie(_CT_CHROMA_DC)
+
+# total_zeros for 4x4 blocks (Table 9-7/9-8): [TotalCoeff][total_zeros]
+TOTAL_ZEROS: Dict[int, List[str]] = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+        "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+        "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+        "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+_TZ_TRIES = {
+    tc: _build_decode_trie({i: c for i, c in enumerate(codes)})
+    for tc, codes in TOTAL_ZEROS.items()
+}
+
+# chroma DC total_zeros (Table 9-9a, 4:2:0)
+CHROMA_DC_TZ: Dict[int, List[str]] = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+_CDCTZ_TRIES = {
+    tc: _build_decode_trie({i: c for i, c in enumerate(codes)})
+    for tc, codes in CHROMA_DC_TZ.items()
+}
+
+# run_before (Table 9-10), keyed by min(zerosLeft, 7)
+RUN_BEFORE: Dict[int, List[str]] = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+        "000001", "0000001", "00000001", "000000001", "0000000001",
+        "00000000001"],
+}
+_RB_TRIES = {
+    z: _build_decode_trie({i: c for i, c in enumerate(codes)})
+    for z, codes in RUN_BEFORE.items()
+}
+
+# coded_block_pattern me(v) mapping for intra (Table 9-4): codeNum -> cbp
+CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {v: i for i, v in enumerate(CBP_INTRA)}
+
+# chroma QP map (Table 8-15) for qPi in [30, 51]
+_QPC_TAIL = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+             38, 38, 38, 39, 39, 39, 39]
+
+# dequant scale v (8.5.9 normAdjust4x4): rows by qP % 6, cols by class
+#   class 0: positions (0,0),(0,2),(2,0),(2,2)
+#   class 1: positions (1,1),(1,3),(3,1),(3,3)
+#   class 2: everything else
+_V = ((10, 16, 13), (11, 18, 14), (13, 20, 16),
+      (14, 23, 18), (16, 25, 20), (18, 29, 23))
+# encoder quant multipliers MF (the JM companion of _V: MF*V = 2^20 / scale)
+_MF = ((13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559))
+
+
+def _pos_class(i: int, j: int) -> int:
+    if (i % 2, j % 2) == (0, 0):
+        return 0
+    if (i % 2, j % 2) == (1, 1):
+        return 1
+    return 2
+
+
+_V_MAT = np.array(
+    [[[_V[m][_pos_class(i, j)] for j in range(4)] for i in range(4)]
+     for m in range(6)], dtype=np.int64)
+_MF_MAT = np.array(
+    [[[_MF[m][_pos_class(i, j)] for j in range(4)] for i in range(4)]
+     for m in range(6)], dtype=np.int64)
+
+# 4x4 zig-zag: raster index by scan position
+ZIGZAG4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# luma 4x4 block decode order (2x2 quads): blk idx -> (bx, by) in 4x4 units
+BLK4_POS = tuple(
+    ((idx % 2) + 2 * ((idx // 4) % 2), ((idx // 2) % 2) + 2 * (idx // 8))
+    for idx in range(16)
+)
+
+
+def chroma_qp(qp: int, offset: int = 0) -> int:
+    qpi = max(0, min(51, qp + offset))
+    return qpi if qpi < 30 else _QPC_TAIL[qpi - 30]
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with exp-Golomb
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """MSB-first reader over RBSP bytes."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def bit(self) -> int:
+        if self.pos >> 3 >= len(self.data):
+            raise ValueError("truncated RBSP")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.bits(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def more_rbsp_data(self) -> bool:
+        # true unless only the rbsp_stop_one_bit (+ alignment zeros) remain
+        total = len(self.data) * 8
+        if self.pos >= total:
+            return False
+        last = total - 1
+        while last > self.pos and (
+            self.data[last >> 3] >> (7 - (last & 7))
+        ) & 1 == 0:
+            last -= 1
+        return self.pos < last
+
+
+class _BitsW:
+    """MSB-first writer emitting RBSP bytes."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, width: int) -> None:
+        if width:
+            self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+            self.n += width
+            while self.n >= 8:
+                self.n -= 8
+                self.buf.append((self.acc >> self.n) & 0xFF)
+            self.acc &= (1 << self.n) - 1
+
+    def code(self, s: str) -> None:
+        for ch in s:
+            self.bits(1 if ch == "1" else 0, 1)
+
+    def ue(self, v: int) -> None:
+        v += 1
+        width = v.bit_length()
+        self.bits(0, width - 1)
+        self.bits(v, width)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def trailing(self) -> None:
+        self.bits(1, 1)
+        if self.n:
+            self.bits(0, 8 - self.n)
+
+    def align_byte(self) -> None:
+        if self.n:
+            self.bits(0, 8 - self.n)
+
+    def bytes_out(self) -> bytes:
+        if self.n:
+            raise ValueError("unaligned RBSP")
+        return bytes(self.buf)
+
+
+def _ebsp_to_rbsp(b: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(b):
+        c = b[i]
+        if zeros >= 2 and c == 3:
+            zeros = 0  # emulation-prevention byte: drop
+        else:
+            out.append(c)
+            zeros = zeros + 1 if c == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _rbsp_to_ebsp(b: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for c in b:
+        if zeros >= 2 and c <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(c)
+        zeros = zeros + 1 if c == 0 else 0
+    return bytes(out)
+
+
+def parse_annexb_nals(data: bytes) -> List[Tuple[int, bytes]]:
+    """[(nal_unit_type, rbsp_bytes), ...] from an Annex B byte stream."""
+    nals = []
+    i = 0
+    n = len(data)
+    starts = []
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    for k, (sc, payload_start) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        nal = data[payload_start:end].rstrip(b"\x00") or data[payload_start:end]
+        if not nal:
+            continue
+        header = nal[0]
+        if header & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = header & 0x1F
+        nals.append((nal_type, _ebsp_to_rbsp(nal[1:])))
+    if not nals:
+        raise ValueError("no NAL units found")
+    return nals
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block coding (9.2)
+# ---------------------------------------------------------------------------
+
+
+def cavlc_decode_block(r: _Bits, nc: int, max_coeffs: int) -> Tuple[np.ndarray, int]:
+    """Decode one residual block: (levels in scan order, total_coeff)."""
+    if nc == -1:
+        tok = _read_vlc(r, _CT_CHROMA_TRIE, "coeff_token")
+    elif nc >= 8:
+        v = r.bits(6)
+        if v == 0b000011:
+            tok = (0, 0)
+        else:
+            tok = (v & 3, (v >> 2) + 1)
+    else:
+        ctx = 0 if nc < 2 else 1 if nc < 4 else 2
+        tok = _read_vlc(r, _CT_TRIES[ctx], "coeff_token")
+    t1s, total = tok
+    out = np.zeros(max_coeffs, dtype=np.int64)
+    if total == 0:
+        return out, 0
+    if total > max_coeffs:
+        raise ValueError("total_coeff exceeds block size")
+    # levels, highest scan position first
+    levels = []
+    for i in range(t1s):
+        levels.append(1 - 2 * r.bit())
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(t1s, total):
+        prefix = 0
+        while r.bit() == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("level_prefix too long")
+        if suffix_len == 0 and prefix == 14:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        else:
+            size = suffix_len
+        level_code = min(15, prefix) << suffix_len
+        if size:
+            level_code += r.bits(size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1s and t1s < 3:
+            level_code += 2
+        level = (level_code + 2) >> 1 if level_code % 2 == 0 else -((level_code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total zeros
+    if total == max_coeffs:
+        total_zeros = 0
+    elif nc == -1:
+        total_zeros = _read_vlc(r, _CDCTZ_TRIES[total], "chroma_dc_total_zeros")
+    else:
+        total_zeros = _read_vlc(r, _TZ_TRIES[total], "total_zeros")
+    # runs
+    runs = []
+    zeros_left = total_zeros
+    for i in range(total - 1):
+        if zeros_left > 0:
+            run = _read_vlc(r, _RB_TRIES[min(zeros_left, 7)], "run_before")
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)
+    pos = -1
+    for j in range(total - 1, -1, -1):
+        pos += runs[j] + 1
+        if pos >= max_coeffs:
+            raise ValueError("coefficient run overflows block")
+        out[pos] = levels[j]
+    return out, total
+
+
+def _write_level_code(w: _BitsW, level_code: int, s: int) -> None:
+    """Emit (level_prefix, level_suffix) — the exact inverse of the
+    9.2.2.1 decode arithmetic for current suffixLength ``s``."""
+    if s == 0:
+        if level_code < 14:
+            w.bits(1, level_code + 1)  # level_code zeros then the stop 1
+            return
+        if level_code < 30:
+            w.bits(1, 15)  # prefix 14, 4-bit suffix
+            w.bits(level_code - 14, 4)
+            return
+        base_adj = 15  # decode adds +15 when prefix >= 15 and s == 0
+    else:
+        prefix = level_code >> s
+        if prefix < 15:
+            w.bits(1, prefix + 1)
+            w.bits(level_code - (prefix << s), s)
+            return
+        base_adj = 0
+    p = 15
+    while True:
+        base = (15 << s) + base_adj + (((1 << (p - 3)) - 4096) if p >= 16 else 0)
+        suffix = level_code - base
+        if 0 <= suffix < (1 << (p - 3)):
+            w.bits(1, p + 1)
+            w.bits(suffix, p - 3)
+            return
+        p += 1
+        if p > 31:
+            raise ValueError("level too large to encode")
+
+
+def cavlc_encode_block(w: _BitsW, coeffs, nc: int, max_coeffs: int) -> int:
+    """Encode a scan-ordered residual block; returns total_coeff."""
+    coeffs = list(int(c) for c in coeffs)
+    assert len(coeffs) == max_coeffs
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    total = len(nz)
+    # trailing ones (up to 3 trailing +-1, scanning from highest position)
+    t1s = 0
+    for _, c in reversed(nz):
+        if abs(c) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    if total > 16:
+        raise ValueError("too many coefficients")
+    if nc == -1:
+        w.code(_CT_CHROMA_DC[(t1s, total)])
+    elif nc >= 8:
+        if total == 0:
+            w.bits(0b000011, 6)
+        else:
+            w.bits(((total - 1) << 2) | t1s, 6)
+    else:
+        ctx = 0 if nc < 2 else 1 if nc < 4 else 2
+        w.code(COEFF_TOKEN_TABLES[ctx][(t1s, total)])
+    if total == 0:
+        return 0
+    # levels: highest scan position first
+    levels = [c for _, c in reversed(nz)]
+    for i in range(t1s):
+        w.bits(0 if levels[i] > 0 else 1, 1)
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(t1s, total):
+        level = levels[i]
+        level_code = 2 * level - 2 if level > 0 else -2 * level - 1
+        if i == t1s and t1s < 3:
+            level_code -= 2
+        _write_level_code(w, level_code, suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total zeros + runs
+    highest = nz[-1][0]
+    total_zeros = highest + 1 - total
+    if total != max_coeffs:
+        if nc == -1:
+            w.code(CHROMA_DC_TZ[total][total_zeros])
+        else:
+            w.code(TOTAL_ZEROS[total][total_zeros])
+    zeros_left = total_zeros
+    positions = [i for i, _ in nz]
+    # run_before for each level in decode order (highest position first)
+    for j in range(total - 1, 0, -1):
+        run = positions[j] - positions[j - 1] - 1
+        if zeros_left > 0:
+            w.code(RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return total
+
+
+# ---------------------------------------------------------------------------
+# transforms and (de)quantization (8.5)
+# ---------------------------------------------------------------------------
+
+
+def inverse_transform_4x4(d: np.ndarray) -> np.ndarray:
+    """Core inverse transform (8.5.12.2), output BEFORE the +32 >> 6."""
+    d = d.astype(np.int64)
+    e = np.empty_like(d)
+    # horizontal
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    e[:, 0] = e0 + e3
+    e[:, 1] = e1 + e2
+    e[:, 2] = e1 - e2
+    e[:, 3] = e0 - e3
+    # vertical
+    f = np.empty_like(e)
+    f0 = e[0, :] + e[2, :]
+    f1 = e[0, :] - e[2, :]
+    f2 = (e[1, :] >> 1) - e[3, :]
+    f3 = e[1, :] + (e[3, :] >> 1)
+    f[0, :] = f0 + f3
+    f[1, :] = f1 + f2
+    f[2, :] = f1 - f2
+    f[3, :] = f0 - f3
+    return f
+
+
+def forward_transform_4x4(x: np.ndarray) -> np.ndarray:
+    t = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+                 dtype=np.int64)
+    return t @ x.astype(np.int64) @ t.T
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+               dtype=np.int64)
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def dequant_4x4(c: np.ndarray, qp: int) -> np.ndarray:
+    """AC / luma-4x4 dequant: exactly the 8.5.12.1 arithmetic (both qP
+    regimes fold to one shift because LevelScale = 16 * v)."""
+    return (c.astype(np.int64) * _V_MAT[qp % 6]) << (qp // 6)
+
+
+def dequant_luma_dc(c: np.ndarray, qp: int) -> np.ndarray:
+    """Intra16x16 luma DC: inverse Hadamard then 8.5.10 scaling."""
+    f = _H4 @ c.astype(np.int64) @ _H4
+    ls = 16 * _V[qp % 6][0]
+    if qp >= 36:
+        return (f * ls) << (qp // 6 - 6)
+    shift = 6 - qp // 6
+    return (f * ls + (1 << (shift - 1))) >> shift
+
+
+def dequant_chroma_dc(c: np.ndarray, qpc: int) -> np.ndarray:
+    """2x2 chroma DC: inverse Hadamard then 8.5.11 scaling."""
+    f = _H2 @ c.astype(np.int64) @ _H2
+    ls = 16 * _V[qpc % 6][0]
+    return ((f * ls) << (qpc // 6)) >> 5
+
+
+def quant_4x4(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
+    mf = _MF_MAT[qp % 6]
+    return (np.sign(w) * ((np.abs(w.astype(np.int64)) * mf + f) >> qbits)).astype(np.int64)
+
+
+def quant_luma_dc(dc: np.ndarray, qp: int) -> np.ndarray:
+    f2 = _H4 @ dc.astype(np.int64) @ _H4  # forward Hadamard
+    f2 = (f2 + 1) >> 1  # the spec's /2 on the forward DC path
+    qbits = 15 + qp // 6
+    rnd = 2 * ((1 << qbits) // 3)
+    mf = _MF[qp % 6][0]
+    return (np.sign(f2) * ((np.abs(f2) * mf + rnd) >> (qbits + 1))).astype(np.int64)
+
+
+def quant_chroma_dc(dc: np.ndarray, qpc: int) -> np.ndarray:
+    f2 = _H2 @ dc.astype(np.int64) @ _H2
+    qbits = 15 + qpc // 6
+    rnd = 2 * ((1 << qbits) // 3)
+    mf = _MF[qpc % 6][0]
+    return (np.sign(f2) * ((np.abs(f2) * mf + rnd) >> (qbits + 1))).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (8.3) — availability derived from decode order
+# ---------------------------------------------------------------------------
+
+_BLK4_IDX = {pos: idx for idx, pos in enumerate(BLK4_POS)}
+
+
+def _blk_order(bx: int, by: int, mb_w: int) -> int:
+    """Global decode order of the 4x4 luma block at (bx, by)."""
+    mb = (by // 4) * mb_w + (bx // 4)
+    return mb * 16 + _BLK4_IDX[(bx % 4, by % 4)]
+
+
+def _clip255(a):
+    return np.clip(a, 0, 255)
+
+
+def pred_4x4(plane: np.ndarray, x: int, y: int, mode: int,
+             mb_w: int, w16: int, h16: int) -> np.ndarray:
+    """One 4x4 luma prediction (modes 0-8) from reconstructed samples."""
+    avail_l = x > 0
+    avail_t = y > 0
+    avail_tl = avail_l and avail_t
+    order = _blk_order(x // 4, y // 4, mb_w)
+    avail_tr = (
+        x + 4 < w16 and y > 0
+        and _blk_order((x + 4) // 4, (y - 1) // 4, mb_w) < order
+    )
+    t = np.zeros(8, dtype=np.int64)
+    le = np.zeros(4, dtype=np.int64)
+    tl = 0
+    if avail_t:
+        t[0:4] = plane[y - 1, x:x + 4]
+        if avail_tr:
+            t[4:8] = plane[y - 1, x + 4:x + 8]
+        else:
+            t[4:8] = t[3]  # the spec's top-right substitution
+    if avail_l:
+        le[:] = plane[y:y + 4, x - 1]
+    if avail_tl:
+        tl = int(plane[y - 1, x - 1])
+    p = np.zeros((4, 4), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if not avail_t:
+            raise ValueError("intra4x4 V needs top samples")
+        p[:, :] = t[0:4]
+    elif mode == 1:  # Horizontal
+        if not avail_l:
+            raise ValueError("intra4x4 H needs left samples")
+        p[:, :] = le[:, None]
+    elif mode == 2:  # DC
+        if avail_t and avail_l:
+            p[:, :] = (t[0:4].sum() + le.sum() + 4) >> 3
+        elif avail_t:
+            p[:, :] = (t[0:4].sum() + 2) >> 2
+        elif avail_l:
+            p[:, :] = (le.sum() + 2) >> 2
+        else:
+            p[:, :] = 128
+    elif mode == 3:  # Diagonal-Down-Left
+        if not avail_t:
+            raise ValueError("intra4x4 DDL needs top samples")
+        for yy in range(4):
+            for xx in range(4):
+                if xx == 3 and yy == 3:
+                    p[yy, xx] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    k = xx + yy
+                    p[yy, xx] = (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        if not (avail_t and avail_l and avail_tl):
+            raise ValueError("intra4x4 DDR needs top+left samples")
+        for yy in range(4):
+            for xx in range(4):
+                if xx > yy:
+                    k = xx - yy
+                    # (p[x-y-2,-1] + 2*p[x-y-1,-1] + p[x-y,-1] + 2) >> 2
+                    s = [tl, t[0], t[1], t[2], t[3]]  # s[i] == p[i-1, -1]
+                    p[yy, xx] = (s[k - 1] + 2 * s[k] + s[k + 1] + 2) >> 2
+                elif xx < yy:
+                    k = yy - xx
+                    s = [tl, le[0], le[1], le[2], le[3]]
+                    p[yy, xx] = (s[k - 1] + 2 * s[k] + s[k + 1] + 2) >> 2
+                else:
+                    p[yy, xx] = (t[0] + 2 * tl + le[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        if not (avail_t and avail_l and avail_tl):
+            raise ValueError("intra4x4 VR needs top+left samples")
+        ext_t = [tl, t[0], t[1], t[2], t[3]]  # ext_t[i] == p[i-1, -1]
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    i = xx - (yy >> 1)
+                    p[yy, xx] = (ext_t[i] + ext_t[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = xx - (yy >> 1)
+                    p[yy, xx] = (ext_t[i - 1] + 2 * ext_t[i] + ext_t[i + 1] + 2) >> 2
+                elif z == -1:
+                    p[yy, xx] = (le[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    p[yy, xx] = (le[yy - 1] + 2 * le[yy - 2] + (le[yy - 3] if yy >= 3 else tl) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        if not (avail_t and avail_l and avail_tl):
+            raise ValueError("intra4x4 HD needs top+left samples")
+        ext_l = [tl, le[0], le[1], le[2], le[3]]  # ext_l[i] == p[-1, i-1]
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    i = yy - (xx >> 1)
+                    p[yy, xx] = (ext_l[i] + ext_l[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = yy - (xx >> 1)
+                    p[yy, xx] = (ext_l[i - 1] + 2 * ext_l[i] + ext_l[i + 1] + 2) >> 2
+                elif z == -1:
+                    p[yy, xx] = (t[0] + 2 * tl + le[0] + 2) >> 2
+                else:
+                    p[yy, xx] = (t[xx - 1] + 2 * t[xx - 2] + (t[xx - 3] if xx >= 3 else tl) + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        if not avail_t:
+            raise ValueError("intra4x4 VL needs top samples")
+        for yy in range(4):
+            for xx in range(4):
+                i = xx + (yy >> 1)
+                if yy % 2 == 0:
+                    p[yy, xx] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[yy, xx] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        if not avail_l:
+            raise ValueError("intra4x4 HU needs left samples")
+        for yy in range(4):
+            for xx in range(4):
+                z = xx + 2 * yy
+                if z > 5:
+                    p[yy, xx] = le[3]
+                elif z == 5:
+                    p[yy, xx] = (le[2] + 3 * le[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = yy + (xx >> 1)
+                    p[yy, xx] = (le[i] + le[i + 1] + 1) >> 1
+                else:
+                    i = yy + (xx >> 1)
+                    p[yy, xx] = (le[i] + 2 * le[i + 1] + le[i + 2] + 2) >> 2
+    else:
+        raise ValueError(f"invalid intra4x4 mode {mode}")
+    return p
+
+
+def legal_4x4_modes(x: int, y: int, mb_w: int, w16: int, h16: int) -> List[int]:
+    avail_l = x > 0
+    avail_t = y > 0
+    modes = [2]
+    if avail_t:
+        modes += [0, 3, 7]
+    if avail_l:
+        modes += [1, 8]
+    if avail_t and avail_l:
+        modes += [4, 5, 6]
+    return sorted(modes)
+
+
+def pred_16x16(plane: np.ndarray, x: int, y: int, mode: int) -> np.ndarray:
+    """Intra_16x16 prediction: 0 V, 1 H, 2 DC, 3 Plane (8.3.3)."""
+    avail_l = x > 0
+    avail_t = y > 0
+    if mode == 0:
+        if not avail_t:
+            raise ValueError("intra16x16 V needs top samples")
+        return np.tile(plane[y - 1, x:x + 16].astype(np.int64), (16, 1))
+    if mode == 1:
+        if not avail_l:
+            raise ValueError("intra16x16 H needs left samples")
+        return np.tile(plane[y:y + 16, x - 1].astype(np.int64)[:, None], (1, 16))
+    if mode == 2:
+        if avail_t and avail_l:
+            dc = (int(plane[y - 1, x:x + 16].sum())
+                  + int(plane[y:y + 16, x - 1].sum()) + 16) >> 5
+        elif avail_t:
+            dc = (int(plane[y - 1, x:x + 16].sum()) + 8) >> 4
+        elif avail_l:
+            dc = (int(plane[y:y + 16, x - 1].sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, dtype=np.int64)
+    if mode == 3:
+        if not (avail_t and avail_l):
+            raise ValueError("intra16x16 Plane needs top+left samples")
+        t = plane[y - 1, x - 1:x + 16].astype(np.int64)  # t[0] is the corner
+        le = plane[y - 1:y + 16, x - 1].astype(np.int64)  # le[0] is the corner
+        h = sum((i + 1) * (int(t[9 + i]) - int(t[7 - i])) for i in range(8))
+        v = sum((i + 1) * (int(le[9 + i]) - int(le[7 - i])) for i in range(8))
+        a = 16 * (int(t[16]) + int(le[16]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        xs = np.arange(16, dtype=np.int64)
+        grid = a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7)
+        return _clip255((grid + 16) >> 5)
+    raise ValueError(f"invalid intra16x16 mode {mode}")
+
+
+def pred_chroma(plane: np.ndarray, x: int, y: int, mode: int) -> np.ndarray:
+    """8x8 chroma prediction: 0 DC (per-quadrant), 1 H, 2 V, 3 Plane."""
+    avail_l = x > 0
+    avail_t = y > 0
+    if mode == 0:
+        p = np.zeros((8, 8), dtype=np.int64)
+        t = plane[y - 1, x:x + 8].astype(np.int64) if avail_t else None
+        le = plane[y:y + 8, x - 1].astype(np.int64) if avail_l else None
+        for qy in range(2):
+            for qx in range(2):
+                ts = int(t[qx * 4:qx * 4 + 4].sum()) if avail_t else 0
+                ls = int(le[qy * 4:qy * 4 + 4].sum()) if avail_l else 0
+                if qx == qy:  # corner quadrants use both when available
+                    if avail_t and avail_l:
+                        dc = (ts + ls + 4) >> 3
+                    elif avail_t:
+                        dc = (ts + 2) >> 2
+                    elif avail_l:
+                        dc = (ls + 2) >> 2
+                    else:
+                        dc = 128
+                elif qx == 1:  # top-right: prefer its own top run
+                    if avail_t:
+                        dc = (ts + 2) >> 2
+                    elif avail_l:
+                        dc = (ls + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # bottom-left: prefer its own left run
+                    if avail_l:
+                        dc = (ls + 2) >> 2
+                    elif avail_t:
+                        dc = (ts + 2) >> 2
+                    else:
+                        dc = 128
+                p[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = dc
+        return p
+    if mode == 1:
+        if not avail_l:
+            raise ValueError("chroma H needs left samples")
+        return np.tile(plane[y:y + 8, x - 1].astype(np.int64)[:, None], (1, 8))
+    if mode == 2:
+        if not avail_t:
+            raise ValueError("chroma V needs top samples")
+        return np.tile(plane[y - 1, x:x + 8].astype(np.int64), (8, 1))
+    if mode == 3:
+        if not (avail_t and avail_l):
+            raise ValueError("chroma Plane needs top+left samples")
+        t = plane[y - 1, x - 1:x + 8].astype(np.int64)
+        le = plane[y - 1:y + 8, x - 1].astype(np.int64)
+        h = sum((i + 1) * (int(t[5 + i]) - int(t[3 - i])) for i in range(4))
+        v = sum((i + 1) * (int(le[5 + i]) - int(le[3 - i])) for i in range(4))
+        a = 16 * (int(t[8]) + int(le[8]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        xs = np.arange(8, dtype=np.int64)
+        grid = a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3)
+        return _clip255((grid + 16) >> 5)
+    raise ValueError(f"invalid chroma mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# parameter sets and slice headers
+# ---------------------------------------------------------------------------
+
+
+class _SPS:
+    __slots__ = ("mb_w", "mb_h", "crop", "fps", "log2_max_frame_num")
+
+
+class _PPS:
+    __slots__ = ("pic_init_qp", "chroma_qp_offset", "deblock_control")
+
+
+def _parse_sps(rbsp: bytes) -> _SPS:
+    r = _Bits(rbsp)
+    profile_idc = r.bits(8)
+    r.bits(8)  # constraint flags + reserved
+    r.bits(8)  # level_idc
+    r.ue()  # sps_id
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS unsupported (baseline intra only)")
+    sps = _SPS()
+    sps.log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.bit()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.bit()  # gaps_in_frame_num_value_allowed_flag
+    sps.mb_w = r.ue() + 1
+    sps.mb_h = r.ue() + 1
+    if r.bit() == 0:
+        raise ValueError("interlaced (frame_mbs_only_flag=0) unsupported")
+    r.bit()  # direct_8x8_inference_flag
+    crop = (0, 0, 0, 0)
+    if r.bit():  # frame_cropping_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    sps.crop = crop
+    sps.fps = 25.0
+    if r.bit():  # vui_parameters_present_flag
+        if r.bit():  # aspect_ratio_info_present
+            if r.bits(8) == 255:
+                r.bits(32)
+        if r.bit():  # overscan_info_present
+            r.bit()
+        if r.bit():  # video_signal_type_present
+            r.bits(4)
+            if r.bit():
+                r.bits(24)
+        if r.bit():  # chroma_loc_info_present
+            r.ue()
+            r.ue()
+        if r.bit():  # timing_info_present
+            num_units = r.bits(32)
+            time_scale = r.bits(32)
+            r.bit()  # fixed_frame_rate_flag
+            if num_units:
+                sps.fps = time_scale / (2.0 * num_units)
+    return sps
+
+
+def _parse_pps(rbsp: bytes) -> _PPS:
+    r = _Bits(rbsp)
+    r.ue()  # pps_id
+    r.ue()  # sps_id
+    if r.bit():
+        raise ValueError("CABAC (entropy_coding_mode_flag=1) unsupported")
+    r.bit()  # bottom_field_pic_order_in_frame_present
+    if r.ue() != 0:
+        raise ValueError("slice groups unsupported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.bit()  # weighted_pred_flag
+    r.bits(2)  # weighted_bipred_idc
+    pps = _PPS()
+    pps.pic_init_qp = 26 + r.se()
+    r.se()  # pic_init_qs
+    pps.chroma_qp_offset = r.se()
+    pps.deblock_control = r.bit()
+    if r.bit():
+        raise ValueError("constrained_intra_pred unsupported")
+    r.bit()  # redundant_pic_cnt_present
+    return pps
+
+
+# ---------------------------------------------------------------------------
+# picture decode
+# ---------------------------------------------------------------------------
+
+
+def _nc_from_grid(grid: np.ndarray, bx: int, by: int) -> int:
+    na = grid[by, bx - 1] if bx > 0 else -1
+    nb = grid[by - 1, bx] if by > 0 else -1
+    if na >= 0 and nb >= 0:
+        return (int(na) + int(nb) + 1) >> 1
+    if na >= 0:
+        return int(na)
+    if nb >= 0:
+        return int(nb)
+    return 0
+
+
+def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
+    mb_w, mb_h = sps.mb_w, sps.mb_h
+    w16, h16 = mb_w * 16, mb_h * 16
+    y_p = np.zeros((h16, w16), dtype=np.int64)
+    cb_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    cr_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    tc_y = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    tc_cb = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    tc_cr = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    mb_is_i4 = np.zeros((mb_h, mb_w), dtype=bool)
+    qp = slice_qp
+
+    for mb_i in range(mb_w * mb_h):
+        mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        px, py = mb_x * 16, mb_y * 16
+        cx, cy = mb_x * 8, mb_y * 8
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM
+            while r.pos % 8:
+                if r.bit():
+                    raise ValueError("nonzero pcm_alignment bit")
+            blkY = np.array([r.bits(8) for _ in range(256)],
+                            dtype=np.int64).reshape(16, 16)
+            blkCb = np.array([r.bits(8) for _ in range(64)],
+                             dtype=np.int64).reshape(8, 8)
+            blkCr = np.array([r.bits(8) for _ in range(64)],
+                             dtype=np.int64).reshape(8, 8)
+            y_p[py:py + 16, px:px + 16] = blkY
+            cb_p[cy:cy + 8, cx:cx + 8] = blkCb
+            cr_p[cy:cy + 8, cx:cx + 8] = blkCr
+            tc_y[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = 16
+            tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            continue
+        if mb_type > 25:
+            raise ValueError(f"invalid I-slice mb_type {mb_type}")
+
+        if mb_type == 0:  # I_4x4: pred modes, chroma mode, cbp, qp, residual
+            mb_is_i4[mb_y, mb_x] = True
+            modes = []
+            for blk in range(16):
+                bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                by4 = mb_y * 4 + BLK4_POS[blk][1]
+                # predicted mode = min(left, top); DC when a neighbor is
+                # unavailable or not itself I_4x4
+                def _nbr_mode(nbx, nby):
+                    if nbx < 0 or nby < 0:
+                        return None
+                    if i4_modes[nby, nbx] >= 0:
+                        return int(i4_modes[nby, nbx])
+                    if tc_y[nby, nbx] >= 0:
+                        return 2  # decoded, but not an I_4x4 block
+                    return None
+                ma = _nbr_mode(bx4 - 1, by4)
+                mb_ = _nbr_mode(bx4, by4 - 1)
+                pred_mode = 2 if (ma is None or mb_ is None) else min(ma, mb_)
+                if r.bit():  # prev_intra4x4_pred_mode_flag
+                    mode = pred_mode
+                else:
+                    rem = r.bits(3)
+                    mode = rem if rem < pred_mode else rem + 1
+                modes.append(mode)
+                i4_modes[by4, bx4] = mode
+            chroma_mode = r.ue()
+            if chroma_mode > 3:
+                raise ValueError("invalid intra_chroma_pred_mode")
+            cbp_code = r.ue()
+            if cbp_code >= 48:
+                raise ValueError("invalid coded_block_pattern")
+            cbp = CBP_INTRA[cbp_code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + r.se() + 52) % 52
+            # residual parse (nC bookkeeping interleaves with parsing)
+            luma_coeffs = [np.zeros(16, dtype=np.int64) for _ in range(16)]
+            for i8 in range(4):
+                for i4 in range(4):
+                    blk = i8 * 4 + i4
+                    bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                    by4 = mb_y * 4 + BLK4_POS[blk][1]
+                    if cbp_luma & (1 << i8):
+                        nc = _nc_from_grid(tc_y, bx4, by4)
+                        luma_coeffs[blk], tc = cavlc_decode_block(r, nc, 16)
+                        tc_y[by4, bx4] = tc
+                    else:
+                        tc_y[by4, bx4] = 0
+            dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+                r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y)
+            # reconstruct blocks in decode order
+            for blk in range(16):
+                bx, by = BLK4_POS[blk]
+                x, y = px + bx * 4, py + by * 4
+                pred = pred_4x4(y_p, x, y, modes[blk], mb_w, w16, h16)
+                res = np.zeros((4, 4), dtype=np.int64)
+                if luma_coeffs[blk].any():
+                    c = np.zeros((4, 4), dtype=np.int64)
+                    c.flat[list(ZIGZAG4)] = luma_coeffs[blk]
+                    res = (inverse_transform_4x4(dequant_4x4(c, qp)) + 32) >> 6
+                y_p[y:y + 4, x:x + 4] = _clip255(pred + res)
+        else:  # I_16x16
+            k = mb_type - 1
+            pred_mode16 = k % 12 % 4
+            cbp_chroma = (k % 12) // 4
+            cbp_luma = 15 if k >= 12 else 0
+            chroma_mode = r.ue()
+            if chroma_mode > 3:
+                raise ValueError("invalid intra_chroma_pred_mode")
+            qp = (qp + r.se() + 52) % 52
+            # DC block: nC from luma blk 0's neighbors
+            nc = _nc_from_grid(tc_y, mb_x * 4, mb_y * 4)
+            dc_scan, _ = cavlc_decode_block(r, nc, 16)
+            dc = np.zeros((4, 4), dtype=np.int64)
+            dc.flat[list(ZIGZAG4)] = dc_scan
+            ac_blocks = [np.zeros(15, dtype=np.int64) for _ in range(16)]
+            for blk in range(16):
+                bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                by4 = mb_y * 4 + BLK4_POS[blk][1]
+                if cbp_luma:
+                    nc = _nc_from_grid(tc_y, bx4, by4)
+                    ac_blocks[blk], tc = cavlc_decode_block(r, nc, 15)
+                    tc_y[by4, bx4] = tc
+                else:
+                    tc_y[by4, bx4] = 0
+            dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+                r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y)
+            pred = pred_16x16(y_p, px, py, pred_mode16)
+            dcq = dequant_luma_dc(dc, qp)
+            for blk in range(16):
+                bx, by = BLK4_POS[blk]
+                c = np.zeros((4, 4), dtype=np.int64)
+                c.flat[[ZIGZAG4[i + 1] for i in range(15)]] = ac_blocks[blk]
+                d = dequant_4x4(c, qp)
+                d[0, 0] = dcq[by, bx]
+                res = (inverse_transform_4x4(d) + 32) >> 6
+                y_p[py + by * 4:py + by * 4 + 4, px + bx * 4:px + bx * 4 + 4] = \
+                    _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+
+        # chroma reconstruction (shared by I_4x4 and I_16x16)
+        qpc = chroma_qp(qp, pps.chroma_qp_offset)
+        for comp, plane, dcc, acc in (
+            ("cb", cb_p, dc_cb, ac_cb), ("cr", cr_p, dc_cr, ac_cr)
+        ):
+            predc = pred_chroma(plane, cx, cy, chroma_mode)
+            dcq = dequant_chroma_dc(dcc, qpc)
+            for blk in range(4):
+                bx, by = blk % 2, blk // 2
+                c = np.zeros((4, 4), dtype=np.int64)
+                c.flat[[ZIGZAG4[i + 1] for i in range(15)]] = acc[blk]
+                d = dequant_4x4(c, qpc)
+                d[0, 0] = dcq[by, bx]
+                res = (inverse_transform_4x4(d) + 32) >> 6
+                plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
+                    _clip255(predc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+    return y_p, cb_p, cr_p
+
+
+def _parse_chroma_residual(r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y):
+    dc_cb = np.zeros((2, 2), dtype=np.int64)
+    dc_cr = np.zeros((2, 2), dtype=np.int64)
+    ac_cb = [np.zeros(15, dtype=np.int64) for _ in range(4)]
+    ac_cr = [np.zeros(15, dtype=np.int64) for _ in range(4)]
+    if cbp_chroma:
+        for dc in (dc_cb, dc_cr):
+            scan, _ = cavlc_decode_block(r, -1, 4)
+            dc[0, 0], dc[0, 1], dc[1, 0], dc[1, 1] = scan
+    for grid, acs in ((tc_cb, ac_cb), (tc_cr, ac_cr)):
+        for blk in range(4):
+            bx2 = mb_x * 2 + blk % 2
+            by2 = mb_y * 2 + blk // 2
+            if cbp_chroma == 2:
+                nc = _nc_from_grid(grid, bx2, by2)
+                acs[blk], tc = cavlc_decode_block(r, nc, 15)
+                grid[by2, bx2] = tc
+            else:
+                grid[by2, bx2] = 0
+    return dc_cb, dc_cr, ac_cb, ac_cr
+
+
+def is_h264(payload: bytes) -> bool:
+    """Annex B stream sniff: start code followed by an SPS NAL."""
+    if payload[:4] == b"\x00\x00\x00\x01" and len(payload) > 4:
+        return (payload[4] & 0x1F) == 7
+    if payload[:3] == b"\x00\x00\x01" and len(payload) > 3:
+        return (payload[3] & 0x1F) == 7
+    return False
+
+
+def h264_fps(payload: bytes) -> float:
+    """Frame rate from the SPS VUI alone (no frame decode)."""
+    for nal_type, rbsp in parse_annexb_nals(payload):
+        if nal_type == 7:
+            return _parse_sps(rbsp).fps
+    raise ValueError("no SPS in stream")
+
+
+def decode_h264(payload: bytes):
+    """Decode an all-intra Annex B stream.
+
+    Returns ([(y, cb, cr) per picture], (width, height, fps)) with the
+    frame-cropping window applied."""
+    sps = pps = None
+    frames = []
+    for nal_type, rbsp in parse_annexb_nals(payload):
+        if nal_type == 7:
+            sps = _parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = _parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            r = _Bits(rbsp)
+            first_mb = r.ue()
+            if first_mb != 0:
+                raise ValueError("multi-slice pictures unsupported")
+            slice_type = r.ue()
+            if slice_type % 5 != 2:
+                raise ValueError("non-I slice unsupported (intra only)")
+            r.ue()  # pps_id
+            r.bits(sps.log2_max_frame_num)  # frame_num
+            if nal_type == 5:
+                r.ue()  # idr_pic_id
+            # pic_order_cnt_type 2 in our streams: nothing here
+            if nal_type == 5:
+                r.bit()  # no_output_of_prior_pics_flag
+                r.bit()  # long_term_reference_flag
+            slice_qp = pps.pic_init_qp + r.se()
+            if pps.deblock_control:
+                if r.ue() != 1:
+                    raise ValueError(
+                        "deblocking filter required by stream but not implemented"
+                    )
+            frames.append(_decode_picture(r, sps, pps, slice_qp))
+        elif nal_type in (6, 9, 10, 11, 12):
+            continue  # SEI / AU delimiter / end markers: ignorable
+        else:
+            raise ValueError(f"unsupported NAL unit type {nal_type}")
+    if sps is None or not frames:
+        raise ValueError("no decodable pictures")
+    left, right, top, bottom = sps.crop
+    w = sps.mb_w * 16 - 2 * (left + right)
+    h = sps.mb_h * 16 - 2 * (top + bottom)
+    out = []
+    for y, cb, cr in frames:
+        ly, lx = 2 * top, 2 * left
+        out.append((
+            y[ly:ly + h, lx:lx + w].astype(np.uint8),
+            cb[top:top + h // 2, left:left + w // 2].astype(np.uint8),
+            cr[top:top + h // 2, left:left + w // 2].astype(np.uint8),
+        ))
+    return out, (w, h, sps.fps)
+
+
+def decode_h264_frames(
+    payload: bytes,
+    every_n_frames: int = 1,
+    max_frames: Optional[int] = None,
+) -> Tuple[int, int, float, List[Tuple[int, np.ndarray]]]:
+    """(width, height, fps, [(frame_index, HxWx3 RGB uint8), ...]) — the
+    ``decode_avi_frames`` contract for H.264 Annex B streams."""
+    frames, (w, h, fps) = decode_h264(payload)
+    out = []
+    for i in range(0, len(frames), max(1, every_n_frames)):
+        out.append((i, ycbcr420_to_rgb(*frames[i])))
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return w, h, fps, out
+
+
+# ---------------------------------------------------------------------------
+# encoder twin — real per-MB decisions, bit-exact in-loop reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _sad(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+
+
+def _scan16(c: np.ndarray) -> np.ndarray:
+    return c.flat[list(ZIGZAG4)]
+
+
+def _scan15(c: np.ndarray) -> np.ndarray:
+    return c.flat[[ZIGZAG4[i + 1] for i in range(15)]]
+
+
+def _encode_luma_i16(y_p, px, py, src, qp):
+    """Best Intra_16x16 trial: returns (bundle, recon, score)."""
+    modes = [2]
+    if py > 0:
+        modes.append(0)
+    if px > 0:
+        modes.append(1)
+    if px > 0 and py > 0:
+        modes.append(3)
+    best = min(modes, key=lambda m: (_sad(pred_16x16(y_p, px, py, m), src), m))
+    pred = pred_16x16(y_p, px, py, best)
+    resid = src.astype(np.int64) - pred
+    dc = np.zeros((4, 4), dtype=np.int64)
+    acq = []
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        w = forward_transform_4x4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+        dc[by, bx] = w[0, 0]
+        wq = quant_4x4(w, qp)
+        wq[0, 0] = 0
+        acq.append(wq)
+    dcq_lv = quant_luma_dc(dc, qp)
+    cbp_luma = 15 if any(a.any() for a in acq) else 0
+    # mirror the decoder's reconstruction exactly
+    recon = np.zeros((16, 16), dtype=np.int64)
+    dcd = dequant_luma_dc(_unscan_dc(_scan16(dcq_lv)), qp)
+    ncoef = int(np.count_nonzero(dcq_lv))
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        lv = acq[blk] if cbp_luma else np.zeros((4, 4), dtype=np.int64)
+        d = dequant_4x4(lv, qp)
+        d[0, 0] = dcd[by, bx]
+        res = (inverse_transform_4x4(d) + 32) >> 6
+        recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
+            pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+        ncoef += int(np.count_nonzero(lv))
+    ssd = int(((recon - src.astype(np.int64)) ** 2).sum())
+    bundle = {
+        "kind": "I16", "mode": best, "cbp_luma": cbp_luma,
+        "dc_scan": _scan16(dcq_lv),
+        "ac_scans": [_scan15(a) for a in acq],
+    }
+    return bundle, recon, ssd + 24 * ncoef
+
+
+def _unscan_dc(scan: np.ndarray) -> np.ndarray:
+    c = np.zeros((4, 4), dtype=np.int64)
+    c.flat[list(ZIGZAG4)] = scan
+    return c
+
+
+def _encode_luma_i4(y_p, px, py, src, qp, mb_w, w16, h16, i4_modes, tc_y,
+                    mb_x, mb_y):
+    """Best Intra_4x4 trial. Writes recon into a scratch copy of the MB
+    region of ``y_p`` while searching (prediction context), restores it,
+    and returns everything needed to commit."""
+    saved = y_p[py:py + 16, px:px + 16].copy()
+    local_modes = {}
+    modes = []
+    coeff_scans = []
+    ncoef = 0
+
+    def nbr_mode(nbx, nby):
+        if nbx < 0 or nby < 0:
+            return None
+        if (nbx, nby) in local_modes:
+            return local_modes[(nbx, nby)]
+        if i4_modes[nby, nbx] >= 0:
+            return int(i4_modes[nby, nbx])
+        if tc_y[nby, nbx] >= 0:
+            return 2
+        return None
+
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        x, y = px + bx * 4, py + by * 4
+        blk_src = src[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4].astype(np.int64)
+        legal = legal_4x4_modes(x, y, mb_w, w16, h16)
+        best = min(legal, key=lambda m: (_sad(pred_4x4(
+            y_p, x, y, m, mb_w, w16, h16), blk_src), m))
+        pred = pred_4x4(y_p, x, y, best, mb_w, w16, h16)
+        w = forward_transform_4x4(blk_src - pred)
+        lv = quant_4x4(w, qp)
+        res = (inverse_transform_4x4(dequant_4x4(lv, qp)) + 32) >> 6
+        y_p[y:y + 4, x:x + 4] = _clip255(pred + res)
+        modes.append(best)
+        local_modes[(mb_x * 4 + bx, mb_y * 4 + by)] = best
+        coeff_scans.append(_scan16(lv))
+        ncoef += int(np.count_nonzero(lv))
+    recon = y_p[py:py + 16, px:px + 16].copy()
+    y_p[py:py + 16, px:px + 16] = saved
+    cbp_luma = 0
+    for i8 in range(4):
+        if any(coeff_scans[i8 * 4 + i4].any() for i4 in range(4)):
+            cbp_luma |= 1 << i8
+    ssd = int(((recon - src.astype(np.int64)) ** 2).sum())
+    bundle = {"kind": "I4", "modes": modes, "cbp_luma": cbp_luma,
+              "coeff_scans": coeff_scans}
+    return bundle, recon, ssd + 24 * ncoef
+
+
+def _encode_chroma(cb_p, cr_p, cx, cy, src_cb, src_cr, qpc):
+    modes = [0]
+    if cx > 0:
+        modes.append(1)
+    if cy > 0:
+        modes.append(2)
+    if cx > 0 and cy > 0:
+        modes.append(3)
+    best = min(modes, key=lambda m: (
+        _sad(pred_chroma(cb_p, cx, cy, m), src_cb)
+        + _sad(pred_chroma(cr_p, cx, cy, m), src_cr), m))
+    out = {"mode": best}
+    any_dc = False
+    any_ac = False
+    for name, plane, src in (("cb", cb_p, src_cb), ("cr", cr_p, src_cr)):
+        pred = pred_chroma(plane, cx, cy, best)
+        resid = src.astype(np.int64) - pred
+        dc = np.zeros((2, 2), dtype=np.int64)
+        acq = []
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            w = forward_transform_4x4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            dc[by, bx] = w[0, 0]
+            wq = quant_4x4(w, qpc)
+            wq[0, 0] = 0
+            acq.append(wq)
+        dcq = quant_chroma_dc(dc, qpc)
+        any_dc = any_dc or bool(dcq.any())
+        any_ac = any_ac or any(a.any() for a in acq)
+        out[name] = {"pred": pred, "dcq": dcq, "acq": acq}
+    out["cbp_chroma"] = 2 if any_ac else (1 if any_dc else 0)
+    return out
+
+
+def _commit_chroma(cb_p, cr_p, cx, cy, ch, qpc):
+    cbp_chroma = ch["cbp_chroma"]
+    ncoef = 0
+    for name, plane in (("cb", cb_p), ("cr", cr_p)):
+        info = ch[name]
+        dcq = info["dcq"] if cbp_chroma else np.zeros((2, 2), dtype=np.int64)
+        dcd = dequant_chroma_dc(dcq, qpc)
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            lv = info["acq"][blk] if cbp_chroma == 2 else np.zeros(
+                (4, 4), dtype=np.int64)
+            d = dequant_4x4(lv, qpc)
+            d[0, 0] = dcd[by, bx]
+            res = (inverse_transform_4x4(d) + 32) >> 6
+            plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
+                _clip255(info["pred"][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+            ncoef += int(np.count_nonzero(lv))
+    return ncoef
+
+
+def _encode_picture(w: _BitsW, src_y, src_cb, src_cr, qp0: int,
+                    chroma_qp_offset: int, pcm_every: int, qp_wobble: int):
+    h16, w16 = src_y.shape
+    mb_w, mb_h = w16 // 16, h16 // 16
+    y_p = np.zeros((h16, w16), dtype=np.int64)
+    cb_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    cr_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    tc_y = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    tc_cb = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    tc_cr = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    qp_prev = qp0
+
+    for mb_i in range(mb_w * mb_h):
+        mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        px, py = mb_x * 16, mb_y * 16
+        cx, cy = mb_x * 8, mb_y * 8
+        sy = src_y[py:py + 16, px:px + 16]
+        scb = src_cb[cy:cy + 8, cx:cx + 8]
+        scr = src_cr[cy:cy + 8, cx:cx + 8]
+        if pcm_every and mb_i % pcm_every == pcm_every - 1:
+            w.ue(25)
+            w.align_byte()
+            for v in sy.flat:
+                w.bits(int(v), 8)
+            for v in scb.flat:
+                w.bits(int(v), 8)
+            for v in scr.flat:
+                w.bits(int(v), 8)
+            y_p[py:py + 16, px:px + 16] = sy
+            cb_p[cy:cy + 8, cx:cx + 8] = scb
+            cr_p[cy:cy + 8, cx:cx + 8] = scr
+            tc_y[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = 16
+            tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
+            continue
+        qp_want = qp0
+        if qp_wobble:
+            qp_want = max(0, min(51, qp0 + (qp_wobble if mb_i % 2 else -qp_wobble)))
+        i16, recon16, score16 = _encode_luma_i16(y_p, px, py, sy, qp_want)
+        i4, recon4, score4 = _encode_luma_i4(
+            y_p, px, py, sy, qp_want, mb_w, w16, h16, i4_modes, tc_y, mb_x, mb_y)
+        choose = i16 if score16 <= score4 else i4
+        recon = recon16 if choose is i16 else recon4
+        qpc = chroma_qp(qp_want, chroma_qp_offset)
+        ch = _encode_chroma(cb_p, cr_p, cx, cy, scb, scr, qpc)
+        cbp_chroma = ch["cbp_chroma"]
+        cbp_luma = choose["cbp_luma"]
+
+        if choose["kind"] == "I16":
+            mb_type = 1 + choose["mode"] + 4 * cbp_chroma + (
+                12 if cbp_luma else 0)
+            w.ue(mb_type)
+            w.ue(ch["mode"])
+            w.se(_qp_delta(qp_want, qp_prev))
+            qp_used = qp_prev = _qp_apply(qp_prev, _qp_delta(qp_want, qp_prev))
+            qpc = chroma_qp(qp_used, chroma_qp_offset)
+            nc = _nc_from_grid(tc_y, mb_x * 4, mb_y * 4)
+            cavlc_encode_block(w, choose["dc_scan"], nc, 16)
+            for blk in range(16):
+                bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                by4 = mb_y * 4 + BLK4_POS[blk][1]
+                if cbp_luma:
+                    nc = _nc_from_grid(tc_y, bx4, by4)
+                    tc = cavlc_encode_block(w, choose["ac_scans"][blk], nc, 15)
+                    tc_y[by4, bx4] = tc
+                else:
+                    tc_y[by4, bx4] = 0
+        else:
+            w.ue(0)
+            for blk in range(16):
+                bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                by4 = mb_y * 4 + BLK4_POS[blk][1]
+                mode = choose["modes"][blk]
+                pred_mode = _pred_mode_enc(i4_modes, tc_y, bx4, by4)
+                if mode == pred_mode:
+                    w.bits(1, 1)
+                else:
+                    w.bits(0, 1)
+                    rem = mode if mode < pred_mode else mode - 1
+                    w.bits(rem, 3)
+                i4_modes[by4, bx4] = mode
+            w.ue(ch["mode"])
+            cbp = cbp_luma | (cbp_chroma << 4)
+            w.ue(_CBP_INTRA_INV[cbp])
+            if cbp:
+                w.se(_qp_delta(qp_want, qp_prev))
+                qp_prev = _qp_apply(qp_prev, _qp_delta(qp_want, qp_prev))
+            qp_used = qp_prev
+            qpc = chroma_qp(qp_used, chroma_qp_offset)
+            for i8 in range(4):
+                for i4x in range(4):
+                    blk = i8 * 4 + i4x
+                    bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                    by4 = mb_y * 4 + BLK4_POS[blk][1]
+                    if cbp_luma & (1 << i8):
+                        nc = _nc_from_grid(tc_y, bx4, by4)
+                        tc = cavlc_encode_block(
+                            w, choose["coeff_scans"][blk], nc, 16)
+                        tc_y[by4, bx4] = tc
+                    else:
+                        tc_y[by4, bx4] = 0
+
+        # chroma residual syntax (shared)
+        if cbp_chroma:
+            for comp in ("cb", "cr"):
+                dcq = ch[comp]["dcq"]
+                scan = np.array([dcq[0, 0], dcq[0, 1], dcq[1, 0], dcq[1, 1]],
+                                dtype=np.int64)
+                cavlc_encode_block(w, scan, -1, 4)
+        for comp, grid in (("cb", tc_cb), ("cr", tc_cr)):
+            for blk in range(4):
+                bx2 = mb_x * 2 + blk % 2
+                by2 = mb_y * 2 + blk // 2
+                if cbp_chroma == 2:
+                    nc = _nc_from_grid(grid, bx2, by2)
+                    tc = cavlc_encode_block(w, _scan15(ch[comp]["acq"][blk]),
+                                            nc, 15)
+                    grid[by2, bx2] = tc
+                else:
+                    grid[by2, bx2] = 0
+
+        # NOTE the committed reconstruction used qp_want in the trials;
+        # qp_used == qp_want whenever a delta was signalable, and when it
+        # was not (I_4x4 with cbp == 0) the residual is all-zero so the
+        # reconstruction is qp-independent.
+        y_p[py:py + 16, px:px + 16] = recon
+        _commit_chroma(cb_p, cr_p, cx, cy, ch, qpc)
+
+    return y_p, cb_p, cr_p
+
+
+def _qp_delta(want: int, prev: int) -> int:
+    d = want - prev
+    if d < -26:
+        d += 52
+    elif d > 25:
+        d -= 52
+    return d
+
+
+def _qp_apply(prev: int, delta: int) -> int:
+    return (prev + delta + 52) % 52
+
+
+def _pred_mode_enc(i4_modes, tc_y, bx4, by4) -> int:
+    def nbr(nbx, nby):
+        if nbx < 0 or nby < 0:
+            return None
+        if i4_modes[nby, nbx] >= 0:
+            return int(i4_modes[nby, nbx])
+        if tc_y[nby, nbx] >= 0:
+            return 2
+        return None
+    ma = nbr(bx4 - 1, by4)
+    mb_ = nbr(bx4, by4 - 1)
+    return 2 if (ma is None or mb_ is None) else min(ma, mb_)
+
+
+def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
+    return (b"\x00\x00\x00\x01" + bytes([(nal_ref_idc << 5) | nal_type])
+            + _rbsp_to_ebsp(rbsp))
+
+
+def _write_sps(mb_w, mb_h, crop, fps) -> bytes:
+    w = _BitsW()
+    w.bits(66, 8)   # profile_idc: baseline
+    w.bits(0, 8)    # constraint flags / reserved
+    w.bits(30, 8)   # level_idc 3.0
+    w.ue(0)         # sps_id
+    w.ue(0)         # log2_max_frame_num_minus4
+    w.ue(2)         # pic_order_cnt_type
+    w.ue(1)         # max_num_ref_frames
+    w.bits(0, 1)    # gaps_in_frame_num_value_allowed
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.bits(1, 1)    # frame_mbs_only
+    w.bits(1, 1)    # direct_8x8_inference
+    if any(crop):
+        w.bits(1, 1)
+        for v in crop:
+            w.ue(v)
+    else:
+        w.bits(0, 1)
+    w.bits(1, 1)    # vui_parameters_present
+    w.bits(0, 1)    # aspect_ratio_info_present
+    w.bits(0, 1)    # overscan_info_present
+    w.bits(0, 1)    # video_signal_type_present
+    w.bits(0, 1)    # chroma_loc_info_present
+    w.bits(1, 1)    # timing_info_present
+    w.bits(1000, 32)                     # num_units_in_tick
+    w.bits(int(round(fps * 2000)), 32)   # time_scale
+    w.bits(1, 1)    # fixed_frame_rate
+    w.bits(0, 1)    # nal_hrd_parameters_present
+    w.bits(0, 1)    # vcl_hrd_parameters_present
+    w.bits(0, 1)    # pic_struct_present
+    w.bits(0, 1)    # bitstream_restriction
+    w.trailing()
+    return w.bytes_out()
+
+
+def _write_pps() -> bytes:
+    w = _BitsW()
+    w.ue(0)         # pps_id
+    w.ue(0)         # sps_id
+    w.bits(0, 1)    # entropy_coding_mode: CAVLC
+    w.bits(0, 1)    # bottom_field_pic_order_in_frame_present
+    w.ue(0)         # num_slice_groups_minus1
+    w.ue(0)         # num_ref_idx_l0
+    w.ue(0)         # num_ref_idx_l1
+    w.bits(0, 1)    # weighted_pred
+    w.bits(0, 2)    # weighted_bipred_idc
+    w.se(0)         # pic_init_qp_minus26
+    w.se(0)         # pic_init_qs_minus26
+    w.se(0)         # chroma_qp_index_offset
+    w.bits(1, 1)    # deblocking_filter_control_present
+    w.bits(0, 1)    # constrained_intra_pred
+    w.bits(0, 1)    # redundant_pic_cnt_present
+    w.trailing()
+    return w.bytes_out()
+
+
+def encode_h264(frames_rgb: List[np.ndarray], qp: int = 26, fps: float = 25.0,
+                pcm_every: int = 0, qp_wobble: int = 0) -> bytes:
+    """All-intra (IDR-only) baseline Annex B encoder.
+
+    Real decisions per MB: I_16x16 vs I_4x4 by reconstructed-SSD +
+    coefficient-count score, per-block mode search over the legal
+    prediction set; ``pcm_every`` forces every Nth macroblock through
+    I_PCM (raw samples) and ``qp_wobble`` alternates the MB QP to
+    exercise mb_qp_delta. Frames must share one even WxH geometry."""
+    if not frames_rgb:
+        raise ValueError("no frames")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    h, wd = frames_rgb[0].shape[:2]
+    if h % 2 or wd % 2:
+        raise ValueError("frame dims must be even (4:2:0)")
+    mb_w, mb_h = (wd + 15) // 16, (h + 15) // 16
+    crop_r = (mb_w * 16 - wd) // 2
+    crop_b = (mb_h * 16 - h) // 2
+    out = bytearray()
+    out += _nal(3, 7, _write_sps(mb_w, mb_h, (0, crop_r, 0, crop_b), fps))
+    out += _nal(3, 8, _write_pps())
+    for fi, rgb in enumerate(frames_rgb):
+        if rgb.shape[:2] != (h, wd):
+            raise ValueError("all frames must share one geometry")
+        y, cb, cr = rgb_to_ycbcr420(rgb)
+        # pad to MB multiples by edge replication
+        y = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - wd)), mode="edge")
+        cb = np.pad(cb, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
+                    mode="edge")
+        cr = np.pad(cr, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
+                    mode="edge")
+        w = _BitsW()
+        w.ue(0)          # first_mb_in_slice
+        w.ue(7)          # slice_type: I (all slices in picture)
+        w.ue(0)          # pps_id
+        w.bits(0, 4)     # frame_num
+        w.ue(fi % 2)     # idr_pic_id (must differ between consecutive IDRs)
+        w.bits(0, 1)     # no_output_of_prior_pics
+        w.bits(0, 1)     # long_term_reference
+        w.se(qp - 26)    # slice_qp_delta
+        w.ue(1)          # disable_deblocking_filter_idc
+        _encode_picture(w, y.astype(np.int64), cb.astype(np.int64),
+                        cr.astype(np.int64), qp, 0, pcm_every, qp_wobble)
+        w.trailing()
+        out += _nal(3, 5, w.bytes_out())
+    return bytes(out)
+
+
+def encode_h264_reconstruction(
+    frames_rgb: List[np.ndarray], qp: int = 26,
+    pcm_every: int = 0, qp_wobble: int = 0,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """The encoder's own in-loop reconstruction (cropped), for the
+    decode == reconstruction fixtures."""
+    h, wd = frames_rgb[0].shape[:2]
+    mb_w, mb_h = (wd + 15) // 16, (h + 15) // 16
+    out = []
+    for rgb in frames_rgb:
+        y, cb, cr = rgb_to_ycbcr420(rgb)
+        y = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - wd)), mode="edge")
+        cb = np.pad(cb, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
+                    mode="edge")
+        cr = np.pad(cr, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
+                    mode="edge")
+        w = _BitsW()
+        yp, cbp, crp = _encode_picture(
+            w, y.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64),
+            qp, 0, pcm_every, qp_wobble)
+        out.append((
+            yp[:h, :wd].astype(np.uint8),
+            cbp[:h // 2, :wd // 2].astype(np.uint8),
+            crp[:h // 2, :wd // 2].astype(np.uint8),
+        ))
+    return out

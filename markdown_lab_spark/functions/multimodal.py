@@ -10,10 +10,11 @@ SOF10 QM coder, ``jpeg_arith.py``),
 GIF (LZW + interlacing, ``codecs.py``), baseline TIFF (none/PackBits/
 LZW-early-change strips + horizontal predictor, ``tiff.py``), 16-bit
 PCM WAV (stdlib wave),
-and AVI video carrying MJPEG or uncompressed-DIB frames (RIFF demuxer
-+ frame sampler, ``video.py``) — selected by magic-byte sniffing;
-anything else (inter-frame video codecs like H.264/VP9 — the one
-remaining stub, genuinely needing native libs)
+and AVI video carrying MJPEG, uncompressed-DIB or all-intra H.264
+frames (RIFF demuxer + frame sampler, ``video.py``; baseline-intra
+H.264 decode in ``h264.py``) — selected by magic-byte sniffing;
+anything else (INTER-frame H.264 plus VP9/AV1 — the one remaining
+stub, genuinely needing native libs)
 falls back to ``decode_image_stub``, a deterministic fake (dimensions
 and a checksum derived from the bytes) that raises
 ``NotImplementedError`` when ``strict=True``.

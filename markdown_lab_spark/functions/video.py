@@ -7,10 +7,13 @@ This closes the video leg of the multimodal decode stub the same way
 round 3 closed images: a pure-Python demuxer plus an in-repo MUXER that
 provides fixtures (``encode_avi`` writes spec-shaped RIFF/hdrl/movi/idx1
 structure from our own JPEG/DIB encodings, so decode tests are
-round-trip byte-exact with zero native deps). Inter-frame codecs
-(H.264/VP9/AV1) genuinely need native libs and stay behind the declared
-stub; at scale the ``native_image_backend``-style seam applies — a
-production deployment plugs PyAV/ffmpeg in ahead of this decoder.
+round-trip byte-exact with zero native deps). All-intra H.264 rides in
+AVI too (``codec='h264'``: one Annex B access unit per chunk, decoded
+by the in-repo baseline-intra codec, ``h264.py``) — the keyframe path
+real pipelines sample. INTER-frame H.264 plus VP9/AV1 genuinely need
+native libs and stay behind the declared stub; at scale the
+``native_image_backend``-style seam applies — a production deployment
+plugs PyAV/ffmpeg in ahead of this decoder.
 
 Reference parity note: the reference engine has no media codecs at all
 (it is an HTML->markdown crawler); this module is part of the
@@ -106,6 +109,26 @@ def encode_avi(
     elif codec == "raw":
         blobs = [_dib_from_rgb(fr) for fr in frames]
         compression, ckid = struct.pack("<I", 0), b"00db"
+    elif codec == "h264":
+        # all-intra Annex B: one access unit per chunk, SPS/PPS riding
+        # in the first chunk (the common AVI/H.264 layout)
+        from .h264 import encode_h264, parse_annexb_nals  # noqa: PLC0415
+
+        stream = encode_h264(list(frames), qp=26, fps=fps_num / max(fps_den, 1))
+        # split at each IDR NAL start code (keep parameter sets with AU 0)
+        cuts = []
+        i = 0
+        while i + 5 <= len(stream):
+            if stream[i:i + 4] == b"\x00\x00\x00\x01" and (stream[i + 4] & 0x1F) == 5:
+                cuts.append(i)
+            i += 1
+        parse_annexb_nals(stream)  # sanity: the writer emitted valid NALs
+        blobs = []
+        for k, cut in enumerate(cuts):
+            lo = 0 if k == 0 else cut
+            hi = cuts[k + 1] if k + 1 < len(cuts) else len(stream)
+            blobs.append(stream[lo:hi])
+        compression, ckid = b"H264", b"00dc"
     else:
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -130,7 +153,7 @@ def encode_avi(
     )
     strh = (
         b"vids"
-        + (b"MJPG" if codec == "mjpeg" else b"\x00\x00\x00\x00")
+        + (compression if codec in ("mjpeg", "h264") else b"\x00\x00\x00\x00")
         + struct.pack(
             "<IHHIIIIIIII4H",
             0,  # flags
@@ -157,7 +180,7 @@ def encode_avi(
         h,
         1,
         24,
-        compression if codec == "mjpeg" else b"\x00\x00\x00\x00",
+        compression if codec in ("mjpeg", "h264") else b"\x00\x00\x00\x00",
         len(blobs[0]) if codec == "raw" else 0,
         0,
         0,
@@ -278,10 +301,23 @@ def decode_avi_frames(
     from . import jpeg  # noqa: PLC0415
 
     info = parse_avi(payload)
-    if info["codec"] not in ("mjpeg", "raw"):
+    if info["codec"] not in ("mjpeg", "raw", "h264"):
         raise ValueError(f"unsupported AVI codec {info['codec']!r}")
     if every_n_frames < 1:
         raise ValueError("every_n_frames must be >= 1")
+    if info["codec"] == "h264":
+        # all-intra Annex B access units, parameter sets in chunk 0:
+        # decode the concatenated stream through the in-repo codec
+        from .h264 import decode_h264  # noqa: PLC0415
+        from .mpeg1 import ycbcr420_to_rgb  # noqa: PLC0415
+
+        pics, (w, h, _) = decode_h264(b"".join(info["frames"]))
+        out = []
+        for i in range(0, len(pics), every_n_frames):
+            out.append((i, ycbcr420_to_rgb(*pics[i])))
+            if max_frames is not None and len(out) >= max_frames:
+                break
+        return w, h, info["fps_num"] / info["fps_den"], out
     out: List[Tuple[int, np.ndarray]] = []
     for i in range(0, info["n_frames"], every_n_frames):
         blob = info["frames"][i]
@@ -349,6 +385,22 @@ def sample_video_frames(
                                 int(round(mpeg1_fps(payload) * every_n_seconds)),
                             )
                             w, h, fps, frames = decode_mpeg1_frames(
+                                payload, step, max_frames_per_video
+                            )
+                        elif payload[:5] in (
+                            b"\x00\x00\x00\x01\x67", b"\x00\x00\x00\x01\x27"
+                        ) or payload[:4] in (b"\x00\x00\x01\x67", b"\x00\x00\x01\x27"):
+                            # H.264 Annex B stream opening with an SPS
+                            from .h264 import (  # noqa: PLC0415
+                                decode_h264_frames,
+                                h264_fps,
+                            )
+
+                            step = max(
+                                1,
+                                int(round(h264_fps(payload) * every_n_seconds)),
+                            )
+                            w, h, fps, frames = decode_h264_frames(
                                 payload, step, max_frames_per_video
                             )
                         else:
