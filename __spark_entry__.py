@@ -1601,6 +1601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stratified_sample,
         )
 
+        # second leg, union-aligned (round-5 DSIR promotion): importance
+        # resampling toward a target sub-corpus (docs with doc_id%7==0)
+        # — hashed-n-gram target/raw models, Gumbel-top-k of the log
+        # importance weights. The selected SET is the value gate (the
+        # noise is the deterministic md5 uniform, so the set is
+        # engine-exact); the weight itself is pinned to 1e-9 by the
+        # pytest DuckDB cross-oracle (tests/test_dsir.py).
+        from markdown_lab_spark.functions.dsir import dsir_resample
+
         docs = _t(spark, sf, "documents")
         kept = stratified_sample(
             docs,
@@ -1610,7 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="mix",
             default_fraction=0.3,
         )
-        return kept.select(
+        leg_a = kept.select(
             "doc_id",
             "source",
             F.when(
@@ -1620,6 +1629,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("train"))
             .alias("split"),
         )
+        target = docs.filter(F.col("doc_id") % 7 == 0)
+        leg_b = dsir_resample(
+            docs.select("doc_id", F.col("text")),
+            "doc_id",
+            "text",
+            target,
+            k=120,
+            buckets=512,
+            salt="dsir",
+        ).select(
+            "doc_id",
+            F.lit("dsir").alias("source"),
+            F.lit("selected").alias("split"),
+        )
+        return leg_a.unionByName(leg_b)
 
     q["q61_sample_split"] = q61_sample_split
 
@@ -3124,6 +3148,50 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") / 4294967296.0"
     )
+    # DSIR leg (round-5 promotion): the full pipeline — hashed
+    # unigram+bigram terms, Laplace-smoothed densified models over
+    # B=512 md5 buckets, per-doc log importance weight, Gumbel-top-k
+    # with the same md5 hash-uniform noise — recomputed in SQL
+    _hex8 = lambda h: (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+    _DSIR_B = 512
+    _dsir_terms = f"""
+        SELECT doc_id AS id, ({_hex8('md5(g)')}) % {_DSIR_B} AS bucket,
+               count(*) AS cnt
+        FROM (
+          SELECT doc_id,
+                 list_concat(
+                   words,
+                   list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i+1])
+                 ) AS grams
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+                FROM {{tbl}}
+                WHERE trim(coalesce(text, '')) <> '')
+        ), unnest(grams) AS t(g)
+        GROUP BY doc_id, bucket
+    """
+    _dsir_model = f"""
+        SELECT b.bucket,
+               ln((coalesce(c.n, 0) + 1.0) / (t.total + 1.0 * {_DSIR_B})) AS logp
+        FROM (SELECT unnest(range({_DSIR_B})) AS bucket) b
+        LEFT JOIN (SELECT bucket, sum(cnt) AS n
+                   FROM ({{terms}}) GROUP BY bucket) c USING (bucket)
+        CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS total
+                    FROM ({{terms}})) t
+    """
+    _raw_terms = _dsir_terms.replace("{tbl}", "documents")
+    _tgt_terms = _dsir_terms.replace(
+        "{tbl}", "(SELECT * FROM documents WHERE doc_id % 7 = 0)"
+    )
     o["q61_sample_split"] = f"""
         SELECT doc_id, source,
           CASE WHEN {_uvar("eval")} < 0.1 THEN 'holdout' ELSE 'train' END AS split
@@ -3131,6 +3199,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_uvar("mix")} <
           CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
                       WHEN 'src2' THEN 0.0 ELSE 0.3 END
+        UNION ALL
+        SELECT doc_id, 'dsir' AS source, 'selected' AS split
+        FROM (
+          WITH rawm AS ({_dsir_model.replace("{terms}", _raw_terms)}),
+               tgtm AS ({_dsir_model.replace("{terms}", _tgt_terms)}),
+               w AS (
+                 SELECT d.doc_id, coalesce(s.lw, 0.0) AS logweight
+                 FROM documents d
+                 LEFT JOIN (
+                   SELECT t.id AS doc_id,
+                          sum(t.cnt * (tm.logp - rm.logp)) AS lw
+                   FROM ({_raw_terms}) t
+                   JOIN tgtm tm USING (bucket)
+                   JOIN rawm rm USING (bucket)
+                   GROUP BY t.id
+                 ) s ON d.doc_id = s.doc_id
+               )
+          SELECT doc_id,
+                 logweight - ln(-ln({_uvar("dsir")})) AS gumbel
+          FROM w
+          ORDER BY gumbel DESC, doc_id LIMIT 120
+        )
     """
 
     # stupid-backoff bigram LM recomputed end-to-end in SQL: count
