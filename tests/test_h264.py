@@ -254,7 +254,7 @@ def test_inter_slice_raises():
         H.decode_h264(_sps_pps_prefix() + H._nal(3, 1, w.bytes_out()))
 
 
-def test_deblocking_required_raises():
+def test_invalid_deblocking_idc_raises():
     w = H._BitsW()
     w.ue(0)       # first_mb_in_slice
     w.ue(7)       # slice_type I
@@ -263,7 +263,7 @@ def test_deblocking_required_raises():
     w.ue(0)       # idr_pic_id
     w.bits(0, 2)  # dec_ref_pic_marking
     w.se(0)       # slice_qp_delta
-    w.ue(0)       # disable_deblocking_filter_idc = 0: filter required
+    w.ue(3)       # disable_deblocking_filter_idc out of range
     w.trailing()
     with pytest.raises(ValueError, match="deblocking"):
         H.decode_h264(_sps_pps_prefix() + H._nal(3, 5, w.bytes_out()))
@@ -336,3 +336,58 @@ def test_spark_frame_sampling_h264_elementary(spark):
     for r in got:
         _, _, _, px = decode_png(bytes(r["frame_png"]))
         np.testing.assert_array_equal(px, ycbcr420_to_rgb(*rec[r["frame_index"]]))
+
+
+# ---------------------------------------------------------------------------
+# deblocking filter
+# ---------------------------------------------------------------------------
+
+
+def test_deblock_tables_structure():
+    assert len(H._ALPHA) == len(H._BETA) == len(H._TC0) == 52
+    assert all(a == 0 for a in H._ALPHA[:16]) and H._ALPHA[51] == 255
+    assert list(H._ALPHA) == sorted(H._ALPHA)  # monotone
+    assert list(H._BETA) == sorted(H._BETA)
+    for bs in range(3):
+        col = [t[bs] for t in H._TC0]
+        assert col == sorted(col)  # tC0 monotone in indexA per bS
+    for t in H._TC0:
+        assert t[0] <= t[1] <= t[2]  # and monotone in bS
+
+
+def test_deblocked_decode_equals_encoder_reconstruction():
+    img = _textured(48, 64, seed=5)
+    for qp in (22, 34):
+        dec, _ = H.decode_h264(H.encode_h264([img], qp=qp, deblock=True))
+        rec = H.encode_h264_reconstruction([img], qp=qp, deblock=True)
+        for a, b in zip(dec[0], rec[0]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_deblock_flat_region_invariant():
+    # no real edges -> |p0-q0| == 0 < alpha but |p1-p0| == 0 < beta and
+    # all deltas are zero: the filter must be a no-op on flat content
+    flat = np.full((32, 32, 3), 173, dtype=np.uint8)
+    dec, _ = H.decode_h264(H.encode_h264([flat], qp=30, deblock=True))
+    ey, ecb, ecr = rgb_to_ycbcr420(flat)
+    np.testing.assert_array_equal(dec[0][0], ey)
+    np.testing.assert_array_equal(dec[0][1], ecb)
+    np.testing.assert_array_equal(dec[0][2], ecr)
+
+
+def test_deblock_activity_grows_with_qp():
+    img = _textured(48, 64, seed=5)
+    changed = []
+    for qp in (22, 34):
+        dec, _ = H.decode_h264(H.encode_h264([img], qp=qp, deblock=True))
+        nf = H.encode_h264_reconstruction([img], qp=qp, deblock=False)
+        changed.append(int((dec[0][0].astype(int) != nf[0][0].astype(int)).sum()))
+    assert 0 < changed[0] < changed[1]  # blockier content, more filtering
+
+
+def test_deblock_with_pcm_mirror():
+    img = _textured(48, 64, seed=7)
+    dec, _ = H.decode_h264(H.encode_h264([img], qp=30, pcm_every=3, deblock=True))
+    rec = H.encode_h264_reconstruction([img], qp=30, pcm_every=3, deblock=True)
+    for a, b in zip(dec[0], rec[0]):
+        np.testing.assert_array_equal(a, b)
