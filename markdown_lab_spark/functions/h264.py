@@ -1,7 +1,8 @@
 """H.264/AVC (ISO/IEC 14496-10 / ITU-T H.264) — baseline-profile
-INTRA decode + encode: the keyframe path of the dominant modern video
-codec, closing the frame-sampling story for H.264 payloads (keyframe
-sampling decodes exactly the I pictures this module implements).
+decode + encode: IDR (intra) pictures AND P (inter) pictures, the two
+picture types baseline video is made of — this closes the
+frame-sampling story for H.264 payloads end to end (keyframe sampling
+decodes the IDR path; full-sequence sampling decodes the P chain).
 
 What is REAL here:
 - Annex B byte streams: start codes, emulation-prevention (EBSP<->RBSP),
@@ -46,9 +47,25 @@ transcriptions whose monotone structure is pinned and whose behavior
 is property-tested (flat regions invariant, tC-bounded deltas,
 filtered-vs-unfiltered divergence grows with QP), since a mirrored
 pair cannot detect table slips in a filter both sides share.
-Out-of-scope features raise ValueError at the decoder boundary rather
-than mis-decode: CABAC (entropy_coding_mode 1), inter slices (P/B),
-high profiles, interlace, and multi-slice pictures.
+P slices decode and encode for real: quarter-pel luma motion
+compensation (the 6-tap half-pel filter with unrounded center-position
+intermediates, bilinear quarters) and eighth-pel bilinear chroma,
+median motion-vector prediction with the 16x8/8x16 directional rules
+and D-substitution, P_Skip derivation and mb_skip_run coding,
+16x16/16x8/8x16 partitions plus P_8x8 with all four sub-shapes, the
+inter coded_block_pattern mapping, inter quantization rounding, and
+the 8.7.2.1 inter boundary strengths (residual -> 2, full-pel MV gap
+-> 1, else unfiltered) in the deblocker; a single reference frame
+(num_ref_idx_l0 == 0), which the encoder always emits and the decoder
+enforces. The encoder's P path makes real decisions — P_Skip when the
+derived-MV residual quantizes to zero, quarter-pel motion search per
+partition shape, intra fallback on scene cuts — and its in-loop
+reconstruction (including the filtered reference chain) is pinned
+bit-equal to the decoder. Out-of-scope features raise ValueError at
+the decoder boundary rather than mis-decode: CABAC
+(entropy_coding_mode 1), B slices, multiple/modified reference lists,
+adaptive ref marking, high profiles, interlace, and multi-slice
+pictures.
 
 Reference behavior mapped: none — the reference engine has no video
 path; this extends the multimodal column story (functions/video.py)
@@ -405,7 +422,7 @@ def parse_annexb_nals(data: bytes) -> List[Tuple[int, bytes]]:
         if header & 0x80:
             raise ValueError("forbidden_zero_bit set")
         nal_type = header & 0x1F
-        nals.append((nal_type, _ebsp_to_rbsp(nal[1:])))
+        nals.append((nal_type, (header >> 5) & 3, _ebsp_to_rbsp(nal[1:])))
     if not nals:
         raise ValueError("no NAL units found")
     return nals
@@ -652,9 +669,9 @@ def dequant_chroma_dc(c: np.ndarray, qpc: int) -> np.ndarray:
     return ((f * ls) << (qpc // 6)) >> 5
 
 
-def quant_4x4(w: np.ndarray, qp: int) -> np.ndarray:
+def quant_4x4(w: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:
     qbits = 15 + qp // 6
-    f = (1 << qbits) // 3  # intra rounding
+    f = (1 << qbits) // (3 if intra else 6)  # standard rounding offsets
     mf = _MF_MAT[qp % 6]
     return (np.sign(w) * ((np.abs(w.astype(np.int64)) * mf + f) >> qbits)).astype(np.int64)
 
@@ -668,10 +685,10 @@ def quant_luma_dc(dc: np.ndarray, qp: int) -> np.ndarray:
     return (np.sign(f2) * ((np.abs(f2) * mf + rnd) >> (qbits + 1))).astype(np.int64)
 
 
-def quant_chroma_dc(dc: np.ndarray, qpc: int) -> np.ndarray:
+def quant_chroma_dc(dc: np.ndarray, qpc: int, intra: bool = True) -> np.ndarray:
     f2 = _H2 @ dc.astype(np.int64) @ _H2
     qbits = 15 + qpc // 6
-    rnd = 2 * ((1 << qbits) // 3)
+    rnd = 2 * ((1 << qbits) // (3 if intra else 6))
     mf = _MF[qpc % 6][0]
     return (np.sign(f2) * ((np.abs(f2) * mf + rnd) >> (qbits + 1))).astype(np.int64)
 
@@ -1046,7 +1063,8 @@ def _nc_from_grid(grid: np.ndarray, bx: int, by: int) -> int:
     return 0
 
 
-def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
+def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
+                    is_p: bool = False, ref=None):
     mb_w, mb_h = sps.mb_w, sps.mb_h
     w16, h16 = mb_w * 16, mb_h * 16
     y_p = np.zeros((h16, w16), dtype=np.int64)
@@ -1058,13 +1076,51 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
     i4_modes = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
     mb_is_i4 = np.zeros((mb_h, mb_w), dtype=bool)
     mb_qp = np.zeros((mb_h, mb_w), dtype=np.int32)
+    mv_g = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+    ref_g = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
     qp = slice_qp
 
-    for mb_i in range(mb_w * mb_h):
+    def _skip_mb(mb_i):
         mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        px, py = mb_x * 16, mb_y * 16
+        bx4, by4 = mb_x * 4, mb_y * 4
+        mv = mv_pskip(mv_g, ref_g, bx4, by4)
+        parts = [(0, 0, 4, 4, mv)]
+        pr_y, pr_cb, pr_cr = _inter_pred_mb(ref, px, py, parts)
+        y_p[py:py + 16, px:px + 16] = pr_y
+        cb_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_cb
+        cr_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_cr
+        tc_y[by4:by4 + 4, bx4:bx4 + 4] = 0
+        tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+        tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+        _set_mv_region(mv_g, ref_g, bx4, by4, 4, 4, mv)
+        mb_qp[mb_y, mb_x] = qp
+
+    mb_i = 0
+    n_mbs = mb_w * mb_h
+    while mb_i < n_mbs:
+        if is_p:
+            run = r.ue()
+            for _ in range(run):
+                if mb_i >= n_mbs:
+                    raise ValueError("mb_skip_run past end of picture")
+                _skip_mb(mb_i)
+                mb_i += 1
+            if mb_i >= n_mbs:
+                break
+        mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        mb_i += 1
         px, py = mb_x * 16, mb_y * 16
         cx, cy = mb_x * 8, mb_y * 8
         mb_type = r.ue()
+        if is_p:
+            if mb_type <= 4:  # inter macroblock
+                qp = _decode_inter_mb(
+                    r, mb_type, mb_x, mb_y, ref, y_p, cb_p, cr_p,
+                    tc_y, tc_cb, tc_cr, mv_g, ref_g, pps, qp)
+                mb_qp[mb_y, mb_x] = qp
+                continue
+            mb_type -= 5  # intra types are offset by 5 in P slices
         if mb_type == 25:  # I_PCM
             while r.pos % 8:
                 if r.bit():
@@ -1082,6 +1138,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
             tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
             tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
             mb_qp[mb_y, mb_x] = 0  # I_PCM filters with QP 0 (8.7)
+            ref_g[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
             continue
         if mb_type > 25:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
@@ -1187,6 +1244,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
                     _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
 
         mb_qp[mb_y, mb_x] = qp
+        ref_g[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
         # chroma reconstruction (shared by I_4x4 and I_16x16)
         qpc = chroma_qp(qp, pps.chroma_qp_offset)
         for comp, plane, dcc, acc in (
@@ -1203,7 +1261,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int):
                 res = (inverse_transform_4x4(d) + 32) >> 6
                 plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
                     _clip255(predc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
-    return y_p, cb_p, cr_p, mb_qp
+    return y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, tc_y
 
 
 def _parse_chroma_residual(r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y):
@@ -1239,7 +1297,7 @@ def is_h264(payload: bytes) -> bool:
 
 def h264_fps(payload: bytes) -> float:
     """Frame rate from the SPS VUI alone (no frame decode)."""
-    for nal_type, rbsp in parse_annexb_nals(payload):
+    for nal_type, _ref_idc, rbsp in parse_annexb_nals(payload):
         if nal_type == 7:
             return _parse_sps(rbsp).fps
     raise ValueError("no SPS in stream")
@@ -1252,7 +1310,8 @@ def decode_h264(payload: bytes):
     frame-cropping window applied."""
     sps = pps = None
     frames = []
-    for nal_type, rbsp in parse_annexb_nals(payload):
+    prev_ref = None
+    for nal_type, nal_ref_idc, rbsp in parse_annexb_nals(payload):
         if nal_type == 7:
             sps = _parse_sps(rbsp)
         elif nal_type == 8:
@@ -1265,16 +1324,31 @@ def decode_h264(payload: bytes):
             if first_mb != 0:
                 raise ValueError("multi-slice pictures unsupported")
             slice_type = r.ue()
-            if slice_type % 5 != 2:
-                raise ValueError("non-I slice unsupported (intra only)")
+            st = slice_type % 5
+            if st not in (0, 2):
+                raise ValueError("unsupported slice type (I/P only)")
+            is_p = st == 0
+            if is_p and nal_type == 5:
+                raise ValueError("IDR picture cannot carry a P slice")
+            if is_p and prev_ref is None:
+                raise ValueError("P slice without a decoded reference")
             r.ue()  # pps_id
             r.bits(sps.log2_max_frame_num)  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
             # pic_order_cnt_type 2 in our streams: nothing here
+            if is_p:
+                if r.bit():  # num_ref_idx_active_override_flag
+                    if r.ue() != 0:
+                        raise ValueError("multiple reference frames unsupported")
+                if r.bit():  # ref_pic_list_modification_flag_l0
+                    raise ValueError("ref pic list modification unsupported")
             if nal_type == 5:
                 r.bit()  # no_output_of_prior_pics_flag
                 r.bit()  # long_term_reference_flag
+            elif nal_ref_idc != 0:
+                if r.bit():  # adaptive_ref_pic_marking_mode_flag
+                    raise ValueError("adaptive ref marking unsupported")
             slice_qp = pps.pic_init_qp + r.se()
             idc, off_a, off_b = 0, 0, 0
             if pps.deblock_control:
@@ -1284,11 +1358,15 @@ def decode_h264(payload: bytes):
                 if idc != 1:
                     off_a = 2 * r.se()
                     off_b = 2 * r.se()
-            y_p, cb_p, cr_p, mb_qp = _decode_picture(r, sps, pps, slice_qp)
+            y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, nz_y = _decode_picture(
+                r, sps, pps, slice_qp, is_p, prev_ref)
             if idc != 1:  # idc 2 == 0 for single-slice pictures
                 deblock_picture(y_p, cb_p, cr_p, mb_qp,
-                                pps.chroma_qp_offset, off_a, off_b)
+                                pps.chroma_qp_offset, off_a, off_b,
+                                inter_info=(ref_g, mv_g, nz_y) if is_p else None)
             frames.append((y_p, cb_p, cr_p))
+            if nal_ref_idc != 0:
+                prev_ref = (y_p, cb_p, cr_p)  # filtered picture is the ref
         elif nal_type in (6, 9, 10, 11, 12):
             continue  # SEI / AU delimiter / end markers: ignorable
         else:
@@ -1722,16 +1800,10 @@ def _write_pps() -> bytes:
     return w.bytes_out()
 
 
-def encode_h264(frames_rgb: List[np.ndarray], qp: int = 26, fps: float = 25.0,
-                pcm_every: int = 0, qp_wobble: int = 0,
-                deblock: bool = False) -> bytes:
-    """All-intra (IDR-only) baseline Annex B encoder.
-
-    Real decisions per MB: I_16x16 vs I_4x4 by reconstructed-SSD +
-    coefficient-count score, per-block mode search over the legal
-    prediction set; ``pcm_every`` forces every Nth macroblock through
-    I_PCM (raw samples) and ``qp_wobble`` alternates the MB QP to
-    exercise mb_qp_delta. Frames must share one even WxH geometry."""
+def _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble, deblock, gop):
+    """Shared encoder core: returns (annex_b_bytes, [(y, cb, cr) recon])
+    with recon = the in-loop reference pictures (filtered when
+    ``deblock``), cropped to the source geometry."""
     if not frames_rgb:
         raise ValueError("no frames")
     if not 0 <= qp <= 51:
@@ -1745,66 +1817,91 @@ def encode_h264(frames_rgb: List[np.ndarray], qp: int = 26, fps: float = 25.0,
     out = bytearray()
     out += _nal(3, 7, _write_sps(mb_w, mb_h, (0, crop_r, 0, crop_b), fps))
     out += _nal(3, 8, _write_pps())
+    recons = []
+    prev_ref = None
+    frame_num = 0
     for fi, rgb in enumerate(frames_rgb):
         if rgb.shape[:2] != (h, wd):
             raise ValueError("all frames must share one geometry")
+        is_idr = gop <= 1 or fi % gop == 0
         y, cb, cr = rgb_to_ycbcr420(rgb)
-        # pad to MB multiples by edge replication
         y = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - wd)), mode="edge")
         cb = np.pad(cb, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
                     mode="edge")
         cr = np.pad(cr, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
                     mode="edge")
         w = _BitsW()
-        w.ue(0)          # first_mb_in_slice
-        w.ue(7)          # slice_type: I (all slices in picture)
-        w.ue(0)          # pps_id
-        w.bits(0, 4)     # frame_num
-        w.ue(fi % 2)     # idr_pic_id (must differ between consecutive IDRs)
-        w.bits(0, 1)     # no_output_of_prior_pics
-        w.bits(0, 1)     # long_term_reference
-        w.se(qp - 26)    # slice_qp_delta
-        if deblock:
-            w.ue(0)      # disable_deblocking_filter_idc: filter on
-            w.se(0)      # slice_alpha_c0_offset_div2
-            w.se(0)      # slice_beta_offset_div2
+        w.ue(0)                      # first_mb_in_slice
+        w.ue(7 if is_idr else 5)     # slice_type: I / P (all-same variants)
+        w.ue(0)                      # pps_id
+        if is_idr:
+            frame_num = 0
+        w.bits(frame_num, 4)         # frame_num
+        if is_idr:
+            w.ue(fi % 2)             # idr_pic_id (differs between IDRs)
         else:
-            w.ue(1)      # disable_deblocking_filter_idc: filter off
-        _encode_picture(w, y.astype(np.int64), cb.astype(np.int64),
-                        cr.astype(np.int64), qp, 0, pcm_every, qp_wobble)
+            w.bits(0, 1)             # num_ref_idx_active_override_flag
+            w.bits(0, 1)             # ref_pic_list_modification_flag_l0
+        if is_idr:
+            w.bits(0, 1)             # no_output_of_prior_pics
+            w.bits(0, 1)             # long_term_reference
+        else:
+            w.bits(0, 1)             # adaptive_ref_pic_marking_mode_flag
+        frame_num = (frame_num + 1) % 16
+        w.se(qp - 26)                # slice_qp_delta
+        if deblock:
+            w.ue(0)                  # disable_deblocking_filter_idc: on
+            w.se(0)
+            w.se(0)
+        else:
+            w.ue(1)
+        if is_idr:
+            yp, cbp, crp, mb_qp = _encode_picture(
+                w, y.astype(np.int64), cb.astype(np.int64),
+                cr.astype(np.int64), qp, 0, pcm_every, qp_wobble)
+            inter_info = None
+        else:
+            yp, cbp, crp, mb_qp, mv_g, ref_g, nz_y = _encode_p_picture(
+                w, y.astype(np.int64), cb.astype(np.int64),
+                cr.astype(np.int64), prev_ref, qp, 0,
+                p8x8_every=pcm_every)
+            inter_info = (ref_g, mv_g, nz_y)
         w.trailing()
-        out += _nal(3, 5, w.bytes_out())
-    return bytes(out)
+        out += _nal(3, 5 if is_idr else 1, w.bytes_out())
+        if deblock:
+            deblock_picture(yp, cbp, crp, mb_qp, inter_info=inter_info)
+        prev_ref = (yp, cbp, crp)
+        recons.append((
+            yp[:h, :wd].astype(np.uint8),
+            cbp[:h // 2, :wd // 2].astype(np.uint8),
+            crp[:h // 2, :wd // 2].astype(np.uint8),
+        ))
+    return bytes(out), recons
+
+
+def encode_h264(frames_rgb: List[np.ndarray], qp: int = 26, fps: float = 25.0,
+                pcm_every: int = 0, qp_wobble: int = 0,
+                deblock: bool = False, gop: int = 0) -> bytes:
+    """Baseline Annex B encoder. ``gop == 0/1``: all-intra (IDR only);
+    ``gop > 1``: one IDR every ``gop`` frames, P pictures between
+    (16x16/16x8/8x16 partitions searched at quarter-pel, P_Skip when
+    the derived-MV residual quantizes to zero, intra fallback when
+    motion compensation is poor; ``pcm_every`` doubles as the P_8x8
+    cadence in P pictures). Real decisions per MB; in-loop
+    reconstruction is pinned bit-equal to the decoder."""
+    return _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble,
+                          deblock, gop)[0]
 
 
 def encode_h264_reconstruction(
     frames_rgb: List[np.ndarray], qp: int = 26,
     pcm_every: int = 0, qp_wobble: int = 0, deblock: bool = False,
+    gop: int = 0,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """The encoder's own in-loop reconstruction (cropped), for the
     decode == reconstruction fixtures."""
-    h, wd = frames_rgb[0].shape[:2]
-    mb_w, mb_h = (wd + 15) // 16, (h + 15) // 16
-    out = []
-    for rgb in frames_rgb:
-        y, cb, cr = rgb_to_ycbcr420(rgb)
-        y = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - wd)), mode="edge")
-        cb = np.pad(cb, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
-                    mode="edge")
-        cr = np.pad(cr, ((0, (mb_h * 16 - h) // 2), (0, (mb_w * 16 - wd) // 2)),
-                    mode="edge")
-        w = _BitsW()
-        yp, cbp, crp, mb_qp = _encode_picture(
-            w, y.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64),
-            qp, 0, pcm_every, qp_wobble)
-        if deblock:
-            deblock_picture(yp, cbp, crp, mb_qp)
-        out.append((
-            yp[:h, :wd].astype(np.uint8),
-            cbp[:h // 2, :wd // 2].astype(np.uint8),
-            crp[:h // 2, :wd // 2].astype(np.uint8),
-        ))
-    return out
+    return _encode_stream(frames_rgb, qp, 25.0, pcm_every, qp_wobble,
+                          deblock, gop)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -1879,15 +1976,18 @@ def _filter_line(s, idxs, bs, alpha, beta, tc0, is_luma):
             s[idxs[4]] = (2 * q1 + q0 + p0 + 2) >> 2
 
 
-def _deblock_edge(plane, x0, y0, n, vertical, bs, qp_avg, is_luma,
+def _deblock_edge(plane, x0, y0, n, vertical, bs_lines, qp_avg, is_luma,
                   off_a=0, off_b=0):
     idx_a = _clip3(0, 51, qp_avg + off_a)
     idx_b = _clip3(0, 51, qp_avg + off_b)
     alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
     if alpha == 0 or beta == 0:
         return
-    tc0 = _TC0[idx_a][bs - 1] if bs < 4 else 0
     for k in range(n):
+        bs = bs_lines[k]
+        if bs == 0:
+            continue
+        tc0 = _TC0[idx_a][bs - 1] if bs < 4 else 0
         if vertical:  # edge between columns x0-1 | x0, row y0+k
             row = plane[y0 + k]
             idxs = [x0 - 4, x0 - 3, x0 - 2, x0 - 1, x0, x0 + 1, x0 + 2, x0 + 3]
@@ -1898,56 +1998,774 @@ def _deblock_edge(plane, x0, y0, n, vertical, bs, qp_avg, is_luma,
             _filter_line(col, idxs, bs, alpha, beta, tc0, is_luma)
 
 
+def _bs_segments(inter_info, vertical, mb_edge, qbx, qby):
+    """bS per 4x4-block segment of one luma edge (q-side block column/row
+    starts at (qbx, qby), 4 segments). 8.7.2.1 for P pictures: 4/3 when a
+    side is intra, 2 when a side has residual, 1 when MVs differ by >= 1
+    full pel, else 0 (no filtering)."""
+    ref_g, mv_g, nz = inter_info
+    out = []
+    for k in range(4):
+        if vertical:
+            qx, qy = qbx, qby + k
+            px_, py_ = qbx - 1, qby + k
+        else:
+            qx, qy = qbx + k, qby
+            px_, py_ = qbx + k, qby - 1
+        if ref_g[py_, px_] == -1 or ref_g[qy, qx] == -1:
+            out.append(4 if mb_edge else 3)
+        elif nz[py_, px_] > 0 or nz[qy, qx] > 0:
+            out.append(2)
+        elif (abs(int(mv_g[py_, px_, 0]) - int(mv_g[qy, qx, 0])) >= 4
+              or abs(int(mv_g[py_, px_, 1]) - int(mv_g[qy, qx, 1])) >= 4):
+            out.append(1)
+        else:
+            out.append(0)
+    return out
+
+
 def deblock_picture(y_p, cb_p, cr_p, mb_qp, chroma_qp_offset=0,
-                    off_a=0, off_b=0):
-    """Apply the 8.7 filter to a reconstructed intra picture in MB
-    raster order: all vertical edges of each MB left-to-right, then all
+                    off_a=0, off_b=0, inter_info=None):
+    """Apply the 8.7 filter to a reconstructed picture in MB raster
+    order: all vertical edges of each MB left-to-right, then all
     horizontal edges top-to-bottom. ``mb_qp`` is the (mb_h, mb_w) array
-    of per-MB luma QP values (PCM MBs filter with their slice QP); for
-    intra pictures bS = 4 on MB edges, 3 on internal transform edges."""
+    of per-MB luma QP values (PCM MBs filter with their slice QP). For
+    intra pictures bS = 4 on MB edges / 3 internally; for P pictures
+    pass ``inter_info = (ref_grid, mv_grid, luma_nonzero_grid)`` and
+    bS follows 8.7.2.1 (residual -> 2, full-pel MV gap -> 1, else 0)."""
     mb_h, mb_w = mb_qp.shape
     for mb_y in range(mb_h):
         for mb_x in range(mb_w):
             qp_cur = int(mb_qp[mb_y, mb_x])
             px, py = mb_x * 16, mb_y * 16
             cx, cy = mb_x * 8, mb_y * 8
-            # vertical edges (luma x offsets 0,4,8,12; chroma 0,4)
-            for e, xo in enumerate((0, 4, 8, 12)):
-                if xo == 0:
-                    if mb_x == 0:
+            for vertical in (True, False):
+                for xo in (0, 4, 8, 12):
+                    if xo == 0 and ((mb_x == 0) if vertical else (mb_y == 0)):
                         continue
-                    bs = 4
-                    qp_n = int(mb_qp[mb_y, mb_x - 1])
-                else:
-                    bs = 3
-                    qp_n = qp_cur
-                qp_avg = (qp_cur + qp_n + 1) >> 1
-                _deblock_edge(y_p, px + xo, py, 16, True, bs, qp_avg, True,
-                              off_a, off_b)
-                if xo in (0, 8):
-                    qpc_avg = (chroma_qp(qp_cur, chroma_qp_offset)
-                               + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
-                    _deblock_edge(cb_p, cx + xo // 2, cy, 8, True, bs,
-                                  qpc_avg, False, off_a, off_b)
-                    _deblock_edge(cr_p, cx + xo // 2, cy, 8, True, bs,
-                                  qpc_avg, False, off_a, off_b)
-            # horizontal edges
-            for e, yo in enumerate((0, 4, 8, 12)):
-                if yo == 0:
-                    if mb_y == 0:
+                    mb_edge = xo == 0
+                    if mb_edge:
+                        qp_n = int(mb_qp[mb_y, mb_x - 1] if vertical
+                                   else mb_qp[mb_y - 1, mb_x])
+                    else:
+                        qp_n = qp_cur
+                    if vertical:
+                        qbx, qby = mb_x * 4 + xo // 4, mb_y * 4
+                    else:
+                        qbx, qby = mb_x * 4, mb_y * 4 + xo // 4
+                    if inter_info is None:
+                        seg = [4 if mb_edge else 3] * 4
+                    else:
+                        seg = _bs_segments(inter_info, vertical, mb_edge,
+                                           qbx, qby)
+                    if not any(seg):
                         continue
-                    bs = 4
-                    qp_n = int(mb_qp[mb_y - 1, mb_x])
+                    qp_avg = (qp_cur + qp_n + 1) >> 1
+                    bs_luma = [seg[k // 4] for k in range(16)]
+                    if vertical:
+                        _deblock_edge(y_p, px + xo, py, 16, True, bs_luma,
+                                      qp_avg, True, off_a, off_b)
+                    else:
+                        _deblock_edge(y_p, px, py + xo, 16, False, bs_luma,
+                                      qp_avg, True, off_a, off_b)
+                    if xo in (0, 8):
+                        qpc_avg = (chroma_qp(qp_cur, chroma_qp_offset)
+                                   + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
+                        bs_chroma = [seg[k // 2] for k in range(8)]
+                        if vertical:
+                            _deblock_edge(cb_p, cx + xo // 2, cy, 8, True,
+                                          bs_chroma, qpc_avg, False,
+                                          off_a, off_b)
+                            _deblock_edge(cr_p, cx + xo // 2, cy, 8, True,
+                                          bs_chroma, qpc_avg, False,
+                                          off_a, off_b)
+                        else:
+                            _deblock_edge(cb_p, cx, cy + xo // 2, 8, False,
+                                          bs_chroma, qpc_avg, False,
+                                          off_a, off_b)
+                            _deblock_edge(cr_p, cx, cy + xo // 2, 8, False,
+                                          bs_chroma, qpc_avg, False,
+                                          off_a, off_b)
+
+
+# ---------------------------------------------------------------------------
+# inter prediction: quarter-pel luma / eighth-pel chroma interpolation (8.4.2.2)
+# ---------------------------------------------------------------------------
+
+
+def _ref_window(ref: np.ndarray, x0: int, y0: int, w: int, h: int) -> np.ndarray:
+    """Clamped (edge-replicated) window read — the spec clips reference
+    sample coordinates into the picture."""
+    ys = np.clip(np.arange(y0, y0 + h), 0, ref.shape[0] - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, ref.shape[1] - 1)
+    return ref[np.ix_(ys, xs)].astype(np.int64)
+
+
+def _six_tap(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def interp_luma(ref: np.ndarray, x: int, y: int, mvx: int, mvy: int,
+                w: int, h: int) -> np.ndarray:
+    """(h, w) luma prediction block at quarter-pel MV (mvx, mvy) relative
+    to full-pel block origin (x, y) — the 8.4.2.2.1 positions a..s with
+    unrounded intermediates for the center position j."""
+    xi, yi = x + (mvx >> 2), y + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    if fx == 0 and fy == 0:
+        return _ref_window(ref, xi, yi, w, h)
+    # padded integer window: 2 left/top, 3 right/bottom taps
+    win = _ref_window(ref, xi - 2, yi - 2, w + 5, h + 5)
+
+    def half_h(rows):  # horizontal 6-tap over a (h', w+5) window -> (h', w+1)
+        return _six_tap(rows[:, 0:-5], rows[:, 1:-4], rows[:, 2:-3],
+                        rows[:, 3:-2], rows[:, 4:-1], rows[:, 5:])
+
+    def half_v(cols):  # vertical 6-tap over a (h+5, w') window -> (h+1, w')
+        return _six_tap(cols[0:-5, :], cols[1:-4, :], cols[2:-3, :],
+                        cols[3:-2, :], cols[4:-1, :], cols[5:, :])
+
+    G = win[2:2 + h + 1, 2:2 + w + 1]          # full-pel incl. +1 row/col
+    b1 = half_h(win[2:2 + h + 1, :])           # horizontal half, unrounded
+    h1 = half_v(win[:, 2:2 + w + 1])           # vertical half, unrounded
+    b_r = np.clip((b1 + 16) >> 5, 0, 255)
+    h_r = np.clip((h1 + 16) >> 5, 0, 255)
+    # center j: 6-tap vertically over unrounded horizontal halves
+    j1 = half_v(half_h(win))                   # (h+1, w+1)
+    j_r = np.clip((j1 + 512) >> 10, 0, 255)
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    if fy == 0:  # a, b, c
+        if fx == 1:
+            out = avg(G[:h, :w], b_r[:h, :w])
+        elif fx == 2:
+            out = b_r[:h, :w]
+        else:
+            out = avg(b_r[:h, :w], G[:h, 1:w + 1])
+    elif fx == 0:  # d, h, n
+        if fy == 1:
+            out = avg(G[:h, :w], h_r[:h, :w])
+        elif fy == 2:
+            out = h_r[:h, :w]
+        else:
+            out = avg(h_r[:h, :w], G[1:h + 1, :w])
+    elif fx == 2 and fy == 2:  # j
+        out = j_r[:h, :w]
+    elif fx == 2:  # f, q: vertical quarters through j
+        if fy == 1:
+            out = avg(b_r[:h, :w], j_r[:h, :w])
+        else:
+            out = avg(j_r[:h, :w], b_r[1:h + 1, :w])
+    elif fy == 2:  # i, k: horizontal quarters through j
+        if fx == 1:
+            out = avg(h_r[:h, :w], j_r[:h, :w])
+        else:
+            out = avg(j_r[:h, :w], h_r[:h, 1:w + 1])
+    else:  # e, g, p, r: diagonal averages of b and h halves
+        bb = b_r[:h, :w] if fy == 1 else b_r[1:h + 1, :w]
+        hh = h_r[:h, :w] if fx == 1 else h_r[:h, 1:w + 1]
+        out = avg(bb, hh)
+    return out
+
+
+def interp_chroma(ref: np.ndarray, x: int, y: int, mvx: int, mvy: int,
+                  w: int, h: int) -> np.ndarray:
+    """(h, w) chroma prediction at eighth-pel MV (the luma quarter-pel
+    MV applies unscaled to the half-resolution plane): bilinear 8.4.2.2.2."""
+    xi, yi = x + (mvx >> 3), y + (mvy >> 3)
+    dx, dy = mvx & 7, mvy & 7
+    win = _ref_window(ref, xi, yi, w + 1, h + 1)
+    a = win[:h, :w]
+    b = win[:h, 1:w + 1]
+    c = win[1:h + 1, :w]
+    d = win[1:h + 1, 1:w + 1]
+    return ((8 - dx) * (8 - dy) * a + dx * (8 - dy) * b
+            + (8 - dx) * dy * c + dx * dy * d + 32) >> 6
+
+
+# ---------------------------------------------------------------------------
+# P slices (8.4): MV prediction, P_Skip, partitions — single ref frame
+# ---------------------------------------------------------------------------
+
+# coded_block_pattern me(v) mapping for inter (Table 9-4): codeNum -> cbp
+CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {v: i for i, v in enumerate(CBP_INTER)}
+
+# P macroblock partitionings: mb_type -> [(ox4, oy4, w4, h4, shape_tag)]
+_P_PARTS = {
+    0: [(0, 0, 4, 4, None)],
+    1: [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+    2: [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+}
+# sub_mb_type (P) -> [(ox4, oy4, w4, h4)] within one 8x8
+_P_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _median3(a: int, b: int, c: int) -> int:
+    return max(min(a, b), min(max(a, b), c))
+
+
+def _mv_nbr(mv_g, ref_g, bx, by):
+    h, w = ref_g.shape
+    if bx < 0 or by < 0 or bx >= w or by >= h or ref_g[by, bx] == -2:
+        return None
+    return (int(mv_g[by, bx, 0]), int(mv_g[by, bx, 1]), int(ref_g[by, bx]))
+
+
+def mv_predict(mv_g, ref_g, bx, by, w4, h4, shape=None):
+    """Median MV predictor (8.4.1.3) with the 16x8/8x16 directional
+    rules, single reference (refIdx 0; intra/unavailable ride as -1)."""
+    A = _mv_nbr(mv_g, ref_g, bx - 1, by)
+    B = _mv_nbr(mv_g, ref_g, bx, by - 1)
+    C = _mv_nbr(mv_g, ref_g, bx + w4, by - 1)
+    if C is None:
+        C = _mv_nbr(mv_g, ref_g, bx - 1, by - 1)  # D substitution
+    if shape == "16x8_top" and B is not None and B[2] == 0:
+        return B[:2]
+    if shape == "16x8_bot" and A is not None and A[2] == 0:
+        return A[:2]
+    if shape == "8x16_left" and A is not None and A[2] == 0:
+        return A[:2]
+    if shape == "8x16_right" and C is not None and C[2] == 0:
+        return C[:2]
+    if B is None and C is None and A is not None:
+        B = C = A
+    trip = [n if n is not None else (0, 0, -1) for n in (A, B, C)]
+    eq = [n for n in trip if n[2] == 0]
+    if len(eq) == 1:
+        return eq[0][:2]
+    return (
+        _median3(trip[0][0], trip[1][0], trip[2][0]),
+        _median3(trip[0][1], trip[1][1], trip[2][1]),
+    )
+
+
+def mv_pskip(mv_g, ref_g, bx, by):
+    """P_Skip motion (8.4.1.1): zero when a corner neighbor is missing
+    or is a zero-motion ref-0 block, else the 16x16 median predictor."""
+    A = _mv_nbr(mv_g, ref_g, bx - 1, by)
+    B = _mv_nbr(mv_g, ref_g, bx, by - 1)
+    if A is None or B is None:
+        return (0, 0)
+    if A == (0, 0, 0) or B == (0, 0, 0):
+        return (0, 0)
+    return mv_predict(mv_g, ref_g, bx, by, 4, 4)
+
+
+def _inter_pred_mb(ref_planes, px, py, parts):
+    """(16x16 luma, 8x8 cb, 8x8 cr) prediction from the reference
+    picture for a list of (ox4, oy4, w4, h4, (mvx, mvy)) partitions."""
+    ry, rcb, rcr = ref_planes
+    pred_y = np.zeros((16, 16), dtype=np.int64)
+    pred_cb = np.zeros((8, 8), dtype=np.int64)
+    pred_cr = np.zeros((8, 8), dtype=np.int64)
+    for ox, oy, w4, h4, mv in parts:
+        mvx, mvy = mv
+        pred_y[oy * 4:(oy + h4) * 4, ox * 4:(ox + w4) * 4] = interp_luma(
+            ry, px + ox * 4, py + oy * 4, mvx, mvy, w4 * 4, h4 * 4)
+        pred_cb[oy * 2:(oy + h4) * 2, ox * 2:(ox + w4) * 2] = interp_chroma(
+            rcb, px // 2 + ox * 2, py // 2 + oy * 2, mvx, mvy, w4 * 2, h4 * 2)
+        pred_cr[oy * 2:(oy + h4) * 2, ox * 2:(ox + w4) * 2] = interp_chroma(
+            rcr, px // 2 + ox * 2, py // 2 + oy * 2, mvx, mvy, w4 * 2, h4 * 2)
+    return pred_y, pred_cb, pred_cr
+
+
+def _set_mv_region(mv_g, ref_g, bx, by, w4, h4, mv):
+    mv_g[by:by + h4, bx:bx + w4, 0] = mv[0]
+    mv_g[by:by + h4, bx:bx + w4, 1] = mv[1]
+    ref_g[by:by + h4, bx:bx + w4] = 0
+
+
+def _decode_inter_mb(r, mb_type, mb_x, mb_y, ref, y_p, cb_p, cr_p,
+                     tc_y, tc_cb, tc_cr, mv_g, ref_g, pps, qp):
+    """One P macroblock: partitions + MVDs, inter CBP, residual,
+    MC + residual reconstruction. Returns the updated QP."""
+    px, py = mb_x * 16, mb_y * 16
+    cx, cy = mb_x * 8, mb_y * 8
+    bx4, by4 = mb_x * 4, mb_y * 4
+    parts = []
+    if mb_type <= 2:
+        for ox, oy, w4, h4, shape in _P_PARTS[mb_type]:
+            mvp = mv_predict(mv_g, ref_g, bx4 + ox, by4 + oy, w4, h4, shape)
+            mvd = (r.se(), r.se())
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            _set_mv_region(mv_g, ref_g, bx4 + ox, by4 + oy, w4, h4, mv)
+            parts.append((ox, oy, w4, h4, mv))
+    else:  # P_8x8 / P_8x8ref0
+        subs = [r.ue() for _ in range(4)]
+        if any(t > 3 for t in subs):
+            raise ValueError("invalid P sub_mb_type")
+        for i8 in range(4):
+            sx, sy = (i8 % 2) * 2, (i8 // 2) * 2
+            for ox, oy, w4, h4 in _P_SUB_PARTS[subs[i8]]:
+                gx, gy = bx4 + sx + ox, by4 + sy + oy
+                mvp = mv_predict(mv_g, ref_g, gx, gy, w4, h4)
+                mvd = (r.se(), r.se())
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                _set_mv_region(mv_g, ref_g, gx, gy, w4, h4, mv)
+                parts.append((sx + ox, sy + oy, w4, h4, mv))
+    pr_y, pr_cb, pr_cr = _inter_pred_mb(ref, px, py, parts)
+
+    cbp_code = r.ue()
+    if cbp_code >= 48:
+        raise ValueError("invalid coded_block_pattern")
+    cbp = CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    luma_coeffs = [np.zeros(16, dtype=np.int64) for _ in range(16)]
+    for i8 in range(4):
+        for i4 in range(4):
+            blk = i8 * 4 + i4
+            gx = bx4 + BLK4_POS[blk][0]
+            gy = by4 + BLK4_POS[blk][1]
+            if cbp_luma & (1 << i8):
+                nc = _nc_from_grid(tc_y, gx, gy)
+                luma_coeffs[blk], tc = cavlc_decode_block(r, nc, 16)
+                tc_y[gy, gx] = tc
+            else:
+                tc_y[gy, gx] = 0
+    dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+        r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y)
+    # luma reconstruction
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        res = np.zeros((4, 4), dtype=np.int64)
+        if luma_coeffs[blk].any():
+            c = np.zeros((4, 4), dtype=np.int64)
+            c.flat[list(ZIGZAG4)] = luma_coeffs[blk]
+            res = (inverse_transform_4x4(dequant_4x4(c, qp)) + 32) >> 6
+        y_p[py + by * 4:py + by * 4 + 4, px + bx * 4:px + bx * 4 + 4] = \
+            _clip255(pr_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+    # chroma reconstruction
+    qpc = chroma_qp(qp, pps.chroma_qp_offset)
+    for plane, pred, dcc, acc in (
+        (cb_p, pr_cb, dc_cb, ac_cb), (cr_p, pr_cr, dc_cr, ac_cr)
+    ):
+        dcq = dequant_chroma_dc(dcc, qpc)
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            c = np.zeros((4, 4), dtype=np.int64)
+            c.flat[[ZIGZAG4[i + 1] for i in range(15)]] = acc[blk]
+            d = dequant_4x4(c, qpc)
+            d[0, 0] = dcq[by, bx]
+            res = (inverse_transform_4x4(d) + 32) >> 6
+            plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
+                _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+    return qp
+
+
+# ---------------------------------------------------------------------------
+# P-frame encoder: motion search, skip detection, partition decisions
+# ---------------------------------------------------------------------------
+
+
+def _search_mv(ref_y, px, py, src, w, h, mvp, range_pel=4):
+    """Quarter-pel motion search: integer window around the better of
+    the predictor and zero, then half- and quarter-pel refinement.
+    Returns (mv, sad). Cost = SAD + |mvd| (a cheap rate proxy keeping
+    vectors near the predictor when content is ambiguous)."""
+    def cost(mv):
+        pred = interp_luma(ref_y, px, py, mv[0], mv[1], w, h)
+        return (_sad(pred, src)
+                + abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1]))
+
+    start = (round(mvp[0] / 4) * 4, round(mvp[1] / 4) * 4)
+    best, best_c = start, cost(start)
+    if (0, 0) != start:
+        c0 = cost((0, 0))
+        if c0 < best_c:
+            best, best_c = (0, 0), c0
+    center = best
+    for dy in range(-range_pel, range_pel + 1):
+        for dx in range(-range_pel, range_pel + 1):
+            mv = (center[0] + 4 * dx, center[1] + 4 * dy)
+            if mv == center:
+                continue
+            c = cost(mv)
+            if c < best_c:
+                best, best_c = mv, c
+    for step in (2, 1):  # half then quarter refinement
+        center = best
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dx == 0 and dy == 0:
+                    continue
+                mv = (center[0] + dx, center[1] + dy)
+                c = cost(mv)
+                if c < best_c:
+                    best, best_c = mv, c
+    return best, best_c
+
+
+def _inter_residual(pred_y, pred_cb, pred_cr, sy, scb, scr, qp, qpc):
+    """Quantize the MC residual (inter rounding); returns the syntax
+    bundle + the mirrored reconstruction + score pieces."""
+    resid = sy.astype(np.int64) - pred_y
+    luma_scans = []
+    ncoef = 0
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        wq = quant_4x4(forward_transform_4x4(
+            resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]), qp, intra=False)
+        luma_scans.append(_scan16(wq))
+        ncoef += int(np.count_nonzero(wq))
+    cbp_luma = 0
+    for i8 in range(4):
+        if any(luma_scans[i8 * 4 + i4].any() for i4 in range(4)):
+            cbp_luma |= 1 << i8
+    ch = {"cbp_chroma": 0}
+    any_dc = any_ac = False
+    for name, pred, src in (("cb", pred_cb, scb), ("cr", pred_cr, scr)):
+        residc = src.astype(np.int64) - pred
+        dc = np.zeros((2, 2), dtype=np.int64)
+        acq = []
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            wblk = forward_transform_4x4(
+                residc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            dc[by, bx] = wblk[0, 0]
+            wq = quant_4x4(wblk, qpc, intra=False)
+            wq[0, 0] = 0
+            acq.append(wq)
+        dcq = quant_chroma_dc(dc, qpc, intra=False)
+        any_dc = any_dc or bool(dcq.any())
+        any_ac = any_ac or any(a.any() for a in acq)
+        ch[name] = {"pred": pred, "dcq": dcq, "acq": acq}
+        ncoef += int(np.count_nonzero(dcq)) + sum(
+            int(np.count_nonzero(a)) for a in acq)
+    ch["cbp_chroma"] = 2 if any_ac else (1 if any_dc else 0)
+    # mirror the decoder's reconstruction
+    recon_y = np.zeros((16, 16), dtype=np.int64)
+    for blk in range(16):
+        bx, by = BLK4_POS[blk]
+        lv = np.zeros((4, 4), dtype=np.int64)
+        if cbp_luma & (1 << (blk // 4)):
+            lv.flat[list(ZIGZAG4)] = luma_scans[blk]
+        res = (inverse_transform_4x4(dequant_4x4(lv, qp)) + 32) >> 6
+        recon_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
+            pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+    return {
+        "luma_scans": luma_scans, "cbp_luma": cbp_luma, "ch": ch,
+        "recon_y": recon_y, "ncoef": ncoef,
+        "ssd_y": int(((recon_y - sy.astype(np.int64)) ** 2).sum()),
+    }
+
+
+def _encode_p_picture(w: _BitsW, src_y, src_cb, src_cr, ref, qp0: int,
+                      chroma_qp_offset: int, p8x8_every: int = 0):
+    """One P picture: skip detection, 16x16/16x8/8x16 partition search
+    (P_8x8 with per-sub search every ``p8x8_every`` MBs), intra
+    fallback; bit-exact in-loop reconstruction. Returns the recon
+    planes + the grids deblocking needs."""
+    h16, w16 = src_y.shape
+    mb_w, mb_h = w16 // 16, h16 // 16
+    y_p = np.zeros((h16, w16), dtype=np.int64)
+    cb_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    cr_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    tc_y = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    tc_cb = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    tc_cr = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    mv_g = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+    ref_g = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
+    mb_qp = np.zeros((mb_h, mb_w), dtype=np.int32)
+    qp = qp0
+    qpc = chroma_qp(qp, chroma_qp_offset)
+    ref_y = ref[0]
+    pending_skips = 0
+
+    def _commit_inter(mb_x, mb_y, parts, rb):
+        px, py = mb_x * 16, mb_y * 16
+        y_p[py:py + 16, px:px + 16] = rb["recon_y"]
+        qpc_l = chroma_qp(qp, chroma_qp_offset)
+        cbp_chroma = rb["ch"]["cbp_chroma"]
+        for name, plane in (("cb", cb_p), ("cr", cr_p)):
+            info = rb["ch"][name]
+            dcq = info["dcq"] if cbp_chroma else np.zeros((2, 2), dtype=np.int64)
+            dcd = dequant_chroma_dc(dcq, qpc_l)
+            for blk in range(4):
+                bx, by = blk % 2, blk // 2
+                lv = info["acq"][blk] if cbp_chroma == 2 else np.zeros(
+                    (4, 4), dtype=np.int64)
+                d = dequant_4x4(lv, qpc_l)
+                d[0, 0] = dcd[by, bx]
+                res = (inverse_transform_4x4(d) + 32) >> 6
+                plane[py // 2 + by * 4:py // 2 + by * 4 + 4,
+                      px // 2 + bx * 4:px // 2 + bx * 4 + 4] = _clip255(
+                    info["pred"][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+
+    for mb_i in range(mb_w * mb_h):
+        mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        px, py = mb_x * 16, mb_y * 16
+        bx4, by4 = mb_x * 4, mb_y * 4
+        sy = src_y[py:py + 16, px:px + 16]
+        scb = src_cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8]
+        scr = src_cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8]
+
+        # ---- P_Skip test: skip-derived MV, all-zero quantized residual
+        mv_sk = mv_pskip(mv_g, ref_g, bx4, by4)
+        parts_sk = [(0, 0, 4, 4, mv_sk)]
+        pr = _inter_pred_mb(ref, px, py, parts_sk)
+        rb_sk = _inter_residual(pr[0], pr[1], pr[2], sy, scb, scr, qp, qpc)
+        if rb_sk["cbp_luma"] == 0 and rb_sk["ch"]["cbp_chroma"] == 0 and (
+            p8x8_every == 0 or mb_i % p8x8_every != p8x8_every - 1
+        ):
+            pending_skips += 1
+            y_p[py:py + 16, px:px + 16] = rb_sk["recon_y"]
+            cb_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr[1]
+            cr_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr[2]
+            tc_y[by4:by4 + 4, bx4:bx4 + 4] = 0
+            tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+            tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+            _set_mv_region(mv_g, ref_g, bx4, by4, 4, 4, mv_sk)
+            mb_qp[mb_y, mb_x] = qp
+            continue
+
+        # ---- inter trials
+        trials = []
+        if p8x8_every and mb_i % p8x8_every == p8x8_every - 1:
+            # P_8x8: per-8x8 sub shape chosen by SAD gain (8x8 vs 4x4)
+            parts = []
+            subs = []
+            mvds = []
+            for i8 in range(4):
+                sx, sy8 = (i8 % 2) * 2, (i8 // 2) * 2
+                src8 = sy[sy8 * 4:sy8 * 4 + 8, sx * 4:sx * 4 + 8]
+                mvp8 = mv_predict(mv_g, ref_g, bx4 + sx, by4 + sy8, 2, 2)
+                mv8, sad8 = _search_mv(ref_y, px + sx * 4, py + sy8 * 4,
+                                       src8, 8, 8, mvp8, range_pel=3)
+                quads = []
+                sad4 = 0
+                for q in range(4):
+                    qx, qy = (q % 2), (q // 2)
+                    src4 = src8[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4]
+                    mv4, s4 = _search_mv(ref_y, px + (sx + qx) * 4,
+                                         py + (sy8 + qy) * 4, src4, 4, 4,
+                                         mvp8, range_pel=2)
+                    quads.append((qx, qy, mv4))
+                    sad4 += s4
+                if sad4 + 64 < sad8:  # 4x4 split must beat the 8x8 clearly
+                    subs.append(3)
+                    for qx, qy, mv4 in quads:
+                        # re-derive mvp in true decode order for the mvd
+                        mvp = mv_predict(mv_g, ref_g, bx4 + sx + qx,
+                                         by4 + sy8 + qy, 1, 1)
+                        # re-search tightly around the quad choice
+                        _set_mv_region(mv_g, ref_g, bx4 + sx + qx,
+                                       by4 + sy8 + qy, 1, 1, mv4)
+                        mvds.append((mv4[0] - mvp[0], mv4[1] - mvp[1]))
+                        parts.append((sx + qx, sy8 + qy, 1, 1, mv4))
                 else:
-                    bs = 3
-                    qp_n = qp_cur
-                qp_avg = (qp_cur + qp_n + 1) >> 1
-                _deblock_edge(y_p, px, py + yo, 16, False, bs, qp_avg, True,
-                              off_a, off_b)
-                if yo in (0, 8):
-                    qpc_avg = (chroma_qp(qp_cur, chroma_qp_offset)
-                               + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
-                    _deblock_edge(cb_p, cx, cy + yo // 2, 8, False, bs,
-                                  qpc_avg, False, off_a, off_b)
-                    _deblock_edge(cr_p, cx, cy + yo // 2, 8, False, bs,
-                                  qpc_avg, False, off_a, off_b)
+                    subs.append(0)
+                    mvp = mv_predict(mv_g, ref_g, bx4 + sx, by4 + sy8, 2, 2)
+                    _set_mv_region(mv_g, ref_g, bx4 + sx, by4 + sy8, 2, 2, mv8)
+                    mvds.append((mv8[0] - mvp[0], mv8[1] - mvp[1]))
+                    parts.append((sx, sy8, 2, 2, mv8))
+            pr = _inter_pred_mb(ref, px, py, parts)
+            rb = _inter_residual(pr[0], pr[1], pr[2], sy, scb, scr, qp, qpc)
+            w.ue(pending_skips)
+            pending_skips = 0
+            w.ue(3)  # P_8x8
+            for t in subs:
+                w.ue(t)
+            for dx, dy in mvds:
+                w.se(dx)
+                w.se(dy)
+            _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y)
+            _commit_inter(mb_x, mb_y, parts, rb)
+            tc_upd = rb  # grids already updated in _write_inter_residual
+            mb_qp[mb_y, mb_x] = qp
+            continue
+
+        # 16x16
+        mvp16 = mv_predict(mv_g, ref_g, bx4, by4, 4, 4)
+        mv16, sad16 = _search_mv(ref_y, px, py, sy, 16, 16, mvp16)
+        trials.append(("16x16", sad16 + 40, [(0, 0, 4, 4, mv16)]))
+        # 16x8 / 8x16 (searched against their own directional predictors
+        # approximated by mvp16 — the真 mvd is re-derived at write time)
+        mvt, sadt = _search_mv(ref_y, px, py, sy[:8], 16, 8, mvp16, 3)
+        mvb, sadb = _search_mv(ref_y, px, py + 8, sy[8:], 16, 8, mvp16, 3)
+        trials.append(("16x8", sadt + sadb + 80,
+                       [(0, 0, 4, 2, mvt), (0, 2, 4, 2, mvb)]))
+        mvl, sadl = _search_mv(ref_y, px, py, sy[:, :8], 8, 16, mvp16, 3)
+        mvr, sadr = _search_mv(ref_y, px + 8, py, sy[:, 8:], 8, 16, mvp16, 3)
+        trials.append(("8x16", sadl + sadr + 80,
+                       [(0, 0, 2, 4, mvl), (2, 0, 2, 4, mvr)]))
+        kind, _, parts = min(trials, key=lambda t: t[1])
+        best_sad = min(t[1] for t in trials)
+
+        # ---- intra fallback when motion compensation is poor
+        i16, recon16, score16 = _encode_luma_i16(y_p, px, py, sy, qp)
+        if score16 < (best_sad * best_sad) // 256 or best_sad > 3000:
+            # full intra trial (I16 vs I4) exactly like an I slice
+            i4, recon4, score4 = _encode_luma_i4(
+                y_p, px, py, sy, qp, mb_w, w16, h16, i4_modes, tc_y,
+                mb_x, mb_y)
+            choose = i16 if score16 <= score4 else i4
+            recon = recon16 if choose is i16 else recon4
+            pr_mb = _inter_pred_mb(ref, px, py, parts)
+            rb_int = _inter_residual(pr_mb[0], pr_mb[1], pr_mb[2],
+                                     sy, scb, scr, qp, qpc)
+            inter_score = rb_int["ssd_y"] + 24 * rb_int["ncoef"]
+            intra_score = score16 if choose is i16 else score4
+            if intra_score < inter_score:
+                w.ue(pending_skips)
+                pending_skips = 0
+                _write_intra_mb_in_p(
+                    w, choose, recon, scb, scr, mb_x, mb_y, y_p, cb_p,
+                    cr_p, tc_y, tc_cb, tc_cr, i4_modes, qp,
+                    chroma_qp_offset)
+                mv_g[by4:by4 + 4, bx4:bx4 + 4] = 0
+                ref_g[by4:by4 + 4, bx4:bx4 + 4] = -1
+                mb_qp[mb_y, mb_x] = qp
+                continue
+
+        # ---- write the chosen inter MB
+        pr_mb = _inter_pred_mb(ref, px, py, parts)
+        rb = _inter_residual(pr_mb[0], pr_mb[1], pr_mb[2], sy, scb, scr,
+                             qp, qpc)
+        w.ue(pending_skips)
+        pending_skips = 0
+        mb_type = {"16x16": 0, "16x8": 1, "8x16": 2}[kind]
+        w.ue(mb_type)
+        shapes = [p[4] for p in _P_PARTS[mb_type]]
+        for (ox, oy, w4, h4, mv), shape in zip(parts, shapes):
+            mvp = mv_predict(mv_g, ref_g, bx4 + ox, by4 + oy, w4, h4, shape)
+            w.se(mv[0] - mvp[0])
+            w.se(mv[1] - mvp[1])
+            _set_mv_region(mv_g, ref_g, bx4 + ox, by4 + oy, w4, h4, mv)
+        _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y)
+        _commit_inter(mb_x, mb_y, parts, rb)
+        mb_qp[mb_y, mb_x] = qp
+
+    if pending_skips:
+        w.ue(pending_skips)
+    return y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, tc_y
+
+
+def _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y):
+    cbp_luma = rb["cbp_luma"]
+    cbp_chroma = rb["ch"]["cbp_chroma"]
+    w.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    for i8 in range(4):
+        for i4 in range(4):
+            blk = i8 * 4 + i4
+            gx = mb_x * 4 + BLK4_POS[blk][0]
+            gy = mb_y * 4 + BLK4_POS[blk][1]
+            if cbp_luma & (1 << i8):
+                nc = _nc_from_grid(tc_y, gx, gy)
+                tc = cavlc_encode_block(w, rb["luma_scans"][blk], nc, 16)
+                tc_y[gy, gx] = tc
+            else:
+                tc_y[gy, gx] = 0
+    if cbp_chroma:
+        for comp in ("cb", "cr"):
+            dcq = rb["ch"][comp]["dcq"]
+            scan = np.array([dcq[0, 0], dcq[0, 1], dcq[1, 0], dcq[1, 1]],
+                            dtype=np.int64)
+            cavlc_encode_block(w, scan, -1, 4)
+    for comp, grid in (("cb", tc_cb), ("cr", tc_cr)):
+        for blk in range(4):
+            bx2 = mb_x * 2 + blk % 2
+            by2 = mb_y * 2 + blk // 2
+            if cbp_chroma == 2:
+                nc = _nc_from_grid(grid, bx2, by2)
+                tc = cavlc_encode_block(
+                    w, _scan15(rb["ch"][comp]["acq"][blk]), nc, 15)
+                grid[by2, bx2] = tc
+            else:
+                grid[by2, bx2] = 0
+
+
+def _write_intra_mb_in_p(w, choose, recon, scb, scr, mb_x, mb_y,
+                         y_p, cb_p, cr_p, tc_y, tc_cb, tc_cr, i4_modes,
+                         qp, chroma_qp_offset):
+    """Emit an intra macroblock inside a P slice: identical syntax to
+    the I-slice path except mb_type rides offset by +5 (Table 7-10) and
+    mb_qp_delta is always 0 here (the P encoder keeps one slice QP)."""
+    px, py = mb_x * 16, mb_y * 16
+    cx, cy = mb_x * 8, mb_y * 8
+    qpc = chroma_qp(qp, chroma_qp_offset)
+    ch = _encode_chroma(cb_p, cr_p, cx, cy, scb, scr, qpc)
+    cbp_chroma = ch["cbp_chroma"]
+    cbp_luma = choose["cbp_luma"]
+    if choose["kind"] == "I16":
+        mb_type = 1 + choose["mode"] + 4 * cbp_chroma + (12 if cbp_luma else 0)
+        w.ue(5 + mb_type)
+        w.ue(ch["mode"])
+        w.se(0)  # mb_qp_delta
+        nc = _nc_from_grid(tc_y, mb_x * 4, mb_y * 4)
+        cavlc_encode_block(w, choose["dc_scan"], nc, 16)
+        for blk in range(16):
+            bx4 = mb_x * 4 + BLK4_POS[blk][0]
+            by4 = mb_y * 4 + BLK4_POS[blk][1]
+            if cbp_luma:
+                nc = _nc_from_grid(tc_y, bx4, by4)
+                tc = cavlc_encode_block(w, choose["ac_scans"][blk], nc, 15)
+                tc_y[by4, bx4] = tc
+            else:
+                tc_y[by4, bx4] = 0
+    else:
+        w.ue(5 + 0)  # I_4x4 in a P slice
+        for blk in range(16):
+            bx4 = mb_x * 4 + BLK4_POS[blk][0]
+            by4 = mb_y * 4 + BLK4_POS[blk][1]
+            mode = choose["modes"][blk]
+            pred_mode = _pred_mode_enc(i4_modes, tc_y, bx4, by4)
+            if mode == pred_mode:
+                w.bits(1, 1)
+            else:
+                w.bits(0, 1)
+                rem = mode if mode < pred_mode else mode - 1
+                w.bits(rem, 3)
+            i4_modes[by4, bx4] = mode
+        w.ue(ch["mode"])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(_CBP_INTRA_INV[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for i8 in range(4):
+            for i4x in range(4):
+                blk = i8 * 4 + i4x
+                bx4 = mb_x * 4 + BLK4_POS[blk][0]
+                by4 = mb_y * 4 + BLK4_POS[blk][1]
+                if cbp_luma & (1 << i8):
+                    nc = _nc_from_grid(tc_y, bx4, by4)
+                    tc = cavlc_encode_block(w, choose["coeff_scans"][blk],
+                                            nc, 16)
+                    tc_y[by4, bx4] = tc
+                else:
+                    tc_y[by4, bx4] = 0
+    if cbp_chroma:
+        for comp in ("cb", "cr"):
+            dcq = ch[comp]["dcq"]
+            scan = np.array([dcq[0, 0], dcq[0, 1], dcq[1, 0], dcq[1, 1]],
+                            dtype=np.int64)
+            cavlc_encode_block(w, scan, -1, 4)
+    for comp, grid in (("cb", tc_cb), ("cr", tc_cr)):
+        for blk in range(4):
+            bx2 = mb_x * 2 + blk % 2
+            by2 = mb_y * 2 + blk // 2
+            if cbp_chroma == 2:
+                nc = _nc_from_grid(grid, bx2, by2)
+                tc = cavlc_encode_block(w, _scan15(ch[comp]["acq"][blk]),
+                                        nc, 15)
+                grid[by2, bx2] = tc
+            else:
+                grid[by2, bx2] = 0
+    y_p[py:py + 16, px:px + 16] = recon
+    _commit_chroma(cb_p, cr_p, cx, cy, ch, qpc)

@@ -244,13 +244,20 @@ def test_cabac_pps_raises():
         H._parse_pps(w.bytes_out())
 
 
-def test_inter_slice_raises():
+def test_unsupported_slices_raise():
     w = H._BitsW()
     w.ue(0)  # first_mb_in_slice
-    w.ue(0)  # slice_type P
+    w.ue(1)  # slice_type B
     w.ue(0)
     w.trailing()
-    with pytest.raises(ValueError, match="non-I slice"):
+    with pytest.raises(ValueError, match="unsupported slice type"):
+        H.decode_h264(_sps_pps_prefix() + H._nal(3, 1, w.bytes_out()))
+    w = H._BitsW()
+    w.ue(0)
+    w.ue(0)  # slice_type P — but no reference picture decoded yet
+    w.ue(0)
+    w.trailing()
+    with pytest.raises(ValueError, match="without a decoded reference"):
         H.decode_h264(_sps_pps_prefix() + H._nal(3, 1, w.bytes_out()))
 
 
@@ -391,3 +398,103 @@ def test_deblock_with_pcm_mirror():
     rec = H.encode_h264_reconstruction([img], qp=30, pcm_every=3, deblock=True)
     for a, b in zip(dec[0], rec[0]):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# P slices (inter frames)
+# ---------------------------------------------------------------------------
+
+
+def _scene(n, h=48, w=64):
+    """Moving square over a drifting gradient — real motion to search."""
+    frames = []
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    bg = ((xx * 2 + yy) % 256).astype(np.uint8)
+    for t in range(n):
+        f = np.stack([bg, np.roll(bg, t, axis=1), bg[::-1]], axis=2).copy()
+        x0, y0 = 6 + 3 * t, 10 + 2 * t
+        f[y0:y0 + 12, x0:x0 + 12] = (200, 40, 90)
+        frames.append(f)
+    return frames
+
+
+def test_p_frames_decode_equals_reconstruction():
+    frames = _scene(5)
+    for kwargs in ({}, {"deblock": True}, {"pcm_every": 3}):
+        dec, _ = H.decode_h264(H.encode_h264(frames, qp=26, gop=5, **kwargs))
+        rec = H.encode_h264_reconstruction(frames, qp=26, gop=5, **kwargs)
+        assert len(dec) == 5
+        for f1, f2 in zip(dec, rec):
+            for a, b in zip(f1, f2):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_p_frames_compress_and_track_motion():
+    frames = _scene(6)
+    bs_p = H.encode_h264(frames, qp=26, gop=6)
+    bs_i = H.encode_h264(frames, qp=26, gop=0)
+    assert len(bs_p) < len(bs_i)  # inter prediction pays
+    dec, _ = H.decode_h264(bs_p)
+    ey = rgb_to_ycbcr420(frames[5])[0].astype(np.int64)
+    assert np.abs(dec[5][0].astype(np.int64) - ey).mean() < 3.0
+
+
+def test_static_scene_collapses_to_skip_runs():
+    frames = [_textured(48, 64, seed=1)] * 4  # identical frames
+    bs = H.encode_h264(frames, qp=26, gop=4)
+    nals = H.parse_annexb_nals(bs)
+    p_sizes = [len(rbsp) for t, _, rbsp in nals if t == 1]
+    assert len(p_sizes) == 3
+    assert all(sz < 16 for sz in p_sizes)  # header + one skip run each
+    dec, _ = H.decode_h264(bs)
+    for f in dec[1:]:  # skipped frames reproduce the reference exactly
+        for a, b in zip(f, dec[0]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_p_frames_use_subpel_motion_and_skip():
+    frames = _scene(4)
+    used_fracs = set()
+    skips = [0]
+    orig_il, orig_skip = H.interp_luma, H.mv_pskip
+    try:
+        def spy_il(ref, x, y, mvx, mvy, w, h):
+            used_fracs.add((mvx & 3, mvy & 3))
+            return orig_il(ref, x, y, mvx, mvy, w, h)
+
+        def spy_skip(mv_g, ref_g, bx, by):
+            skips[0] += 1
+            return orig_skip(mv_g, ref_g, bx, by)
+        H.interp_luma, H.mv_pskip = spy_il, spy_skip
+        dec, _ = H.decode_h264(H.encode_h264(frames, qp=26, gop=4))
+    finally:
+        H.interp_luma, H.mv_pskip = orig_il, orig_skip
+    assert len(used_fracs) > 1  # fractional positions genuinely used
+    assert skips[0] > 0
+
+
+def test_scene_cut_falls_back_to_intra():
+    frames = _scene(3) + [_textured(48, 64, seed=99)]  # hard cut at t=3
+    bs = H.encode_h264(frames, qp=26, gop=4)
+    dec, _ = H.decode_h264(bs)
+    rec = H.encode_h264_reconstruction(frames, qp=26, gop=4)
+    for f1, f2 in zip(dec, rec):
+        for a, b in zip(f1, f2):
+            np.testing.assert_array_equal(a, b)
+    ey = rgb_to_ycbcr420(frames[3])[0].astype(np.int64)
+    assert np.abs(dec[3][0].astype(np.int64) - ey).mean() < 4.0
+
+
+def test_cbp_inter_is_permutation():
+    assert sorted(H.CBP_INTER) == list(range(48))
+
+
+def test_gop_with_crop_and_deblock_mirror():
+    frames = [f[:42, :54] for f in _scene(4)]
+    bs = H.encode_h264(frames, qp=28, gop=4, deblock=True)
+    dec, (w, h, _) = H.decode_h264(bs)
+    assert (w, h) == (54, 42)
+    rec = H.encode_h264_reconstruction(frames, qp=28, gop=4, deblock=True)
+    for f1, f2 in zip(dec, rec):
+        for a, b in zip(f1, f2):
+            np.testing.assert_array_equal(a, b)
