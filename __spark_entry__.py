@@ -1158,10 +1158,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec string, media_id long, width int, height int, "
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
+
+        # H.264 leg (round-5 continuation): REAL Annex B decode under
+        # the hash gate — constant-color frames reproduce EXACTLY on
+        # three distinct code paths, so the oracle is closed-form:
+        #   doc_id%3==0 ('h264i'): 3 intra frames at qp 28 — NAL/SPS/PPS
+        #     parse, CAVLC, intra DC/V prediction, the I16 luma-DC
+        #     Hadamard chain (luma-exact at qp28: the quantizer scale is
+        #     a power of two there, proven in tests);
+        #   doc_id%3==1 ('h264p'): I_PCM macroblocks — lossless, so the
+        #     sum covers luma AND both chroma planes;
+        #   doc_id%3==2 ('h264s'): a GOP of identical frames — the P
+        #     pictures collapse to mb_skip_run, exercising P_Skip MV
+        #     derivation and the skip reconstruction copy.
+        # pixel_sum = decoded luma sum (plus chroma for the PCM leg).
+        h264_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 80)
+        )
+
+        def h264_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import h264 as h264mod  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w_, h_ = 32 + 16 * (i % 2), 32
+
+                    def colr(t):
+                        return (
+                            (i * 31 + t * 17) % 256,
+                            (i * 13 + t * 7) % 256,
+                            (i * 29 + t * 3) % 256,
+                        )
+
+                    variant = i % 3
+                    if variant == 2:
+                        frames = [
+                            np.full((h_, w_, 3), colr(0), dtype=np.uint8)
+                        ] * 3
+                        bs = h264mod.encode_h264(frames, qp=28, gop=3)
+                    elif variant == 1:
+                        frames = [
+                            np.full((h_, w_, 3), colr(t), dtype=np.uint8)
+                            for t in range(3)
+                        ]
+                        bs = h264mod.encode_h264(frames, qp=40, pcm_every=1)
+                    else:
+                        frames = [
+                            np.full((h_, w_, 3), colr(t), dtype=np.uint8)
+                            for t in range(3)
+                        ]
+                        bs = h264mod.encode_h264(frames, qp=28)
+                    dec, (dw, dh, _) = h264mod.decode_h264(bs)
+                    if variant == 1:
+                        ps = sum(
+                            int(f[0].astype(np.int64).sum())
+                            + int(f[1].astype(np.int64).sum())
+                            + int(f[2].astype(np.int64).sum())
+                            for f in dec
+                        )
+                    else:
+                        ps = sum(int(f[0].astype(np.int64).sum()) for f in dec)
+                    rows.append(
+                        {
+                            "codec": "h264" + "ips"[variant],
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": ps,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        h264_leg = _spread(h264_docs).mapInPandas(
+            h264_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
         return (
             png_leg.unionByName(gif_leg)
             .unionByName(wav_leg)
             .unionByName(pdf_leg)
+            .unionByName(h264_leg)
         )
 
     q["q47_png_decode"] = q47_png_decode
@@ -2702,6 +2786,46 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY i, np, p
           ) GROUP BY i, np
         )
+        UNION ALL
+        -- h264 leg: constant-color frames decode exactly on all three
+        -- paths (intra qp28 / I_PCM / P_Skip GOP); the oracle replays the
+        -- JFIF RGB->YCbCr rounding in closed form. 'h264p' (PCM,
+        -- lossless) sums luma+chroma; the others sum luma.
+        SELECT codec, media_id, width, height,
+               CAST(SUM(width * height * yv
+                        + CASE WHEN codec = 'h264p'
+                               THEN (width / 2) * (height / 2) * (cbv + crv)
+                               ELSE 0 END) AS BIGINT) AS pixel_sum
+        FROM (
+          SELECT codec, media_id, width, height,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS BIGINT) AS yv,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+                   AS BIGINT) AS cbv,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+                   AS BIGINT) AS crv
+          FROM (
+            SELECT CASE d.doc_id % 3 WHEN 0 THEN 'h264i'
+                                     WHEN 1 THEN 'h264p'
+                                     ELSE 'h264s' END AS codec,
+                   d.doc_id AS media_id,
+                   CAST(32 + 16 * (d.doc_id % 2) AS INT) AS width,
+                   CAST(32 AS INT) AS height,
+                   (d.doc_id * 31 + tc.tt * 17) % 256 AS r,
+                   (d.doc_id * 13 + tc.tt * 7) % 256 AS g,
+                   (d.doc_id * 29 + tc.tt * 3) % 256 AS b
+            FROM documents d,
+                 (SELECT t.g,
+                         t.g AS tt_raw
+                  FROM generate_series(0, 2) t(g)) t0,
+                 LATERAL (SELECT CASE WHEN d.doc_id % 3 = 2 THEN 0
+                                      ELSE t0.g END AS tt) tc
+            WHERE d.doc_id < 80
+          )
+        )
+        GROUP BY codec, media_id, width, height
     """
 
     # q48: baseline-JPEG decode of block-constant grayscale images — each
