@@ -1241,11 +1241,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec string, media_id long, width int, height int, "
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
+
+        # MP4 leg (round-5 continuation): REAL ISO-BMFF demux under the
+        # hash gate — the box walk, stts/stsc/stsz/stco|co64 sample-table
+        # resolution, avcC parameter-set extraction and AVCC->Annex B
+        # conversion all sit on the verified path. Payloads are
+        # MP4-wrapped I_PCM H.264 (lossless, so the sum covers luma AND
+        # chroma and the oracle is the same closed JFIF form as
+        # 'h264p'); the variant grid cycles faststart/progressive box
+        # order, 1-3 samples per chunk (multi-run stsc), and
+        # co64 64-bit offsets.
+        mp4_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 60)
+        )
+
+        def mp4_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import h264 as h264mod  # noqa: PLC0415
+            from markdown_lab_spark.functions import mp4 as mp4mod  # noqa: PLC0415
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w_, h_ = 32 + 16 * (i % 2), 32
+                    frames = [
+                        np.full(
+                            (h_, w_, 3),
+                            (
+                                (i * 31 + t * 17) % 256,
+                                (i * 13 + t * 7) % 256,
+                                (i * 29 + t * 3) % 256,
+                            ),
+                            dtype=np.uint8,
+                        )
+                        for t in range(2)
+                    ]
+                    payload = mp4mod.encode_mp4(
+                        frames,
+                        qp=40,
+                        gop=0,
+                        pcm_every=1,
+                        faststart=(i % 2 == 0),
+                        chunk_samples=1 + i % 3,
+                        co64=(i % 5 == 0),
+                    )
+                    info = mp4mod.parse_mp4(payload)
+                    dec, (dw, dh, _) = h264mod.decode_h264(
+                        b"".join(info["frames"])
+                    )
+                    ps = sum(
+                        int(f[0].astype(np.int64).sum())
+                        + int(f[1].astype(np.int64).sum())
+                        + int(f[2].astype(np.int64).sum())
+                        for f in dec
+                    )
+                    rows.append(
+                        {
+                            "codec": "mp4",
+                            "media_id": i,
+                            "width": dw,
+                            "height": dh,
+                            "pixel_sum": ps,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        mp4_leg = _spread(mp4_docs).mapInPandas(
+            mp4_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
         return (
             png_leg.unionByName(gif_leg)
             .unionByName(wav_leg)
             .unionByName(pdf_leg)
             .unionByName(h264_leg)
+            .unionByName(mp4_leg)
         )
 
     q["q47_png_decode"] = q47_png_decode
@@ -2823,6 +2899,38 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT CASE WHEN d.doc_id % 3 = 2 THEN 0
                                       ELSE t0.g END AS tt) tc
             WHERE d.doc_id < 80
+          )
+        )
+        GROUP BY codec, media_id, width, height
+        UNION ALL
+        -- mp4 leg: MP4-wrapped I_PCM H.264 through the real ISO-BMFF
+        -- demux (box walk, sample tables, avcC, AVCC->Annex B). PCM is
+        -- lossless, so the closed form is the 'h264p' JFIF replay over
+        -- the leg's 2 frames.
+        SELECT 'mp4' AS codec, media_id, width, height,
+               CAST(SUM(width * height * yv
+                        + (width / 2) * (height / 2) * (cbv + crv))
+                    AS BIGINT) AS pixel_sum
+        FROM (
+          SELECT codec, media_id, width, height,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS BIGINT) AS yv,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+                   AS BIGINT) AS cbv,
+                 CAST(FLOOR(LEAST(255.0, GREATEST(0.0,
+                   128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+                   AS BIGINT) AS crv
+          FROM (
+            SELECT 'mp4' AS codec,
+                   d.doc_id AS media_id,
+                   CAST(32 + 16 * (d.doc_id % 2) AS INT) AS width,
+                   CAST(32 AS INT) AS height,
+                   (d.doc_id * 31 + t.g * 17) % 256 AS r,
+                   (d.doc_id * 13 + t.g * 7) % 256 AS g,
+                   (d.doc_id * 29 + t.g * 3) % 256 AS b
+            FROM documents d, generate_series(0, 1) t(g)
+            WHERE d.doc_id < 60
           )
         )
         GROUP BY codec, media_id, width, height

@@ -7,13 +7,15 @@ This closes the video leg of the multimodal decode stub the same way
 round 3 closed images: a pure-Python demuxer plus an in-repo MUXER that
 provides fixtures (``encode_avi`` writes spec-shaped RIFF/hdrl/movi/idx1
 structure from our own JPEG/DIB encodings, so decode tests are
-round-trip byte-exact with zero native deps). All-intra H.264 rides in
-AVI too (``codec='h264'``: one Annex B access unit per chunk, decoded
-by the in-repo baseline-intra codec, ``h264.py``) — the keyframe path
-real pipelines sample. INTER-frame H.264 plus VP9/AV1 genuinely need
-native libs and stay behind the declared stub; at scale the
-``native_image_backend``-style seam applies — a production deployment
-plugs PyAV/ffmpeg in ahead of this decoder.
+round-trip byte-exact with zero native deps). H.264 rides in AVI too
+(``codec='h264'``: one Annex B access unit per chunk, decoded by the
+in-repo baseline I+P codec, ``h264.py``), and MP4/ISO-BMFF payloads —
+the container virtually all real web video ships in — are sniffed by
+their ``ftyp`` box and demuxed by ``mp4.py`` (box walk, sample tables,
+avcC, AVCC->Annex B) into the same H.264 decode. B slices plus VP9/AV1
+genuinely need native libs and stay behind the declared stub; at scale
+the ``native_image_backend``-style seam applies — a production
+deployment plugs PyAV/ffmpeg in ahead of this decoder.
 
 Reference parity note: the reference engine has no media codecs at all
 (it is an HTML->markdown crawler); this module is part of the
@@ -401,6 +403,19 @@ def sample_video_frames(
                                 int(round(h264_fps(payload) * every_n_seconds)),
                             )
                             w, h, fps, frames = decode_h264_frames(
+                                payload, step, max_frames_per_video
+                            )
+                        elif payload[4:8] == b"ftyp":
+                            # MP4 (ISO BMFF) carrying H.264
+                            from .mp4 import (  # noqa: PLC0415
+                                decode_mp4_frames,
+                                parse_mp4,
+                            )
+
+                            inf = parse_mp4(payload)
+                            fps = inf["fps_num"] / inf["fps_den"]
+                            step = max(1, int(round(fps * every_n_seconds)))
+                            w, h, fps, frames = decode_mp4_frames(
                                 payload, step, max_frames_per_video
                             )
                         else:
