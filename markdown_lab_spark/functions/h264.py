@@ -61,11 +61,30 @@ enforces. The encoder's P path makes real decisions — P_Skip when the
 derived-MV residual quantizes to zero, quarter-pel motion search per
 partition shape, intra fallback on scene cuts — and its in-loop
 reconstruction (including the filtered reference chain) is pinned
-bit-equal to the decoder. Out-of-scope features raise ValueError at
-the decoder boundary rather than mis-decode: CABAC
-(entropy_coding_mode 1), B slices, multiple/modified reference lists,
-adaptive ref marking, high profiles, interlace, and multi-slice
-pictures.
+bit-equal to the decoder.
+B slices decode and encode for real: two reference lists initialized
+by picture order count (8.2.4.2.3/8.2.4.2.4 specialized to one active
+index per list), pic_order_cnt_type 0 with the 8.2.1.1 MSB wraparound
+and POC-ordered display output, bi-prediction (the 8.4.2.3 rounded
+average of the two quarter-pel predictions), BOTH direct modes —
+temporal (8.4.1.2.3: co-located motion scaled by the fixed-point
+DistScaleFactor POC math) and spatial (8.4.1.2.2: minPositive refs,
+list-wise median, the colZeroFlag stationarity override) — with
+direct_8x8_inference corner sampling, B_Skip / B_Direct_16x16 /
+B_8x8 incl. B_Direct_8x8 subs, the full Table 7-14 / 7-18 mb_type
+and sub_mb_type grids (every L0/L1/Bi partition combination), the
+grouped mvd_l0-then-mvd_l1 syntax order, non-reference B pictures
+(nal_ref_idc 0, no marking), and the 8.7.2.1 B-picture boundary
+strengths (per-list reference/MV comparison). The encoder's B path
+makes real decisions — B_Skip when the direct-derived residual
+quantizes to zero, direct-vs-L0-vs-L1-vs-Bi 16x16 by reconstruction
+cost, partition-shape and B_8x8 cadences for fixture coverage, intra
+fallback — under classic IbbPbbP GOPs with spec frame_num semantics
+(non-reference pictures share the next reference's value).
+Out-of-scope features raise ValueError at the decoder boundary rather
+than mis-decode: CABAC (entropy_coding_mode 1), weighted prediction
+(explicit or implicit), multiple/modified reference lists, adaptive
+ref marking, high profiles, interlace, and multi-slice pictures.
 
 Reference behavior mapped: none — the reference engine has no video
 path; this extends the multimodal column story (functions/video.py)
@@ -962,11 +981,14 @@ def pred_chroma(plane: np.ndarray, x: int, y: int, mode: int) -> np.ndarray:
 
 
 class _SPS:
-    __slots__ = ("mb_w", "mb_h", "crop", "fps", "log2_max_frame_num")
+    __slots__ = ("mb_w", "mb_h", "crop", "fps", "log2_max_frame_num",
+                 "poc_type", "log2_max_poc_lsb", "max_ref_frames",
+                 "direct_8x8")
 
 
 class _PPS:
-    __slots__ = ("pic_init_qp", "chroma_qp_offset", "deblock_control")
+    __slots__ = ("pic_init_qp", "chroma_qp_offset", "deblock_control",
+                 "bottom_poc_present", "weighted_pred", "weighted_bipred")
 
 
 def _parse_sps(rbsp: bytes) -> _SPS:
@@ -979,22 +1001,23 @@ def _parse_sps(rbsp: bytes) -> _SPS:
         raise ValueError("high-profile SPS unsupported (baseline intra only)")
     sps = _SPS()
     sps.log2_max_frame_num = r.ue() + 4
-    poc_type = r.ue()
-    if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
-    elif poc_type == 1:
+    sps.poc_type = r.ue()
+    sps.log2_max_poc_lsb = 0
+    if sps.poc_type == 0:
+        sps.log2_max_poc_lsb = r.ue() + 4
+    elif sps.poc_type == 1:
         r.bit()
         r.se()
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    sps.max_ref_frames = r.ue()
     r.bit()  # gaps_in_frame_num_value_allowed_flag
     sps.mb_w = r.ue() + 1
     sps.mb_h = r.ue() + 1
     if r.bit() == 0:
         raise ValueError("interlaced (frame_mbs_only_flag=0) unsupported")
-    r.bit()  # direct_8x8_inference_flag
+    sps.direct_8x8 = r.bit()  # direct_8x8_inference_flag
     crop = (0, 0, 0, 0)
     if r.bit():  # frame_cropping_flag
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
@@ -1028,14 +1051,16 @@ def _parse_pps(rbsp: bytes) -> _PPS:
     r.ue()  # sps_id
     if r.bit():
         raise ValueError("CABAC (entropy_coding_mode_flag=1) unsupported")
-    r.bit()  # bottom_field_pic_order_in_frame_present
+    pps = _PPS()
+    pps.bottom_poc_present = r.bit()
     if r.ue() != 0:
         raise ValueError("slice groups unsupported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.bit()  # weighted_pred_flag
-    r.bits(2)  # weighted_bipred_idc
-    pps = _PPS()
+    if r.ue() != 0:  # num_ref_idx_l0_default_active_minus1
+        raise ValueError("multiple reference frames unsupported")
+    if r.ue() != 0:  # num_ref_idx_l1_default_active_minus1
+        raise ValueError("multiple reference frames unsupported")
+    pps.weighted_pred = r.bit()
+    pps.weighted_bipred = r.bits(2)
     pps.pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs
     pps.chroma_qp_offset = r.se()
@@ -1064,7 +1089,7 @@ def _nc_from_grid(grid: np.ndarray, bx: int, by: int) -> int:
 
 
 def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
-                    is_p: bool = False, ref=None):
+                    kind: str = "I", ref=None, bctx=None):
     mb_w, mb_h = sps.mb_w, sps.mb_h
     w16, h16 = mb_w * 16, mb_h * 16
     y_p = np.zeros((h16, w16), dtype=np.int64)
@@ -1078,28 +1103,38 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
     mb_qp = np.zeros((mb_h, mb_w), dtype=np.int32)
     mv_g = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
     ref_g = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
+    mv_g1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+    ref_g1 = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
     qp = slice_qp
 
     def _skip_mb(mb_i):
         mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
         px, py = mb_x * 16, mb_y * 16
         bx4, by4 = mb_x * 4, mb_y * 4
-        mv = mv_pskip(mv_g, ref_g, bx4, by4)
-        parts = [(0, 0, 4, 4, mv)]
-        pr_y, pr_cb, pr_cr = _inter_pred_mb(ref, px, py, parts)
+        if kind == "B":  # B_Skip: direct motion, no residual (8.4.1.2.1)
+            parts = _direct_parts(bctx, mv_g, ref_g, mv_g1, ref_g1,
+                                  bx4, by4)
+            for ox, oy, w4, h4, mv0, mv1 in parts:
+                _set_b_part(mv_g, ref_g, mv_g1, ref_g1,
+                            bx4 + ox, by4 + oy, w4, h4, mv0, mv1)
+            pr_y, pr_cb, pr_cr = _inter_pred_mb_b(bctx, px, py, parts)
+        else:
+            mv = mv_pskip(mv_g, ref_g, bx4, by4)
+            pr_y, pr_cb, pr_cr = _inter_pred_mb(
+                ref, px, py, [(0, 0, 4, 4, mv)])
+            _set_mv_region(mv_g, ref_g, bx4, by4, 4, 4, mv)
         y_p[py:py + 16, px:px + 16] = pr_y
         cb_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_cb
         cr_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_cr
         tc_y[by4:by4 + 4, bx4:bx4 + 4] = 0
         tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
         tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
-        _set_mv_region(mv_g, ref_g, bx4, by4, 4, 4, mv)
         mb_qp[mb_y, mb_x] = qp
 
     mb_i = 0
     n_mbs = mb_w * mb_h
     while mb_i < n_mbs:
-        if is_p:
+        if kind in ("P", "B"):
             run = r.ue()
             for _ in range(run):
                 if mb_i >= n_mbs:
@@ -1113,7 +1148,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
         px, py = mb_x * 16, mb_y * 16
         cx, cy = mb_x * 8, mb_y * 8
         mb_type = r.ue()
-        if is_p:
+        if kind == "P":
             if mb_type <= 4:  # inter macroblock
                 qp = _decode_inter_mb(
                     r, mb_type, mb_x, mb_y, ref, y_p, cb_p, cr_p,
@@ -1121,6 +1156,15 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
                 mb_qp[mb_y, mb_x] = qp
                 continue
             mb_type -= 5  # intra types are offset by 5 in P slices
+        elif kind == "B":
+            if mb_type <= 22:  # inter macroblock
+                qp = _decode_b_mb(
+                    r, mb_type, mb_x, mb_y, bctx, y_p, cb_p, cr_p,
+                    tc_y, tc_cb, tc_cr, mv_g, ref_g, mv_g1, ref_g1,
+                    pps, qp)
+                mb_qp[mb_y, mb_x] = qp
+                continue
+            mb_type -= 23  # intra types are offset by 23 in B slices
         if mb_type == 25:  # I_PCM
             while r.pos % 8:
                 if r.bit():
@@ -1139,6 +1183,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
             tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 16
             mb_qp[mb_y, mb_x] = 0  # I_PCM filters with QP 0 (8.7)
             ref_g[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
+            ref_g1[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
             continue
         if mb_type > 25:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
@@ -1245,6 +1290,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
 
         mb_qp[mb_y, mb_x] = qp
         ref_g[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
+        ref_g1[mb_y * 4:mb_y * 4 + 4, mb_x * 4:mb_x * 4 + 4] = -1
         # chroma reconstruction (shared by I_4x4 and I_16x16)
         qpc = chroma_qp(qp, pps.chroma_qp_offset)
         for comp, plane, dcc, acc in (
@@ -1261,7 +1307,7 @@ def _decode_picture(r: _Bits, sps: _SPS, pps: _PPS, slice_qp: int,
                 res = (inverse_transform_4x4(d) + 32) >> 6
                 plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
                     _clip255(predc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
-    return y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, tc_y
+    return y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, tc_y, mv_g1, ref_g1
 
 
 def _parse_chroma_residual(r, cbp_chroma, tc_cb, tc_cr, mb_x, mb_y):
@@ -1304,13 +1350,18 @@ def h264_fps(payload: bytes) -> float:
 
 
 def decode_h264(payload: bytes):
-    """Decode an all-intra Annex B stream.
+    """Decode a baseline Annex B stream (I, P, and B pictures).
 
     Returns ([(y, cb, cr) per picture], (width, height, fps)) with the
-    frame-cropping window applied."""
+    frame-cropping window applied; pictures are in DISPLAY order
+    (pic_order_cnt_type 0 streams are reordered by POC, type-2 streams
+    keep decode order as the spec requires of them)."""
     sps = pps = None
-    frames = []
-    prev_ref = None
+    pics = []  # (era, poc_key, planes) — sorted for display at the end
+    dpb = []   # short-term refs in decode order: dicts with poc/planes/motion
+    era = 0
+    prev_poc_msb = prev_poc_lsb = 0
+    decode_seq = 0
     for nal_type, nal_ref_idc, rbsp in parse_annexb_nals(payload):
         if nal_type == 7:
             sps = _parse_sps(rbsp)
@@ -1325,24 +1376,90 @@ def decode_h264(payload: bytes):
                 raise ValueError("multi-slice pictures unsupported")
             slice_type = r.ue()
             st = slice_type % 5
-            if st not in (0, 2):
-                raise ValueError("unsupported slice type (I/P only)")
-            is_p = st == 0
-            if is_p and nal_type == 5:
-                raise ValueError("IDR picture cannot carry a P slice")
-            if is_p and prev_ref is None:
+            if st not in (0, 1, 2):
+                raise ValueError("unsupported slice type (I/P/B only)")
+            kind = {0: "P", 1: "B", 2: "I"}[st]
+            if kind != "I" and nal_type == 5:
+                raise ValueError("IDR picture cannot carry an inter slice")
+            if kind == "P" and not dpb:
                 raise ValueError("P slice without a decoded reference")
+            if kind == "P" and pps.weighted_pred:
+                raise ValueError("explicit weighted prediction unsupported")
+            if kind == "B":
+                if sps.poc_type != 0:
+                    raise ValueError(
+                        "B slices need pic_order_cnt_type 0")
+                if pps.weighted_bipred != 0:
+                    raise ValueError("weighted biprediction unsupported")
+                if nal_ref_idc != 0:
+                    raise ValueError("reference B pictures unsupported")
             r.ue()  # pps_id
             r.bits(sps.log2_max_frame_num)  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
-            # pic_order_cnt_type 2 in our streams: nothing here
-            if is_p:
+            if sps.poc_type == 0:
+                lsb = r.bits(sps.log2_max_poc_lsb)
+                if pps.bottom_poc_present:
+                    r.se()  # delta_pic_order_cnt_bottom (frame coding)
+                if nal_type == 5:
+                    prev_poc_msb = prev_poc_lsb = 0
+                    era += 1
+                    dpb.clear()
+                max_lsb = 1 << sps.log2_max_poc_lsb
+                if (lsb < prev_poc_lsb
+                        and prev_poc_lsb - lsb >= max_lsb // 2):
+                    msb = prev_poc_msb + max_lsb
+                elif (lsb > prev_poc_lsb
+                        and lsb - prev_poc_lsb > max_lsb // 2):
+                    msb = prev_poc_msb - max_lsb
+                else:
+                    msb = prev_poc_msb
+                poc = msb + lsb
+                if nal_ref_idc != 0:
+                    prev_poc_msb, prev_poc_lsb = msb, lsb
+            elif sps.poc_type == 1:
+                raise ValueError("pic_order_cnt_type 1 unsupported")
+            else:
+                if nal_type == 5:
+                    era += 1
+                    dpb.clear()
+                poc = None  # type 2: output order IS decode order
+            poc_key = poc if poc is not None else 2 * decode_seq
+            decode_seq += 1
+            ref = bctx = None
+            if kind == "P":
+                ref = dpb[-1]["planes"]  # most recent ref = RefPicList0[0]
+            elif kind == "B":
+                past = [e for e in dpb if e["poc"] < poc]
+                future = [e for e in dpb if e["poc"] > poc]
+                if not past or not future:
+                    raise ValueError(
+                        "B slice needs references on both POC sides")
+                l0 = max(past, key=lambda e: e["poc"])
+                l1 = min(future, key=lambda e: e["poc"])
+            if kind == "B":
+                direct_spatial = r.bit()
+            if kind in ("P", "B"):
                 if r.bit():  # num_ref_idx_active_override_flag
                     if r.ue() != 0:
-                        raise ValueError("multiple reference frames unsupported")
+                        raise ValueError(
+                            "multiple reference frames unsupported")
+                    if kind == "B" and r.ue() != 0:
+                        raise ValueError(
+                            "multiple reference frames unsupported")
                 if r.bit():  # ref_pic_list_modification_flag_l0
                     raise ValueError("ref pic list modification unsupported")
+                if kind == "B" and r.bit():  # ..._flag_l1
+                    raise ValueError("ref pic list modification unsupported")
+            if kind == "B":
+                bctx = {
+                    "l0": l0["planes"], "l1": l1["planes"],
+                    "col_mv": l1["mv_g"], "col_ref": l1["ref_g"],
+                    "poc_cur": poc, "poc_l0": l0["poc"],
+                    "poc_l1": l1["poc"],
+                    "spatial": bool(direct_spatial),
+                    "direct_8x8": bool(sps.direct_8x8),
+                }
             if nal_type == 5:
                 r.bit()  # no_output_of_prior_pics_flag
                 r.bit()  # long_term_reference_flag
@@ -1358,21 +1475,36 @@ def decode_h264(payload: bytes):
                 if idc != 1:
                     off_a = 2 * r.se()
                     off_b = 2 * r.se()
-            y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, nz_y = _decode_picture(
-                r, sps, pps, slice_qp, is_p, prev_ref)
+            (y_p, cb_p, cr_p, mb_qp, mv_g, ref_g, nz_y,
+             mv_g1, ref_g1) = _decode_picture(
+                r, sps, pps, slice_qp, kind, ref, bctx)
             if idc != 1:  # idc 2 == 0 for single-slice pictures
+                if kind == "P":
+                    inter_info = (ref_g, mv_g, nz_y)
+                elif kind == "B":
+                    inter_info = (ref_g, mv_g, ref_g1, mv_g1, nz_y)
+                else:
+                    inter_info = None
                 deblock_picture(y_p, cb_p, cr_p, mb_qp,
                                 pps.chroma_qp_offset, off_a, off_b,
-                                inter_info=(ref_g, mv_g, nz_y) if is_p else None)
-            frames.append((y_p, cb_p, cr_p))
+                                inter_info=inter_info)
+            pics.append((era, poc_key, (y_p, cb_p, cr_p)))
             if nal_ref_idc != 0:
-                prev_ref = (y_p, cb_p, cr_p)  # filtered picture is the ref
+                # filtered picture is the ref; motion kept for temporal
+                # direct / colZeroFlag in later B pictures
+                dpb.append({"poc": poc_key, "planes": (y_p, cb_p, cr_p),
+                            "mv_g": mv_g, "ref_g": ref_g})
+                limit = max(1, sps.max_ref_frames)
+                if len(dpb) > limit:  # sliding-window marking (8.2.5.3)
+                    del dpb[0]
         elif nal_type in (6, 9, 10, 11, 12):
             continue  # SEI / AU delimiter / end markers: ignorable
         else:
             raise ValueError(f"unsupported NAL unit type {nal_type}")
-    if sps is None or not frames:
+    if sps is None or not pics:
         raise ValueError("no decodable pictures")
+    pics.sort(key=lambda p: (p[0], p[1]))
+    frames = [p[2] for p in pics]
     left, right, top, bottom = sps.crop
     w = sps.mb_w * 16 - 2 * (left + right)
     h = sps.mb_h * 16 - 2 * (top + bottom)
@@ -1742,15 +1874,17 @@ def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
             + _rbsp_to_ebsp(rbsp))
 
 
-def _write_sps(mb_w, mb_h, crop, fps) -> bytes:
+def _write_sps(mb_w, mb_h, crop, fps, poc_type=2, max_refs=1) -> bytes:
     w = _BitsW()
     w.bits(66, 8)   # profile_idc: baseline
     w.bits(0, 8)    # constraint flags / reserved
     w.bits(30, 8)   # level_idc 3.0
     w.ue(0)         # sps_id
     w.ue(0)         # log2_max_frame_num_minus4
-    w.ue(2)         # pic_order_cnt_type
-    w.ue(1)         # max_num_ref_frames
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(4)     # log2_max_pic_order_cnt_lsb_minus4 (8-bit lsb)
+    w.ue(max_refs)  # max_num_ref_frames
     w.bits(0, 1)    # gaps_in_frame_num_value_allowed
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -1800,14 +1934,47 @@ def _write_pps() -> bytes:
     return w.bytes_out()
 
 
-def _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble, deblock, gop):
+def _gop_encode_order(n, gop, b_frames):
+    """Display -> encode reordering for IbbPbbP GOPs: an IDR every
+    ``gop`` display frames, anchor P pictures every ``b_frames + 1``
+    displays, the B pictures between two anchors encoded after their
+    FUTURE anchor (classic decode order). Trailing displays that cannot
+    have a future anchor become P pictures. Returns
+    [(display_idx, kind)] in encode order."""
+    order = []
+    d = 0
+    while d < n:
+        if gop > 1 and d % gop == 0:
+            order.append((d, "I"))
+            d += 1
+            continue
+        next_idr = ((d // gop) + 1) * gop
+        boundary = min(n - 1, next_idr - 1)
+        anchor = min(d + b_frames, boundary)
+        order.append((anchor, "P"))
+        for b in range(d, anchor):
+            order.append((b, "B"))
+        d = anchor + 1
+    return order
+
+
+def _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble, deblock, gop,
+                   b_frames=0, direct_spatial=False, b_shape_every=0):
     """Shared encoder core: returns (annex_b_bytes, [(y, cb, cr) recon])
     with recon = the in-loop reference pictures (filtered when
-    ``deblock``), cropped to the source geometry."""
+    ``deblock``), cropped to the source geometry and in DISPLAY order.
+    ``b_frames > 0`` switches to pic_order_cnt_type 0 + two reference
+    frames and emits IbbP GOPs (B pictures non-reference)."""
     if not frames_rgb:
         raise ValueError("no frames")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
+    if b_frames:
+        if gop <= 1:
+            raise ValueError("b_frames requires an inter GOP (gop > 1)")
+        return _encode_stream_b(frames_rgb, qp, fps, pcm_every, qp_wobble,
+                                deblock, gop, b_frames, direct_spatial,
+                                b_shape_every)
     h, wd = frames_rgb[0].shape[:2]
     if h % 2 or wd % 2:
         raise ValueError("frame dims must be even (4:2:0)")
@@ -1879,29 +2046,161 @@ def _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble, deblock, gop):
     return bytes(out), recons
 
 
+def _encode_stream_b(frames_rgb, qp, fps, pcm_every, qp_wobble, deblock,
+                     gop, b_frames, direct_spatial, b_shape_every):
+    """Encoder core for IbbP GOPs (pic_order_cnt_type 0, two reference
+    frames, non-reference B pictures). frame_num follows 7.4.3: each
+    reference picture increments it, non-reference pictures carry the
+    value the next reference will use. POC = 2 x display index within
+    the GOP, written as an 8-bit lsb (the decoder's 8.2.1.1 wraparound
+    handles longer GOPs)."""
+    h, wd = frames_rgb[0].shape[:2]
+    if h % 2 or wd % 2:
+        raise ValueError("frame dims must be even (4:2:0)")
+    mb_w, mb_h = (wd + 15) // 16, (h + 15) // 16
+    crop_r = (mb_w * 16 - wd) // 2
+    crop_b = (mb_h * 16 - h) // 2
+    out = bytearray()
+    out += _nal(3, 7, _write_sps(mb_w, mb_h, (0, crop_r, 0, crop_b), fps,
+                                 poc_type=0, max_refs=2))
+    out += _nal(3, 8, _write_pps())
+
+    def _pad(rgb):
+        y, cb, cr = rgb_to_ycbcr420(rgb)
+        y = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - wd)),
+                   mode="edge")
+        cb = np.pad(cb, ((0, (mb_h * 16 - h) // 2),
+                         (0, (mb_w * 16 - wd) // 2)), mode="edge")
+        cr = np.pad(cr, ((0, (mb_h * 16 - h) // 2),
+                         (0, (mb_w * 16 - wd) // 2)), mode="edge")
+        return (y.astype(np.int64), cb.astype(np.int64),
+                cr.astype(np.int64))
+
+    order = _gop_encode_order(len(frames_rgb), gop, b_frames)
+    recons: List = [None] * len(frames_rgb)
+    ref_dpb: List[dict] = []  # mirrors the decoder's short-term DPB
+    prev_ref_fn = 0
+    idr_count = 0
+    for d, kind in order:
+        rgb = frames_rgb[d]
+        if rgb.shape[:2] != (h, wd):
+            raise ValueError("all frames must share one geometry")
+        y, cb, cr = _pad(rgb)
+        poc = 2 * (d % gop)
+        if kind == "I":
+            frame_num = 0
+            prev_ref_fn = 0
+        elif kind == "P":
+            frame_num = prev_ref_fn = (prev_ref_fn + 1) % 16
+        else:
+            frame_num = (prev_ref_fn + 1) % 16  # non-ref: next ref's value
+        w = _BitsW()
+        w.ue(0)                          # first_mb_in_slice
+        w.ue({"I": 7, "P": 5, "B": 6}[kind])  # all-same slice_type
+        w.ue(0)                          # pps_id
+        w.bits(frame_num, 4)             # frame_num
+        if kind == "I":
+            w.ue(idr_count % 2)          # idr_pic_id
+        w.bits(poc, 8)                   # pic_order_cnt_lsb
+        if kind == "B":
+            w.bits(1 if direct_spatial else 0, 1)
+        if kind in ("P", "B"):
+            w.bits(0, 1)                 # num_ref_idx_active_override
+            w.bits(0, 1)                 # ref_pic_list_modification_l0
+            if kind == "B":
+                w.bits(0, 1)             # ref_pic_list_modification_l1
+        if kind == "I":
+            w.bits(0, 1)                 # no_output_of_prior_pics
+            w.bits(0, 1)                 # long_term_reference
+        elif kind == "P":
+            w.bits(0, 1)                 # adaptive_ref_pic_marking
+        w.se(qp - 26)                    # slice_qp_delta
+        if deblock:
+            w.ue(0)
+            w.se(0)
+            w.se(0)
+        else:
+            w.ue(1)
+        if kind == "I":
+            idr_count += 1
+            ref_dpb.clear()
+            yp, cbp, crp, mb_qp = _encode_picture(
+                w, y, cb, cr, qp, 0, pcm_every, qp_wobble)
+            mv_g = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+            ref_g = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int8)
+            inter_info = None
+        elif kind == "P":
+            l0 = ref_dpb[-1]  # RefPicList0[0] = most recent ref
+            yp, cbp, crp, mb_qp, mv_g, ref_g, nz_y = _encode_p_picture(
+                w, y, cb, cr, l0["planes"], qp, 0, p8x8_every=pcm_every)
+            inter_info = (ref_g, mv_g, nz_y)
+        else:
+            l0 = max((e for e in ref_dpb if e["poc"] < poc),
+                     key=lambda e: e["poc"])
+            l1 = min((e for e in ref_dpb if e["poc"] > poc),
+                     key=lambda e: e["poc"])
+            bctx = {
+                "l0": l0["planes"], "l1": l1["planes"],
+                "col_mv": l1["mv_g"], "col_ref": l1["ref_g"],
+                "poc_cur": poc, "poc_l0": l0["poc"], "poc_l1": l1["poc"],
+                "spatial": bool(direct_spatial), "direct_8x8": True,
+            }
+            (yp, cbp, crp, mb_qp, mv_g0, ref_g0,
+             mv_g1, ref_g1, nz_y) = _encode_b_picture(
+                w, y, cb, cr, bctx, qp, 0, b_shape_every=b_shape_every)
+            inter_info = (ref_g0, mv_g0, ref_g1, mv_g1, nz_y)
+        w.trailing()
+        nal_type = 5 if kind == "I" else 1
+        nal_ref_idc = 0 if kind == "B" else 3
+        out += _nal(nal_ref_idc, nal_type, w.bytes_out())
+        if deblock:
+            deblock_picture(yp, cbp, crp, mb_qp, inter_info=inter_info)
+        if kind != "B":
+            ref_dpb.append({"poc": poc, "planes": (yp, cbp, crp),
+                            "mv_g": mv_g, "ref_g": ref_g})
+            if len(ref_dpb) > 2:  # sliding window, max_num_ref_frames=2
+                del ref_dpb[0]
+        recons[d] = (
+            yp[:h, :wd].astype(np.uint8),
+            cbp[:h // 2, :wd // 2].astype(np.uint8),
+            crp[:h // 2, :wd // 2].astype(np.uint8),
+        )
+    return bytes(out), recons
+
+
 def encode_h264(frames_rgb: List[np.ndarray], qp: int = 26, fps: float = 25.0,
                 pcm_every: int = 0, qp_wobble: int = 0,
-                deblock: bool = False, gop: int = 0) -> bytes:
+                deblock: bool = False, gop: int = 0,
+                b_frames: int = 0, direct_spatial: bool = False,
+                b_shape_every: int = 0) -> bytes:
     """Baseline Annex B encoder. ``gop == 0/1``: all-intra (IDR only);
     ``gop > 1``: one IDR every ``gop`` frames, P pictures between
     (16x16/16x8/8x16 partitions searched at quarter-pel, P_Skip when
     the derived-MV residual quantizes to zero, intra fallback when
     motion compensation is poor; ``pcm_every`` doubles as the P_8x8
-    cadence in P pictures). Real decisions per MB; in-loop
-    reconstruction is pinned bit-equal to the decoder."""
+    cadence in P pictures). ``b_frames > 0`` inserts that many
+    non-reference B pictures between anchors (IbbP GOPs,
+    pic_order_cnt_type 0): direct / L0 / L1 / Bi 16x16 decisions,
+    B_Skip, ``direct_spatial`` choosing the 8.4.1.2.2 spatial direct
+    mode over temporal, ``b_shape_every`` forcing mixed-list 16x8 and
+    B_8x8 sub-shape MBs for decode-path coverage. Real decisions per
+    MB; in-loop reconstruction is pinned bit-equal to the decoder."""
     return _encode_stream(frames_rgb, qp, fps, pcm_every, qp_wobble,
-                          deblock, gop)[0]
+                          deblock, gop, b_frames, direct_spatial,
+                          b_shape_every)[0]
 
 
 def encode_h264_reconstruction(
     frames_rgb: List[np.ndarray], qp: int = 26,
     pcm_every: int = 0, qp_wobble: int = 0, deblock: bool = False,
-    gop: int = 0,
+    gop: int = 0, b_frames: int = 0, direct_spatial: bool = False,
+    b_shape_every: int = 0,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """The encoder's own in-loop reconstruction (cropped), for the
-    decode == reconstruction fixtures."""
+    """The encoder's own in-loop reconstruction (cropped, display
+    order), for the decode == reconstruction fixtures."""
     return _encode_stream(frames_rgb, qp, 25.0, pcm_every, qp_wobble,
-                          deblock, gop)[1]
+                          deblock, gop, b_frames, direct_spatial,
+                          b_shape_every)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -1998,12 +2297,36 @@ def _deblock_edge(plane, x0, y0, n, vertical, bs_lines, qp_avg, is_luma,
             _filter_line(col, idxs, bs, alpha, beta, tc0, is_luma)
 
 
+def _mv_gap(mv_a, mv_b):
+    return (abs(mv_a[0] - mv_b[0]) >= 4 or abs(mv_a[1] - mv_b[1]) >= 4)
+
+
 def _bs_segments(inter_info, vertical, mb_edge, qbx, qby):
     """bS per 4x4-block segment of one luma edge (q-side block column/row
-    starts at (qbx, qby), 4 segments). 8.7.2.1 for P pictures: 4/3 when a
-    side is intra, 2 when a side has residual, 1 when MVs differ by >= 1
-    full pel, else 0 (no filtering)."""
-    ref_g, mv_g, nz = inter_info
+    starts at (qbx, qby), 4 segments). 8.7.2.1: 4/3 when a side is
+    intra, 2 when a side has residual, 1 when the sides' motion differs
+    (different reference pictures, different prediction counts, or an
+    MV gap >= 1 full pel on a corresponding list), else 0.
+
+    ``inter_info`` is (ref_g, mv_g, nz) for P pictures or
+    (ref_g0, mv_g0, ref_g1, mv_g1, nz) for B pictures — our one-active-
+    index lists make the list id identify the reference picture, so
+    same-list comparison IS the spec's same-picture correspondence."""
+    if len(inter_info) == 3:
+        ref_g0, mv_g0, nz = inter_info
+        ref_g1 = mv_g1 = None
+    else:
+        ref_g0, mv_g0, ref_g1, mv_g1, nz = inter_info
+
+    def preds(y, x):
+        """{list_id: mv} for one 4x4 side; empty dict = intra."""
+        out = {}
+        if ref_g0[y, x] >= 0:
+            out[0] = (int(mv_g0[y, x, 0]), int(mv_g0[y, x, 1]))
+        if ref_g1 is not None and ref_g1[y, x] >= 0:
+            out[1] = (int(mv_g1[y, x, 0]), int(mv_g1[y, x, 1]))
+        return out
+
     out = []
     for k in range(4):
         if vertical:
@@ -2012,12 +2335,14 @@ def _bs_segments(inter_info, vertical, mb_edge, qbx, qby):
         else:
             qx, qy = qbx + k, qby
             px_, py_ = qbx + k, qby - 1
-        if ref_g[py_, px_] == -1 or ref_g[qy, qx] == -1:
+        pp, pq = preds(py_, px_), preds(qy, qx)
+        if not pp or not pq:
             out.append(4 if mb_edge else 3)
         elif nz[py_, px_] > 0 or nz[qy, qx] > 0:
             out.append(2)
-        elif (abs(int(mv_g[py_, px_, 0]) - int(mv_g[qy, qx, 0])) >= 4
-              or abs(int(mv_g[py_, px_, 1]) - int(mv_g[qy, qx, 1])) >= 4):
+        elif set(pp) != set(pq):  # different refs / prediction counts
+            out.append(1)
+        elif any(_mv_gap(pp[lst], pq[lst]) for lst in pp):
             out.append(1)
         else:
             out.append(0)
@@ -2316,7 +2641,18 @@ def _decode_inter_mb(r, mb_type, mb_x, mb_y, ref, y_p, cb_p, cr_p,
                 _set_mv_region(mv_g, ref_g, gx, gy, w4, h4, mv)
                 parts.append((sx + ox, sy + oy, w4, h4, mv))
     pr_y, pr_cb, pr_cr = _inter_pred_mb(ref, px, py, parts)
+    return _decode_inter_tail(r, pr_y, pr_cb, pr_cr, mb_x, mb_y,
+                              y_p, cb_p, cr_p, tc_y, tc_cb, tc_cr, pps, qp)
 
+
+def _decode_inter_tail(r, pr_y, pr_cb, pr_cr, mb_x, mb_y, y_p, cb_p, cr_p,
+                       tc_y, tc_cb, tc_cr, pps, qp):
+    """Inter CBP + residual parse + MC+residual reconstruction — the
+    shared back half of P and B macroblock decoding. Returns the
+    updated QP."""
+    px, py = mb_x * 16, mb_y * 16
+    cx, cy = mb_x * 8, mb_y * 8
+    bx4, by4 = mb_x * 4, mb_y * 4
     cbp_code = r.ue()
     if cbp_code >= 48:
         raise ValueError("invalid coded_block_pattern")
@@ -2364,6 +2700,260 @@ def _decode_inter_mb(r, mb_type, mb_x, mb_y, ref, y_p, cb_p, cr_p,
             plane[cy + by * 4:cy + by * 4 + 4, cx + bx * 4:cx + bx * 4 + 4] = \
                 _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
     return qp
+
+
+# ---------------------------------------------------------------------------
+# B slices (8.4.1.2): two reference lists, direct modes, bi-prediction
+# ---------------------------------------------------------------------------
+
+# Table 7-14 (B macroblock types 0..22): shape + per-partition list mode
+# (1 = Pred_L0, 2 = Pred_L1, 3 = BiPred); 23+ are intra offset by 23.
+_B_MBTYPE: Dict[int, Tuple[str, Tuple[int, ...]]] = {
+    0: ("direct", ()),
+    1: ("16x16", (1,)), 2: ("16x16", (2,)), 3: ("16x16", (3,)),
+    4: ("16x8", (1, 1)), 5: ("8x16", (1, 1)),
+    6: ("16x8", (2, 2)), 7: ("8x16", (2, 2)),
+    8: ("16x8", (1, 2)), 9: ("8x16", (1, 2)),
+    10: ("16x8", (2, 1)), 11: ("8x16", (2, 1)),
+    12: ("16x8", (1, 3)), 13: ("8x16", (1, 3)),
+    14: ("16x8", (2, 3)), 15: ("8x16", (2, 3)),
+    16: ("16x8", (3, 1)), 17: ("8x16", (3, 1)),
+    18: ("16x8", (3, 2)), 19: ("8x16", (3, 2)),
+    20: ("16x8", (3, 3)), 21: ("8x16", (3, 3)),
+    22: ("8x8", ()),
+}
+_B_MBTYPE_INV = {(shape, modes): t for t, (shape, modes) in _B_MBTYPE.items()
+                 if shape in ("16x16", "16x8", "8x16")}
+# partition geometry by shape (4x4-block units), with the 8.4.1.3
+# directional-rule tags
+_B_PART_GEOM = {
+    "16x16": [(0, 0, 4, 4, None)],
+    "16x8": [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+    "8x16": [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+}
+
+# Table 7-18 (B sub_mb_type 0..12): sub-partition geometry + list mode;
+# 0 is B_Direct_8x8 (no motion syntax).
+_B_SUB: Dict[int, Tuple[List[Tuple[int, int, int, int]], int]] = {
+    1: ([(0, 0, 2, 2)], 1), 2: ([(0, 0, 2, 2)], 2), 3: ([(0, 0, 2, 2)], 3),
+    4: ([(0, 0, 2, 1), (0, 1, 2, 1)], 1),
+    5: ([(0, 0, 1, 2), (1, 0, 1, 2)], 1),
+    6: ([(0, 0, 2, 1), (0, 1, 2, 1)], 2),
+    7: ([(0, 0, 1, 2), (1, 0, 1, 2)], 2),
+    8: ([(0, 0, 2, 1), (0, 1, 2, 1)], 3),
+    9: ([(0, 0, 1, 2), (1, 0, 1, 2)], 3),
+    10: ([(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)], 1),
+    11: ([(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)], 2),
+    12: ([(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)], 3),
+}
+
+
+def _div_to_zero(a: int, b: int) -> int:
+    """Integer division truncating toward zero (the spec's '/')."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def temporal_direct_scale(poc_cur: int, poc_l0: int, poc_l1: int,
+                          mv_col: Tuple[int, int]):
+    """8.4.1.2.3 fixed-point co-located MV scaling: returns
+    (mvL0, mvL1) for one direct block given the three picture order
+    counts and the co-located picture's list-0 motion vector."""
+    td = _clip3(-128, 127, poc_l1 - poc_l0)
+    if td == 0:
+        return mv_col, (0, 0)
+    tb = _clip3(-128, 127, poc_cur - poc_l0)
+    tx = _div_to_zero(16384 + abs(td) // 2, td)
+    dsf = _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    mv0 = ((dsf * mv_col[0] + 128) >> 8, (dsf * mv_col[1] + 128) >> 8)
+    return mv0, (mv0[0] - mv_col[0], mv0[1] - mv_col[1])
+
+
+def _direct_parts(bctx, mv_g0, ref_g0, mv_g1, ref_g1, bx4, by4,
+                  quads=(0, 1, 2, 3)):
+    """Direct-mode motion (8.4.1.2) for the requested 8x8 quadrants of
+    the MB whose top-left 4x4 is (bx4, by4). Returns a list of
+    (ox4, oy4, w4, h4, mv0 | None, mv1 | None) parts (offsets relative
+    to the MB). With direct_8x8_inference the unit is the 8x8 quadrant
+    sampling its outer-corner co-located block; without it, each 4x4
+    uses its own co-located block."""
+    col_mv, col_ref = bctx["col_mv"], bctx["col_ref"]
+    spatial = bctx["spatial"]
+    infer8 = bctx["direct_8x8"]
+
+    sp_ref0 = sp_ref1 = -1
+    sp_mv0 = sp_mv1 = (0, 0)
+    if spatial:
+        # MB-level refs (minPositive over A/B/C) + list-wise median MVs
+        for mv_g, ref_g, which in ((mv_g0, ref_g0, 0), (mv_g1, ref_g1, 1)):
+            a = _mv_nbr(mv_g, ref_g, bx4 - 1, by4)
+            b = _mv_nbr(mv_g, ref_g, bx4, by4 - 1)
+            c = _mv_nbr(mv_g, ref_g, bx4 + 4, by4 - 1)
+            if c is None:
+                c = _mv_nbr(mv_g, ref_g, bx4 - 1, by4 - 1)
+            has_ref = any(n is not None and n[2] >= 0 for n in (a, b, c))
+            if which == 0:
+                sp_ref0 = 0 if has_ref else -1
+                if has_ref:
+                    sp_mv0 = mv_predict(mv_g, ref_g, bx4, by4, 4, 4)
+            else:
+                sp_ref1 = 0 if has_ref else -1
+                if has_ref:
+                    sp_mv1 = mv_predict(mv_g, ref_g, bx4, by4, 4, 4)
+        if sp_ref0 < 0 and sp_ref1 < 0:
+            # directZeroPredictionFlag: bi-predict with zero motion
+            sp_ref0 = sp_ref1 = 0
+            sp_mv0 = sp_mv1 = (0, 0)
+
+    def col_block(gx, gy):
+        rc = int(col_ref[gy, gx])
+        mvc = ((int(col_mv[gy, gx, 0]), int(col_mv[gy, gx, 1]))
+               if rc >= 0 else (0, 0))
+        return rc, mvc
+
+    parts = []
+    for q in quads:
+        qx, qy = (q % 2) * 2, (q // 2) * 2
+        units = ([(qx, qy, 2, 2, (3 if qx else 0), (3 if qy else 0))]
+                 if infer8 else
+                 [(qx + ux, qy + uy, 1, 1, qx + ux, qy + uy)
+                  for uy in (0, 1) for ux in (0, 1)])
+        for ox, oy, w4, h4, cx_off, cy_off in units:
+            rc, mvc = col_block(bx4 + cx_off, by4 + cy_off)
+            if spatial:
+                col_zero = rc == 0 and abs(mvc[0]) <= 1 and abs(mvc[1]) <= 1
+                mv0 = ((0, 0) if col_zero else sp_mv0) if sp_ref0 >= 0 else None
+                mv1 = ((0, 0) if col_zero else sp_mv1) if sp_ref1 >= 0 else None
+            else:
+                mv0, mv1 = temporal_direct_scale(
+                    bctx["poc_cur"], bctx["poc_l0"], bctx["poc_l1"], mvc)
+            parts.append((ox, oy, w4, h4, mv0, mv1))
+    return parts
+
+
+def _inter_pred_mb_b(bctx, px, py, parts):
+    """(16x16 luma, 8x8 cb, 8x8 cr) prediction for B partitions
+    (ox4, oy4, w4, h4, mv0 | None, mv1 | None): single-list MC or the
+    8.4.2.3 rounded average of the two list predictions."""
+    pred_y = np.zeros((16, 16), dtype=np.int64)
+    pred_cb = np.zeros((8, 8), dtype=np.int64)
+    pred_cr = np.zeros((8, 8), dtype=np.int64)
+    for ox, oy, w4, h4, mv0, mv1 in parts:
+        acc = None
+        n = 0
+        for mv, planes in ((mv0, bctx["l0"]), (mv1, bctx["l1"])):
+            if mv is None:
+                continue
+            ry, rcb, rcr = planes
+            py_ = interp_luma(ry, px + ox * 4, py + oy * 4, mv[0], mv[1],
+                              w4 * 4, h4 * 4)
+            pcb = interp_chroma(rcb, px // 2 + ox * 2, py // 2 + oy * 2,
+                                mv[0], mv[1], w4 * 2, h4 * 2)
+            pcr = interp_chroma(rcr, px // 2 + ox * 2, py // 2 + oy * 2,
+                                mv[0], mv[1], w4 * 2, h4 * 2)
+            if acc is None:
+                acc = [py_.astype(np.int64), pcb.astype(np.int64),
+                       pcr.astype(np.int64)]
+            else:
+                acc = [acc[0] + py_, acc[1] + pcb, acc[2] + pcr]
+            n += 1
+        if acc is None:
+            raise ValueError("B partition with no prediction list")
+        if n == 2:
+            acc = [(a + 1) >> 1 for a in acc]
+        pred_y[oy * 4:(oy + h4) * 4, ox * 4:(ox + w4) * 4] = acc[0]
+        pred_cb[oy * 2:(oy + h4) * 2, ox * 2:(ox + w4) * 2] = acc[1]
+        pred_cr[oy * 2:(oy + h4) * 2, ox * 2:(ox + w4) * 2] = acc[2]
+    return pred_y, pred_cb, pred_cr
+
+
+def _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1, bx, by, w4, h4, mv0, mv1):
+    """Record one B partition's motion in both list grids (ref -1 with
+    zero motion marks 'decoded, list unused')."""
+    for mv, mv_g, ref_g in ((mv0, mv_g0, ref_g0), (mv1, mv_g1, ref_g1)):
+        if mv is None:
+            mv_g[by:by + h4, bx:bx + w4] = 0
+            ref_g[by:by + h4, bx:bx + w4] = -1
+        else:
+            mv_g[by:by + h4, bx:bx + w4, 0] = mv[0]
+            mv_g[by:by + h4, bx:bx + w4, 1] = mv[1]
+            ref_g[by:by + h4, bx:bx + w4] = 0
+
+
+def _decode_b_mb(r, mb_type, mb_x, mb_y, bctx, y_p, cb_p, cr_p,
+                 tc_y, tc_cb, tc_cr, mv_g0, ref_g0, mv_g1, ref_g1,
+                 pps, qp):
+    """One B macroblock (types 0..22): direct / list / bi partitions
+    with the grouped mvd_l0-then-mvd_l1 syntax order, then the shared
+    inter residual tail. Returns the updated QP."""
+    px, py = mb_x * 16, mb_y * 16
+    bx4, by4 = mb_x * 4, mb_y * 4
+    shape, modes = _B_MBTYPE[mb_type]
+    parts = []
+    if shape == "direct":
+        parts = _direct_parts(bctx, mv_g0, ref_g0, mv_g1, ref_g1, bx4, by4)
+        for ox, oy, w4, h4, mv0, mv1 in parts:
+            _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                        bx4 + ox, by4 + oy, w4, h4, mv0, mv1)
+    elif shape == "8x8":
+        subs = [r.ue() for _ in range(4)]
+        if any(t > 12 for t in subs):
+            raise ValueError("invalid B sub_mb_type")
+        # grouped syntax: all mvd_l0 in sub-partition order, then mvd_l1
+        mvds = {0: [], 1: []}
+        for lst in (0, 1):
+            for i8 in range(4):
+                if subs[i8] == 0:
+                    continue
+                geom, mode = _B_SUB[subs[i8]]
+                if mode & (1 << lst):
+                    for _ in geom:
+                        mvds[lst].append((r.se(), r.se()))
+        it0, it1 = iter(mvds[0]), iter(mvds[1])
+        for i8 in range(4):
+            sx, sy = (i8 % 2) * 2, (i8 // 2) * 2
+            if subs[i8] == 0:  # B_Direct_8x8
+                dparts = _direct_parts(bctx, mv_g0, ref_g0, mv_g1, ref_g1,
+                                       bx4, by4, quads=(i8,))
+                for ox, oy, w4, h4, mv0, mv1 in dparts:
+                    _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                                bx4 + ox, by4 + oy, w4, h4, mv0, mv1)
+                    parts.append((ox, oy, w4, h4, mv0, mv1))
+                continue
+            geom, mode = _B_SUB[subs[i8]]
+            for ox, oy, w4, h4 in geom:
+                gx, gy = bx4 + sx + ox, by4 + sy + oy
+                mv0 = mv1 = None
+                if mode & 1:
+                    mvp = mv_predict(mv_g0, ref_g0, gx, gy, w4, h4)
+                    d = next(it0)
+                    mv0 = (mvp[0] + d[0], mvp[1] + d[1])
+                if mode & 2:
+                    mvp = mv_predict(mv_g1, ref_g1, gx, gy, w4, h4)
+                    d = next(it1)
+                    mv1 = (mvp[0] + d[0], mvp[1] + d[1])
+                _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                            gx, gy, w4, h4, mv0, mv1)
+                parts.append((sx + ox, sy + oy, w4, h4, mv0, mv1))
+    else:
+        geom = _B_PART_GEOM[shape]
+        mvd0 = [(r.se(), r.se()) if m & 1 else None for m in modes]
+        mvd1 = [(r.se(), r.se()) if m & 2 else None for m in modes]
+        for (ox, oy, w4, h4, tag), d0, d1 in zip(geom, mvd0, mvd1):
+            gx, gy = bx4 + ox, by4 + oy
+            mv0 = mv1 = None
+            if d0 is not None:
+                mvp = mv_predict(mv_g0, ref_g0, gx, gy, w4, h4, tag)
+                mv0 = (mvp[0] + d0[0], mvp[1] + d0[1])
+            if d1 is not None:
+                mvp = mv_predict(mv_g1, ref_g1, gx, gy, w4, h4, tag)
+                mv1 = (mvp[0] + d1[0], mvp[1] + d1[1])
+            _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1, gx, gy, w4, h4,
+                        mv0, mv1)
+            parts.append((ox, oy, w4, h4, mv0, mv1))
+    pr_y, pr_cb, pr_cr = _inter_pred_mb_b(bctx, px, py, parts)
+    return _decode_inter_tail(r, pr_y, pr_cb, pr_cr, mb_x, mb_y,
+                              y_p, cb_p, cr_p, tc_y, tc_cb, tc_cr, pps, qp)
 
 
 # ---------------------------------------------------------------------------
@@ -2693,10 +3283,11 @@ def _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y):
 
 def _write_intra_mb_in_p(w, choose, recon, scb, scr, mb_x, mb_y,
                          y_p, cb_p, cr_p, tc_y, tc_cb, tc_cr, i4_modes,
-                         qp, chroma_qp_offset):
-    """Emit an intra macroblock inside a P slice: identical syntax to
-    the I-slice path except mb_type rides offset by +5 (Table 7-10) and
-    mb_qp_delta is always 0 here (the P encoder keeps one slice QP)."""
+                         qp, chroma_qp_offset, type_offset=5):
+    """Emit an intra macroblock inside an inter slice: identical syntax
+    to the I-slice path except mb_type rides offset by +5 in P slices /
+    +23 in B slices (Table 7-10/7-14) and mb_qp_delta is always 0 here
+    (the inter encoders keep one slice QP)."""
     px, py = mb_x * 16, mb_y * 16
     cx, cy = mb_x * 8, mb_y * 8
     qpc = chroma_qp(qp, chroma_qp_offset)
@@ -2705,7 +3296,7 @@ def _write_intra_mb_in_p(w, choose, recon, scb, scr, mb_x, mb_y,
     cbp_luma = choose["cbp_luma"]
     if choose["kind"] == "I16":
         mb_type = 1 + choose["mode"] + 4 * cbp_chroma + (12 if cbp_luma else 0)
-        w.ue(5 + mb_type)
+        w.ue(type_offset + mb_type)
         w.ue(ch["mode"])
         w.se(0)  # mb_qp_delta
         nc = _nc_from_grid(tc_y, mb_x * 4, mb_y * 4)
@@ -2720,7 +3311,7 @@ def _write_intra_mb_in_p(w, choose, recon, scb, scr, mb_x, mb_y,
             else:
                 tc_y[by4, bx4] = 0
     else:
-        w.ue(5 + 0)  # I_4x4 in a P slice
+        w.ue(type_offset + 0)  # I_4x4 in an inter slice
         for blk in range(16):
             bx4 = mb_x * 4 + BLK4_POS[blk][0]
             by4 = mb_y * 4 + BLK4_POS[blk][1]
@@ -2769,3 +3360,235 @@ def _write_intra_mb_in_p(w, choose, recon, scb, scr, mb_x, mb_y,
                 grid[by2, bx2] = 0
     y_p[py:py + 16, px:px + 16] = recon
     _commit_chroma(cb_p, cr_p, cx, cy, ch, qpc)
+
+
+# ---------------------------------------------------------------------------
+# B-frame encoder: direct/L0/L1/Bi decisions, B_Skip, shape cadences
+# ---------------------------------------------------------------------------
+
+
+def _encode_b_picture(w: _BitsW, src_y, src_cb, src_cr, bctx, qp0: int,
+                      chroma_qp_offset: int, b_shape_every: int = 0):
+    """One B picture: B_Skip when the direct-derived residual quantizes
+    to zero, direct-vs-L0-vs-L1-vs-Bi 16x16 by reconstruction cost,
+    every ``b_shape_every`` MBs a forced partition shape (cycling a
+    mixed-list 16x8 and two B_8x8 sub-shape mixes — the decode-path
+    coverage knob, like ``p8x8_every`` for P pictures), intra fallback;
+    bit-exact in-loop reconstruction. Returns the recon planes + the
+    two-list grids deblocking needs."""
+    h16, w16 = src_y.shape
+    mb_w, mb_h = w16 // 16, h16 // 16
+    y_p = np.zeros((h16, w16), dtype=np.int64)
+    cb_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    cr_p = np.zeros((h16 // 2, w16 // 2), dtype=np.int64)
+    tc_y = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    tc_cb = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    tc_cr = np.full((mb_h * 2, mb_w * 2), -1, dtype=np.int32)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+    mv_g0 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+    ref_g0 = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
+    mv_g1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+    ref_g1 = np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int8)
+    mb_qp = np.zeros((mb_h, mb_w), dtype=np.int32)
+    qp = qp0
+    qpc = chroma_qp(qp, chroma_qp_offset)
+    ref0_y, ref1_y = bctx["l0"][0], bctx["l1"][0]
+    pending_skips = 0
+
+    def _commit_inter(mb_x, mb_y, rb):
+        px, py = mb_x * 16, mb_y * 16
+        y_p[py:py + 16, px:px + 16] = rb["recon_y"]
+        cbp_chroma = rb["ch"]["cbp_chroma"]
+        for name, plane in (("cb", cb_p), ("cr", cr_p)):
+            info = rb["ch"][name]
+            dcq = (info["dcq"] if cbp_chroma
+                   else np.zeros((2, 2), dtype=np.int64))
+            dcd = dequant_chroma_dc(dcq, qpc)
+            for blk in range(4):
+                bx, by = blk % 2, blk // 2
+                lv = (info["acq"][blk] if cbp_chroma == 2
+                      else np.zeros((4, 4), dtype=np.int64))
+                d = dequant_4x4(lv, qpc)
+                d[0, 0] = dcd[by, bx]
+                res = (inverse_transform_4x4(d) + 32) >> 6
+                plane[py // 2 + by * 4:py // 2 + by * 4 + 4,
+                      px // 2 + bx * 4:px // 2 + bx * 4 + 4] = _clip255(
+                    info["pred"][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res)
+
+    def _set_parts(bx4, by4, parts):
+        for ox, oy, w4, h4, mv0, mv1 in parts:
+            _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                        bx4 + ox, by4 + oy, w4, h4, mv0, mv1)
+
+    for mb_i in range(mb_w * mb_h):
+        mb_x, mb_y = mb_i % mb_w, mb_i // mb_w
+        px, py = mb_x * 16, mb_y * 16
+        bx4, by4 = mb_x * 4, mb_y * 4
+        sy = src_y[py:py + 16, px:px + 16]
+        scb = src_cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8]
+        scr = src_cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8]
+
+        forced = (b_shape_every
+                  and mb_i % b_shape_every == b_shape_every - 1)
+
+        # ---- direct trial (also the B_Skip test)
+        dparts = _direct_parts(bctx, mv_g0, ref_g0, mv_g1, ref_g1,
+                               bx4, by4)
+        pr_d = _inter_pred_mb_b(bctx, px, py, dparts)
+        rb_d = _inter_residual(pr_d[0], pr_d[1], pr_d[2], sy, scb, scr,
+                               qp, qpc)
+        if (not forced and rb_d["cbp_luma"] == 0
+                and rb_d["ch"]["cbp_chroma"] == 0):
+            pending_skips += 1
+            _set_parts(bx4, by4, dparts)
+            y_p[py:py + 16, px:px + 16] = rb_d["recon_y"]
+            cb_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_d[1]
+            cr_p[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = pr_d[2]
+            tc_y[by4:by4 + 4, bx4:bx4 + 4] = 0
+            tc_cb[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+            tc_cr[mb_y * 2:mb_y * 2 + 2, mb_x * 2:mb_x * 2 + 2] = 0
+            mb_qp[mb_y, mb_x] = qp
+            continue
+
+        if forced:
+            variant = (mb_i // b_shape_every) % 3
+            parts = []
+            mvds = {0: [], 1: []}
+            if variant == 0:
+                # B_L0_L1_16x8 (mb_type 8): top L0, bottom L1
+                mvp = mv_predict(mv_g0, ref_g0, bx4, by4, 4, 2, "16x8_top")
+                mv, _ = _search_mv(ref0_y, px, py, sy[:8], 16, 8, mvp, 3)
+                _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1, bx4, by4,
+                            4, 2, mv, None)
+                mvds[0].append((mv[0] - mvp[0], mv[1] - mvp[1]))
+                parts.append((0, 0, 4, 2, mv, None))
+                mvp = mv_predict(mv_g1, ref_g1, bx4, by4 + 2, 4, 2,
+                                 "16x8_bot")
+                mv, _ = _search_mv(ref1_y, px, py + 8, sy[8:], 16, 8,
+                                   mvp, 3)
+                _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1, bx4, by4 + 2,
+                            4, 2, None, mv)
+                mvds[1].append((mv[0] - mvp[0], mv[1] - mvp[1]))
+                parts.append((0, 2, 4, 2, None, mv))
+                head = [8]
+            else:
+                # B_8x8 sub-shape mixes incl. a B_Direct_8x8 quadrant
+                subs = ([0, 1, 2, 3] if variant == 1 else [5, 6, 0, 12])
+                for i8 in range(4):
+                    sx, sy8 = (i8 % 2) * 2, (i8 // 2) * 2
+                    if subs[i8] == 0:
+                        dq = _direct_parts(bctx, mv_g0, ref_g0, mv_g1,
+                                           ref_g1, bx4, by4, quads=(i8,))
+                        for ox, oy, w4, h4, mv0, mv1 in dq:
+                            _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                                        bx4 + ox, by4 + oy, w4, h4,
+                                        mv0, mv1)
+                            parts.append((ox, oy, w4, h4, mv0, mv1))
+                        continue
+                    geom, mode = _B_SUB[subs[i8]]
+                    for ox, oy, w4, h4 in geom:
+                        gx, gy = bx4 + sx + ox, by4 + sy8 + oy
+                        src_b = sy[(sy8 + oy) * 4:(sy8 + oy + h4) * 4,
+                                   (sx + ox) * 4:(sx + ox + w4) * 4]
+                        mv0 = mv1 = None
+                        if mode & 1:
+                            mvp = mv_predict(mv_g0, ref_g0, gx, gy, w4, h4)
+                            mv0, _ = _search_mv(
+                                ref0_y, px + (sx + ox) * 4,
+                                py + (sy8 + oy) * 4, src_b,
+                                w4 * 4, h4 * 4, mvp, 2)
+                            mvds[0].append((mv0[0] - mvp[0],
+                                            mv0[1] - mvp[1]))
+                        if mode & 2:
+                            mvp = mv_predict(mv_g1, ref_g1, gx, gy, w4, h4)
+                            mv1, _ = _search_mv(
+                                ref1_y, px + (sx + ox) * 4,
+                                py + (sy8 + oy) * 4, src_b,
+                                w4 * 4, h4 * 4, mvp, 2)
+                            mvds[1].append((mv1[0] - mvp[0],
+                                            mv1[1] - mvp[1]))
+                        _set_b_part(mv_g0, ref_g0, mv_g1, ref_g1,
+                                    gx, gy, w4, h4, mv0, mv1)
+                        parts.append((sx + ox, sy8 + oy, w4, h4, mv0, mv1))
+                head = [22] + subs
+            pr = _inter_pred_mb_b(bctx, px, py, parts)
+            rb = _inter_residual(pr[0], pr[1], pr[2], sy, scb, scr,
+                                 qp, qpc)
+            w.ue(pending_skips)
+            pending_skips = 0
+            for v in head:
+                w.ue(v)
+            for lst in (0, 1):
+                for dx, dy in mvds[lst]:
+                    w.se(dx)
+                    w.se(dy)
+            _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y)
+            _commit_inter(mb_x, mb_y, rb)
+            mb_qp[mb_y, mb_x] = qp
+            continue
+
+        # ---- 16x16 trials: direct-with-residual vs L0 vs L1 vs Bi.
+        # Grids must stay untouched until the winner is committed, so
+        # predictors here are MB-entry state (legal: partition 0 of a
+        # 16x16 MB only sees neighbor MBs).
+        mvp0 = mv_predict(mv_g0, ref_g0, bx4, by4, 4, 4)
+        mv0, _ = _search_mv(ref0_y, px, py, sy, 16, 16, mvp0)
+        mvp1 = mv_predict(mv_g1, ref_g1, bx4, by4, 4, 4)
+        mv1, _ = _search_mv(ref1_y, px, py, sy, 16, 16, mvp1)
+        trials = [(0, dparts, rb_d, 0)]
+        for mb_type, mvpair, nmvd in (
+            (1, (mv0, None), 1), (2, (None, mv1), 1), (3, (mv0, mv1), 2)
+        ):
+            tparts = [(0, 0, 4, 4, mvpair[0], mvpair[1])]
+            pr = _inter_pred_mb_b(bctx, px, py, tparts)
+            rb = _inter_residual(pr[0], pr[1], pr[2], sy, scb, scr,
+                                 qp, qpc)
+            trials.append((mb_type, tparts, rb, nmvd))
+        best = min(trials,
+                   key=lambda t: t[2]["ssd_y"] + 24 * t[2]["ncoef"]
+                   + 16 * t[3])
+        best_cost = (best[2]["ssd_y"] + 24 * best[2]["ncoef"]
+                     + 16 * best[3])
+
+        # ---- intra fallback (scene content absent from both refs)
+        i16, recon16, score16 = _encode_luma_i16(y_p, px, py, sy, qp)
+        if score16 < best_cost:
+            i4, recon4, score4 = _encode_luma_i4(
+                y_p, px, py, sy, qp, mb_w, w16, h16, i4_modes, tc_y,
+                mb_x, mb_y)
+            choose = i16 if score16 <= score4 else i4
+            recon = recon16 if choose is i16 else recon4
+            if min(score16, score4) < best_cost:
+                w.ue(pending_skips)
+                pending_skips = 0
+                _write_intra_mb_in_p(
+                    w, choose, recon, scb, scr, mb_x, mb_y, y_p, cb_p,
+                    cr_p, tc_y, tc_cb, tc_cr, i4_modes, qp,
+                    chroma_qp_offset, type_offset=23)
+                for g in (mv_g0, mv_g1):
+                    g[by4:by4 + 4, bx4:bx4 + 4] = 0
+                for g in (ref_g0, ref_g1):
+                    g[by4:by4 + 4, bx4:bx4 + 4] = -1
+                mb_qp[mb_y, mb_x] = qp
+                continue
+
+        mb_type, parts, rb, _ = best
+        w.ue(pending_skips)
+        pending_skips = 0
+        w.ue(mb_type)
+        if mb_type != 0:
+            (_, _, _, _, pmv0, pmv1) = parts[0]
+            if pmv0 is not None:
+                w.se(pmv0[0] - mvp0[0])
+                w.se(pmv0[1] - mvp0[1])
+            if pmv1 is not None:
+                w.se(pmv1[0] - mvp1[0])
+                w.se(pmv1[1] - mvp1[1])
+        _set_parts(bx4, by4, parts)
+        _write_inter_residual(w, rb, tc_y, tc_cb, tc_cr, mb_x, mb_y)
+        _commit_inter(mb_x, mb_y, rb)
+        mb_qp[mb_y, mb_x] = qp
+
+    if pending_skips:
+        w.ue(pending_skips)
+    return y_p, cb_p, cr_p, mb_qp, mv_g0, ref_g0, mv_g1, ref_g1, tc_y

@@ -9,13 +9,13 @@ provides fixtures (``encode_avi`` writes spec-shaped RIFF/hdrl/movi/idx1
 structure from our own JPEG/DIB encodings, so decode tests are
 round-trip byte-exact with zero native deps). H.264 rides in AVI too
 (``codec='h264'``: one Annex B access unit per chunk, decoded by the
-in-repo baseline I+P codec, ``h264.py``), and MP4/ISO-BMFF payloads —
+in-repo baseline I+P+B codec, ``h264.py``), and MP4/ISO-BMFF payloads —
 the container virtually all real web video ships in — are sniffed by
 their ``ftyp`` box and demuxed by ``mp4.py`` (box walk, sample tables,
-avcC, AVCC->Annex B) into the same H.264 decode. B slices plus VP9/AV1
-genuinely need native libs and stay behind the declared stub; at scale
-the ``native_image_backend``-style seam applies — a production
-deployment plugs PyAV/ffmpeg in ahead of this decoder.
+avcC, AVCC->Annex B) into the same H.264 decode. CABAC/high profiles
+plus VP9/AV1 genuinely need native libs and stay behind the declared
+stub; at scale the ``native_image_backend``-style seam applies — a
+production deployment plugs PyAV/ffmpeg in ahead of this decoder.
 
 Reference parity note: the reference engine has no media codecs at all
 (it is an HTML->markdown crawler); this module is part of the

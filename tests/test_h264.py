@@ -247,11 +247,18 @@ def test_cabac_pps_raises():
 def test_unsupported_slices_raise():
     w = H._BitsW()
     w.ue(0)  # first_mb_in_slice
-    w.ue(1)  # slice_type B
+    w.ue(3)  # slice_type SP
     w.ue(0)
     w.trailing()
     with pytest.raises(ValueError, match="unsupported slice type"):
         H.decode_h264(_sps_pps_prefix() + H._nal(3, 1, w.bytes_out()))
+    w = H._BitsW()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(1)  # slice_type B — but the prefix SPS is pic_order_cnt_type 2
+    w.ue(0)
+    w.trailing()
+    with pytest.raises(ValueError, match="pic_order_cnt_type 0"):
+        H.decode_h264(_sps_pps_prefix() + H._nal(0, 1, w.bytes_out()))
     w = H._BitsW()
     w.ue(0)
     w.ue(0)  # slice_type P — but no reference picture decoded yet
@@ -498,3 +505,163 @@ def test_gop_with_crop_and_deblock_mirror():
     for f1, f2 in zip(dec, rec):
         for a, b in zip(f1, f2):
             np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# B slices: bi-prediction, direct modes, reordering, skip, boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_direct_scaling_closed_form():
+    # poc 0 (L0) .. cur 2 .. 4 (L1): tb=2, td=4 -> tx=4096, dsf=128,
+    # mvL0 = (mvCol + 1) >> 1 (rounded), mvL1 = mvL0 - mvCol (8.4.1.2.3)
+    mv0, mv1 = H.temporal_direct_scale(2, 0, 4, (6, -2))
+    assert mv0 == (3, -1) and mv1 == (-3, 1)
+    # asymmetric distances: cur 4 of 0..6 -> dsf = (4/6 scale) 170
+    mv0, mv1 = H.temporal_direct_scale(4, 0, 6, (12, 9))
+    tx = (16384 + 3) // 6
+    dsf = (4 * tx + 32) >> 6
+    assert mv0 == ((dsf * 12 + 128) >> 8, (dsf * 9 + 128) >> 8)
+    assert mv1 == (mv0[0] - 12, mv0[1] - 9)
+    # td == 0 degenerate: co-located motion passes through
+    assert H.temporal_direct_scale(2, 4, 4, (5, 5)) == ((5, 5), (0, 0))
+
+
+def test_b_frames_decode_equals_reconstruction():
+    frames = _scene(9)
+    for kwargs in (
+        {"b_frames": 1, "gop": 9},
+        {"b_frames": 2, "gop": 9, "deblock": True},
+        {"b_frames": 2, "gop": 9, "direct_spatial": True},
+        {"b_frames": 2, "gop": 9, "b_shape_every": 2},          # 16x8+B_8x8
+        {"b_frames": 2, "gop": 9, "b_shape_every": 2,
+         "direct_spatial": True, "deblock": True},
+        {"b_frames": 2, "gop": 4, "deblock": True},             # multi-GOP
+        {"b_frames": 3, "gop": 9, "pcm_every": 4},              # PCM + P_8x8
+    ):
+        bs = H.encode_h264(frames, qp=28, **kwargs)
+        dec, _ = H.decode_h264(bs)
+        rec = H.encode_h264_reconstruction(frames, qp=28, **kwargs)
+        assert len(dec) == len(frames)
+        for f1, f2 in zip(dec, rec):
+            for a, b in zip(f1, f2):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_b_stream_structure_and_display_reordering():
+    # constant-color frames pin display order by content
+    colors = [(20 * i + 10, 255 - 25 * i, 40 + 13 * i) for i in range(6)]
+    frames = [np.full((32, 48, 3), c, dtype=np.uint8) for c in colors]
+    bs = H.encode_h264(frames, qp=20, gop=6, b_frames=2)
+    # decode order: IDR P B B P B B -> slice types from the NAL stream
+    kinds = []
+    for nal_type, _ref, rbsp in H.parse_annexb_nals(bs):
+        if nal_type in (1, 5):
+            r = H._Bits(rbsp)
+            r.ue()
+            kinds.append({0: "P", 1: "B", 2: "I"}[r.ue() % 5])
+    assert kinds == ["I", "P", "B", "B", "P", "B", "B"][:len(kinds)]
+    assert kinds[1] == "P" and kinds[2] == "B"  # future anchor rides first
+    # decoded output is display order: frame i matches color i
+    dec, _ = H.decode_h264(bs)
+    assert len(dec) == 6
+    for i, (y, cb, cr) in enumerate(dec):
+        ey, ecb, ecr = rgb_to_ycbcr420(frames[i])
+        assert abs(float(y.mean()) - float(ey.mean())) < 3.0, i
+
+
+def test_b_static_scene_collapses_to_skip_runs():
+    frames = [_textured(48, 64, seed=5)] * 7
+    bs = H.encode_h264(frames, qp=26, gop=7, b_frames=2)
+    sizes = {"P": [], "B": []}
+    for nal_type, ref_idc, rbsp in H.parse_annexb_nals(bs):
+        if nal_type == 1:
+            r = H._Bits(rbsp)
+            r.ue()
+            st = r.ue() % 5
+            sizes["P" if st == 0 else "B"].append(len(rbsp))
+            assert (ref_idc == 0) == (st == 1)  # Bs are non-reference
+    assert len(sizes["B"]) == 4 and len(sizes["P"]) == 2
+    assert all(sz < 16 for sz in sizes["B"])  # header + one skip run
+    dec, _ = H.decode_h264(bs)
+    for f in dec[1:]:
+        for a, b in zip(f, dec[0]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_b_modes_and_biprediction_actually_used():
+    frames = _scene(9)
+    seen_types = []
+    bi_parts = [0]
+    orig_bmb, orig_pred = H._decode_b_mb, H._inter_pred_mb_b
+
+    def spy_bmb(r, mb_type, *a, **kw):
+        seen_types.append(mb_type)
+        return orig_bmb(r, mb_type, *a, **kw)
+
+    def spy_pred(bctx, px, py, parts):
+        bi_parts[0] += sum(
+            1 for p in parts if p[4] is not None and p[5] is not None)
+        return orig_pred(bctx, px, py, parts)
+
+    H._decode_b_mb, H._inter_pred_mb_b = spy_bmb, spy_pred
+    try:
+        bs = H.encode_h264(frames, qp=30, gop=9, b_frames=2,
+                           b_shape_every=2)
+        H.decode_h264(bs)
+    finally:
+        H._decode_b_mb, H._inter_pred_mb_b = orig_bmb, orig_pred
+    assert 8 in seen_types        # mixed-list 16x8 (B_L0_L1_16x8)
+    assert 22 in seen_types       # B_8x8 with sub shapes
+    assert any(t in (1, 2, 3) for t in seen_types)  # searched 16x16 legs
+    assert bi_parts[0] > 0        # bi-prediction genuinely exercised
+
+
+def test_b_error_boundaries():
+    frames = _scene(6)
+    with pytest.raises(ValueError, match="gop"):
+        H.encode_h264(frames, qp=26, gop=0, b_frames=2)
+    # drop the future anchor: the B then has no ref on the future side
+    bs = H.encode_h264(frames, qp=26, gop=6, b_frames=2)
+    nals = H.parse_annexb_nals(bs)
+    rebuilt = bytearray()
+    for nal_type, ref_idc, rbsp in nals:
+        if nal_type == 1:
+            r = H._Bits(rbsp)
+            r.ue()
+            if r.ue() % 5 == 0:  # the P anchor
+                continue
+        rebuilt += H._nal(ref_idc, nal_type, rbsp)
+    with pytest.raises(ValueError, match="both POC sides"):
+        H.decode_h264(bytes(rebuilt))
+    # weighted biprediction is refused, not mis-decoded
+    w = H._BitsW()
+    w.ue(0); w.ue(0)
+    w.bits(0, 1); w.bits(0, 1)
+    w.ue(0); w.ue(0); w.ue(0)
+    w.bits(0, 1)
+    w.bits(2, 2)        # weighted_bipred_idc = implicit
+    w.se(0); w.se(0); w.se(0)
+    w.bits(1, 1); w.bits(0, 1); w.bits(0, 1)
+    w.trailing()
+    pps_wb = H._nal(3, 8, w.bytes_out())
+    sps = H._nal(3, 7, H._write_sps(3, 2, (0, 0, 0, 0), 25.0,
+                                    poc_type=0, max_refs=2))
+    sl = H._BitsW()
+    sl.ue(0)
+    sl.ue(6)            # B slice
+    sl.ue(0)
+    sl.trailing()
+    with pytest.raises(ValueError, match="weighted biprediction"):
+        H.decode_h264(sps + pps_wb + H._nal(0, 1, sl.bytes_out()))
+
+
+def test_b_frames_track_motion_and_compress():
+    frames = _scene(9)
+    bs_b = H.encode_h264(frames, qp=26, gop=9, b_frames=2)
+    bs_i = H.encode_h264(frames, qp=26, gop=0)
+    assert len(bs_b) < len(bs_i)  # inter + bi prediction pays
+    dec, _ = H.decode_h264(bs_b)
+    for t in (1, 2, 4, 7):  # B positions in display order
+        ey = rgb_to_ycbcr420(frames[t])[0].astype(np.int64)
+        assert np.abs(dec[t][0].astype(np.int64) - ey).mean() < 3.0, t
