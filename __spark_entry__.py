@@ -1168,9 +1168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     a power of two there, proven in tests);
         #   doc_id%3==1 ('h264p'): I_PCM macroblocks — lossless, so the
         #     sum covers luma AND both chroma planes;
-        #   doc_id%3==2 ('h264s'): a GOP of identical frames — the P
-        #     pictures collapse to mb_skip_run, exercising P_Skip MV
-        #     derivation and the skip reconstruction copy.
+        #   doc_id%3==2 ('h264s'): an I-P-B GOP of identical frames —
+        #     the P picture collapses to mb_skip_run (P_Skip MV
+        #     derivation + skip reconstruction) and the B picture to
+        #     direct-mode B_Skip (POC reference lists, temporal/spatial
+        #     direct alternating by media id, bi-prediction averaging,
+        #     POC display reordering), all closed-form exact.
         # pixel_sum = decoded luma sum (plus chroma for the PCM leg).
         h264_docs = (
             _t(spark, sf, "documents")
@@ -1199,10 +1202,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
                     variant = i % 3
                     if variant == 2:
+                        # I-P-B GOP of identical frames: P collapses to
+                        # P_Skip, B to direct-mode B_Skip — POC parsing,
+                        # two-list init, direct MV derivation (both
+                        # modes, alternating), bi-prediction averaging
+                        # and display reordering all sit on the
+                        # hash-verified path, still closed-form exact.
                         frames = [
                             np.full((h_, w_, 3), colr(0), dtype=np.uint8)
                         ] * 3
-                        bs = h264mod.encode_h264(frames, qp=28, gop=3)
+                        bs = h264mod.encode_h264(
+                            frames, qp=28, gop=3, b_frames=1,
+                            direct_spatial=bool((i // 3) % 2))
                     elif variant == 1:
                         frames = [
                             np.full((h_, w_, 3), colr(t), dtype=np.uint8)
@@ -2864,8 +2875,8 @@ def oracle_sql() -> dict[str, str]:
         )
         UNION ALL
         -- h264 leg: constant-color frames decode exactly on all three
-        -- paths (intra qp28 / I_PCM / P_Skip GOP); the oracle replays the
-        -- JFIF RGB->YCbCr rounding in closed form. 'h264p' (PCM,
+        -- paths (intra qp28 / I_PCM / P_Skip+B_Skip GOP); the oracle
+        -- replays the JFIF RGB->YCbCr rounding in closed form. 'h264p' (PCM,
         -- lossless) sums luma+chroma; the others sum luma.
         SELECT codec, media_id, width, height,
                CAST(SUM(width * height * yv
