@@ -30,9 +30,14 @@ Format facts used (public specs: ISO 14496-12 §4/8, 14496-15 §5):
   SPS/PPS arrays); ``avc3`` may carry them in-band. Samples are
   length-prefixed NALs (AVCC), NOT Annex B.
 - ``stss`` lists sync samples (1-based); absent means all-sync.
-- ``stts`` gives decode deltas in mdhd-timescale ticks; our encoder
-  has no B pictures so ``ctts`` is identity and tolerated-but-ignored
-  on parse (decode order == display order for baseline I/P).
+- ``stts`` gives decode deltas in mdhd-timescale ticks. B pictures are
+  stored in DECODE order; ``ctts`` carries per-sample composition-time
+  offsets (CT = DT + offset) so players recover display order. The
+  muxer writes version-0 (unsigned) ctts with the wild convention of a
+  constant shift making every offset non-negative; the demuxer parses
+  both versions and exposes the ctts-derived display permutation,
+  which for our streams must agree with (and is cross-checked against)
+  the H.264 decoder's own POC-based output reordering.
 """
 
 from __future__ import annotations
@@ -138,18 +143,23 @@ def encode_mp4(
     chunk_samples: int = 1,
     co64: bool = False,
     pcm_every: int = 0,
+    b_frames: int = 0,
+    direct_spatial: bool = False,
 ) -> bytes:
     """MP4 writer for HxWx3 uint8 RGB frames through the in-repo H.264
     encoder. ``faststart`` puts moov before mdat (the web layout);
     ``chunk_samples`` groups that many samples per chunk (exercises
-    stsc/stco resolution); ``co64`` writes 64-bit chunk offsets."""
-    from .h264 import encode_h264  # noqa: PLC0415
+    stsc/stco resolution); ``co64`` writes 64-bit chunk offsets;
+    ``b_frames`` inserts B pictures (samples land in decode order and a
+    version-0 ``ctts`` box carries the composition-time offsets)."""
+    from .h264 import _gop_encode_order, encode_h264  # noqa: PLC0415
 
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
     stream = encode_h264(list(frames), qp=qp, fps=fps, gop=gop,
-                         pcm_every=pcm_every)
+                         pcm_every=pcm_every, b_frames=b_frames,
+                         direct_spatial=direct_spatial)
     param_sets, samples, sync = _split_access_units(stream)
     sps_nals = [n for n in param_sets if (n[0] & 0x1F) == 7]
     pps_nals = [n for n in param_sets if (n[0] & 0x1F) == 8]
@@ -181,6 +191,27 @@ def encode_mp4(
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
     delta = int(round(MP4_TIMESCALE / fps))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, len(samples), delta))
+    ctts = b""
+    if b_frames:
+        # composition offsets: sample k (decode order) displays at
+        # disp[k]*delta; version-0 ctts is unsigned, so shift by the
+        # worst CT<DT gap (the convention old muxers use)
+        disp = [d for d, _ in _gop_encode_order(len(frames), gop, b_frames)]
+        shift = max(k - d for k, d in enumerate(disp))
+        offs = [(d - k + shift) * delta for k, d in enumerate(disp)]
+        runs2: List[List[int]] = []
+        for off in offs:
+            if runs2 and runs2[-1][1] == off:
+                runs2[-1][0] += 1
+            else:
+                runs2.append([1, off])
+        ctts = _full(
+            b"ctts",
+            0,
+            0,
+            struct.pack(">I", len(runs2))
+            + b"".join(struct.pack(">II", c, o) for c, o in runs2),
+        )
     n_chunks = (len(samples) + chunk_samples - 1) // chunk_samples
     # a short final chunk needs its own stsc run (samples_per_chunk is
     # uniform within a run per 14496-12 §8.7.4)
@@ -240,7 +271,7 @@ def encode_mp4(
     duration = delta * len(samples)
 
     def build_moov(stco: bytes) -> bytes:
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
         dinf = _box(
             b"dinf",
             _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")),
@@ -345,8 +376,32 @@ def _parse_stbl(buf: bytes, s: int, e: int) -> dict:
                 struct.unpack_from(">I", buf, bs + 8 + 4 * i)[0] - 1
                 for i in range(n)
             ]
-        # ctts tolerated-but-ignored: baseline I/P decode order == display
+        elif typ == b"ctts":
+            version = buf[bs]
+            fmt = ">Ii" if version == 1 else ">II"  # v1 offsets are signed
+            (n,) = struct.unpack_from(">I", buf, bs + 4)
+            out["ctts"] = [
+                struct.unpack_from(fmt, buf, bs + 8 + 8 * i)
+                for i in range(n)
+            ]
     return out
+
+
+def _display_order(stbl: dict, n_samples: int) -> List[int]:
+    """Display permutation from ctts: sample k's composition time is
+    DT_k + offset_k with uniform decode deltas; the argsort by CT (ties
+    by decode order) maps display position -> decode index. Without a
+    ctts box decode order IS display order."""
+    runs = stbl.get("ctts")
+    if not runs:
+        return list(range(n_samples))
+    offs: List[int] = []
+    for count, off in runs:
+        offs.extend([off] * count)
+    offs = (offs + [0] * n_samples)[:n_samples]  # clamp foreign mismatch
+    deltas = stbl.get("stts") or [(n_samples, 1)]
+    delta = max(deltas[0][1], 1)
+    return sorted(range(n_samples), key=lambda k: (k * delta + offs[k], k))
 
 
 def _resolve_sample_ranges(stbl: dict, file_len: int) -> List[Tuple[int, int]]:
@@ -480,6 +535,7 @@ def parse_mp4(payload: bytes) -> dict:
             "n_frames": len(frames),
             "frames": frames,
             "sync": sync,
+            "display_order": _display_order(stbl, len(frames)),
         }
     raise ValueError("no video track in MP4")
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from markdown_lab_spark.functions import h264, mp4
 from markdown_lab_spark.functions.codecs import decode_png
 from markdown_lab_spark.functions.h264 import decode_h264, encode_h264
 from markdown_lab_spark.functions.mp4 import (
@@ -152,3 +153,40 @@ def test_spark_sampling_dispatches_mp4(spark):
         np.testing.assert_array_equal(
             px, ycbcr420_to_rgb(*pics[r["frame_index"]])
         )
+
+
+def test_mp4_b_frames_ctts_roundtrip():
+    """B-frame MP4: samples land in decode order, a version-0 ctts box
+    carries composition offsets, and the ctts-derived display
+    permutation agrees with the H.264 decoder's POC-based reordering;
+    decoded frames stay bit-equal to the encoder reconstruction."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    frames = [np.ascontiguousarray(np.roll(base, 2 * t, axis=1))[:32, :48]
+              for t in range(6)]
+    for fast, co, spatial in ((False, False, False), (True, True, True)):
+        pay = mp4.encode_mp4(frames, qp=28, gop=6, fps=30.0, b_frames=2,
+                             faststart=fast, co64=co, chunk_samples=2,
+                             direct_spatial=spatial)
+        assert b"ctts" in pay
+        info = mp4.parse_mp4(pay)
+        order = [d for d, _ in h264._gop_encode_order(6, 6, 2)]
+        assert info["display_order"] == sorted(
+            range(6), key=lambda k: order[k])
+        assert info["sync"] == [0]  # only the IDR is a sync sample
+        w, h, fps, out = mp4.decode_mp4_frames(pay)
+        assert (w, h, fps) == (48, 32, 30.0)
+        rec = h264.encode_h264_reconstruction(
+            frames, qp=28, gop=6, b_frames=2, direct_spatial=spatial)
+        assert [i for i, _ in out] == list(range(6))
+        for (_, rgb), rc in zip(out, rec):
+            np.testing.assert_array_equal(rgb, ycbcr420_to_rgb(*rc))
+
+
+def test_mp4_without_b_frames_has_identity_display_order():
+    frames = [np.full((32, 32, 3), (90, 10 * t, 200), dtype=np.uint8)
+              for t in range(4)]
+    pay = mp4.encode_mp4(frames, qp=30, gop=4)
+    assert b"ctts" not in pay
+    info = mp4.parse_mp4(pay)
+    assert info["display_order"] == [0, 1, 2, 3]
