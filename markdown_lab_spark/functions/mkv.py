@@ -1,0 +1,422 @@
+"""Real Matroska/WebM (EBML) demux for H.264 video — the second major
+web video container after MP4. Pure-stdlib EBML parsing (RFC 8794 +
+the public Matroska element registry) plus the Matroska AVC binding:
+``CodecPrivate`` carries the same avcC record MP4 uses, block payloads
+are length-prefixed (AVCC) NALs converted to Annex B and decoded by the
+in-repo H.264 codec (``h264.py``).
+
+Like the AVI/MP4 modules this ships an in-repo MUXER twin
+(``encode_mkv``) so decode tests are round-trip exact with zero native
+deps: the muxer writes a spec-shaped EBML header + Segment(Info,
+Tracks, Clusters of SimpleBlocks) from our own H.264 encodings,
+including B-frame streams (blocks land in decode order carrying their
+PRESENTATION timestamps, the Matroska convention — players, and our
+demuxer, recover display order from the timestamps).
+
+Reference parity note: the reference engine has no media codecs (it is
+an HTML->markdown crawler); this module is training-data-pipeline
+surface per the brief (frame sampling for multimodal datasets).
+Spark-side it rides the existing ``sample_video_frames`` mapInPandas
+path — MKV payloads are sniffed by the EBML magic and emit the same
+frame rows every image operator consumes.
+
+Format facts used (public specs: RFC 8794, matroska.org registry):
+- EBML varints: the number of leading zero bits before the first 1 in
+  the first byte gives the total width. Element IDs KEEP the marker
+  bit (class IDs are quoted with it, e.g. Segment = 0x18538067);
+  element SIZES strip it. An all-ones size means "unknown" (streamed
+  Segments in the wild do this) — we then parse children to the
+  buffer end.
+- The video track is the TrackEntry whose TrackType is 1; CodecID
+  ``V_MPEG4/ISO/AVC`` puts an avcC record in CodecPrivate and
+  length-prefixed NALs in block payloads.
+- SimpleBlock: track-number varint, s16 timestamp relative to the
+  Cluster Timestamp (both in TimestampScale units, default 1e6 ns),
+  flags byte (0x80 = keyframe), frame bytes. BlockGroup/Block is the
+  older equivalent (keyframe-ness = no ReferenceBlock sibling); both
+  are parsed.
+- Block timestamps are PRESENTATION times; frames are stored in
+  decode order (the H.264 ``ctts``-free convention).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .codecs import normalize_decode_errors
+
+# Matroska element IDs (with marker bits, as registered)
+_EBML = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
+_DEFAULT_DURATION = 0x23E383
+_VIDEO = 0xE0
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
+_DOCTYPE = 0x4282
+
+_NS = 1_000_000_000
+
+
+def is_mkv(payload: bytes) -> bool:
+    return payload[:4] == b"\x1a\x45\xdf\xa3"
+
+
+# ---------------------------------------------------------------------------
+# EBML primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_vint(buf: bytes, pos: int, keep_marker: bool) -> Tuple[int, int]:
+    """(value, new_pos). ``keep_marker`` for element IDs."""
+    if pos >= len(buf):
+        raise ValueError("MKV: truncated EBML varint")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("MKV: invalid EBML varint lead byte")
+    width = 9 - first.bit_length()  # leading zeros + 1
+    if pos + width > len(buf):
+        raise ValueError("MKV: truncated EBML varint")
+    v = first if keep_marker else first & ((1 << (8 - width)) - 1)
+    for i in range(1, width):
+        v = (v << 8) | buf[pos + i]
+    return v, pos + width
+
+
+def _is_unknown_size(buf: bytes, pos: int) -> bool:
+    first = buf[pos]
+    width = 9 - first.bit_length()
+    body = first & ((1 << (8 - width)) - 1)
+    if body != (1 << (8 - width)) - 1:
+        return False
+    return all(b == 0xFF for b in buf[pos + 1 : pos + width])
+
+
+# Master elements whose children are self-delimiting: a torn tail (file
+# cut mid-element) is clamped to the buffer end and the child walk stops
+# at the first partial child — the streamed-Matroska recovery convention.
+_TORN_OK = frozenset({_SEGMENT, _CLUSTER})
+
+
+def _walk(buf: bytes, pos: int, end: int) -> Iterator[Tuple[int, int, int]]:
+    """Yield (element_id, payload_start, payload_end) for EBML children;
+    unknown-size elements extend to ``end`` (master-element streaming
+    convention). Torn tails end the walk instead of raising; a torn
+    Segment/Cluster is clamped so whole children still parse."""
+    while pos < end:
+        try:
+            eid, p = _read_vint(buf, pos, keep_marker=True)
+            unknown = _is_unknown_size(buf, p)
+            size, p = _read_vint(buf, p, keep_marker=False)
+        except ValueError:
+            return
+        if unknown:
+            yield eid, p, end
+            return
+        if p + size > end:
+            if eid in _TORN_OK:
+                yield eid, p, end
+            return  # torn element ends the walk either way
+        yield eid, p, p + size
+        pos = p + size
+
+
+def _find(buf: bytes, pos: int, end: int, eid: int) -> Optional[Tuple[int, int]]:
+    for got, s, e in _walk(buf, pos, end):
+        if got == eid:
+            return s, e
+    return None
+
+
+def _uint(buf: bytes, s: int, e: int) -> int:
+    v = 0
+    for b in buf[s:e]:
+        v = (v << 8) | b
+    return v
+
+
+def _enc_vint_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _enc_vint_size(v: int) -> bytes:
+    for width in range(1, 9):
+        if v < (1 << (7 * width)) - 1:  # all-ones is reserved (unknown)
+            return ((1 << (7 * width)) | v).to_bytes(width, "big")
+    raise ValueError("EBML size too large")
+
+
+def _el(eid: int, payload: bytes) -> bytes:
+    return _enc_vint_id(eid) + _enc_vint_size(len(payload)) + payload
+
+
+def _el_uint(eid: int, v: int) -> bytes:
+    return _el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+# ---------------------------------------------------------------------------
+# muxer twin
+# ---------------------------------------------------------------------------
+
+
+def encode_mkv(
+    frames: List[np.ndarray],
+    qp: int = 26,
+    fps: float = 25.0,
+    gop: int = 0,
+    pcm_every: int = 0,
+    b_frames: int = 0,
+    direct_spatial: bool = False,
+    cluster_blocks: int = 0,
+    use_block_groups: bool = False,
+) -> bytes:
+    """Matroska writer for HxWx3 uint8 RGB frames through the in-repo
+    H.264 encoder. Blocks are written in DECODE order carrying their
+    presentation timestamps (the Matroska convention for B streams).
+    ``cluster_blocks`` starts a new Cluster every that many blocks
+    (0 = one cluster); ``use_block_groups`` writes the older
+    BlockGroup/Block (+ReferenceBlock on non-keyframes) form instead
+    of SimpleBlocks."""
+    from .h264 import _gop_encode_order, encode_h264  # noqa: PLC0415
+    from .mp4 import _split_access_units  # noqa: PLC0415
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    stream = encode_h264(list(frames), qp=qp, fps=fps, gop=gop,
+                         pcm_every=pcm_every, b_frames=b_frames,
+                         direct_spatial=direct_spatial)
+    param_sets, samples, sync = _split_access_units(stream)
+    sps_nals = [n for n in param_sets if (n[0] & 0x1F) == 7]
+    pps_nals = [n for n in param_sets if (n[0] & 0x1F) == 8]
+    sps = sps_nals[0]
+    avcc = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3])
+        + bytes([0xE0 | len(sps_nals)])
+        + b"".join(struct.pack(">H", len(n)) + n for n in sps_nals)
+        + bytes([len(pps_nals)])
+        + b"".join(struct.pack(">H", len(n)) + n for n in pps_nals)
+    )
+    frame_ns = int(round(_NS / fps))
+    if b_frames:
+        disp = [d for d, _ in _gop_encode_order(len(frames), gop, b_frames)]
+    else:
+        disp = list(range(len(samples)))
+    pts_ms = [d * frame_ns // 1_000_000 for d in disp]  # scale=1e6 units
+
+    ebml = _el(_EBML, b"".join((
+        _el_uint(0x4286, 1),        # EBMLVersion
+        _el_uint(0x42F7, 1),        # EBMLReadVersion
+        _el_uint(0x42F2, 4),        # EBMLMaxIDLength
+        _el_uint(0x42F3, 8),        # EBMLMaxSizeLength
+        _el(_DOCTYPE, b"matroska"),
+        _el_uint(0x4287, 4),        # DocTypeVersion
+        _el_uint(0x4285, 2),        # DocTypeReadVersion
+    )))
+    info = _el(_INFO, b"".join((
+        _el_uint(_TIMESTAMP_SCALE, 1_000_000),
+        _el(0x4D80, b"markdown_lab_spark"),   # MuxingApp
+        _el(0x5741, b"markdown_lab_spark"),   # WritingApp
+    )))
+    tracks = _el(_TRACKS, _el(_TRACK_ENTRY, b"".join((
+        _el_uint(_TRACK_NUMBER, 1),
+        _el_uint(0x73C5, 1),                  # TrackUID
+        _el_uint(_TRACK_TYPE, 1),             # video
+        _el(_CODEC_ID, b"V_MPEG4/ISO/AVC"),
+        _el(_CODEC_PRIVATE, avcc),
+        _el_uint(_DEFAULT_DURATION, frame_ns),
+        _el(_VIDEO, _el_uint(_PIXEL_WIDTH, w) + _el_uint(_PIXEL_HEIGHT, h)),
+    ))))
+
+    per = cluster_blocks if cluster_blocks > 0 else len(samples)
+    clusters = b""
+    for c0 in range(0, len(samples), per):
+        chunk = list(range(c0, min(c0 + per, len(samples))))
+        base = min(pts_ms[k] for k in chunk)
+        body = _el_uint(_CLUSTER_TS, base)
+        for k in chunk:
+            rel = pts_ms[k] - base
+            key = k in sync
+            blk = (b"\x81" + struct.pack(">h", rel)
+                   + bytes([0x80 if (key and not use_block_groups) else 0])
+                   + samples[k])
+            if use_block_groups:
+                grp = _el(_BLOCK, blk)
+                if not key:
+                    grp += _el(_REFERENCE_BLOCK, b"\xff")  # prior ref
+                body += _el(_BLOCK_GROUP, grp)
+            else:
+                body += _el(_SIMPLE_BLOCK, blk)
+        clusters += _el(_CLUSTER, body)
+    return ebml + _el(_SEGMENT, info + tracks + clusters)
+
+
+# ---------------------------------------------------------------------------
+# demux
+# ---------------------------------------------------------------------------
+
+
+@normalize_decode_errors("MKV")
+def parse_mkv(payload: bytes) -> dict:
+    """Container metadata + per-block Annex B byte strings for the
+    first video track, in stored (decode) order: ``{width, height,
+    fps_num, fps_den, codec, n_frames, frames, sync, display_order}``.
+    ``frames[0]`` is prefixed with the CodecPrivate parameter sets so
+    the concatenation is a decodable Annex B stream."""
+    from .h264 import _ebsp_to_rbsp, _parse_sps  # noqa: PLC0415
+    from .mp4 import _avcc_sample_to_annexb, _parse_avcc  # noqa: PLC0415
+
+    if not is_mkv(payload):
+        raise ValueError("MKV: not a Matroska file")
+    head = _find(payload, 0, len(payload), _EBML)
+    if head is None:
+        raise ValueError("MKV: missing EBML header")
+    doctype = _find(payload, head[0], head[1], _DOCTYPE)
+    if doctype is not None:
+        dt = payload[doctype[0] : doctype[1]]
+        if dt not in (b"matroska", b"webm"):
+            raise ValueError(f"MKV: unsupported EBML doctype {dt!r}")
+    seg = _find(payload, 0, len(payload), _SEGMENT)
+    if seg is None:
+        raise ValueError("MKV: missing Segment")
+
+    ts_scale = 1_000_000
+    info = _find(payload, seg[0], seg[1], _INFO)
+    if info is not None:
+        tsv = _find(payload, info[0], info[1], _TIMESTAMP_SCALE)
+        if tsv is not None:
+            ts_scale = _uint(payload, tsv[0], tsv[1])
+
+    track_num = None
+    avcc = None
+    width = height = 0
+    frame_ns = 0
+    tracks = _find(payload, seg[0], seg[1], _TRACKS)
+    if tracks is None:
+        raise ValueError("MKV: missing Tracks")
+    for eid, s, e in _walk(payload, tracks[0], tracks[1]):
+        if eid != _TRACK_ENTRY:
+            continue
+        fields = {i: (a, b) for i, a, b in _walk(payload, s, e)}
+        if _TRACK_TYPE not in fields or _uint(payload, *fields[_TRACK_TYPE]) != 1:
+            continue
+        codec = payload[slice(*fields[_CODEC_ID])] if _CODEC_ID in fields else b""
+        if codec != b"V_MPEG4/ISO/AVC":
+            raise ValueError(f"MKV: unsupported video codec {codec!r}")
+        track_num = _uint(payload, *fields[_TRACK_NUMBER])
+        if _CODEC_PRIVATE not in fields:
+            raise ValueError("MKV: V_MPEG4/ISO/AVC track missing CodecPrivate")
+        avcc = payload[slice(*fields[_CODEC_PRIVATE])]
+        if _DEFAULT_DURATION in fields:
+            frame_ns = _uint(payload, *fields[_DEFAULT_DURATION])
+        if _VIDEO in fields:
+            vs, ve = fields[_VIDEO]
+            pw = _find(payload, vs, ve, _PIXEL_WIDTH)
+            ph = _find(payload, vs, ve, _PIXEL_HEIGHT)
+            width = _uint(payload, *pw) if pw else 0
+            height = _uint(payload, *ph) if ph else 0
+        break
+    if track_num is None or avcc is None:
+        raise ValueError("MKV: no video track")
+
+    length_size, sps_nals, pps_nals = _parse_avcc(avcc)
+    blocks: List[Tuple[int, bool, bytes]] = []  # (pts, keyframe, payload)
+    for eid, cs, ce in _walk(payload, seg[0], seg[1]):
+        if eid != _CLUSTER:
+            continue
+        base = 0
+        tsv = _find(payload, cs, ce, _CLUSTER_TS)
+        if tsv is not None:
+            base = _uint(payload, *tsv)
+        for bid, bs, be in _walk(payload, cs, ce):
+            if bid == _SIMPLE_BLOCK:
+                items = [(bs, be, None)]
+            elif bid == _BLOCK_GROUP:
+                blk = _find(payload, bs, be, _BLOCK)
+                if blk is None:
+                    continue
+                has_ref = _find(payload, bs, be, _REFERENCE_BLOCK) is not None
+                items = [(blk[0], blk[1], not has_ref)]
+            else:
+                continue
+            for s, e, key_override in items:
+                tn, p = _read_vint(payload, s, keep_marker=False)
+                if tn != track_num or p + 3 > e:
+                    continue
+                (rel,) = struct.unpack_from(">h", payload, p)
+                flags = payload[p + 2]
+                key = (bool(flags & 0x80) if key_override is None
+                       else key_override)
+                blocks.append((base + rel, key, payload[p + 3 : e]))
+
+    frames = [_avcc_sample_to_annexb(b, length_size) for _, _, b in blocks]
+    prefix = b"".join(b"\x00\x00\x00\x01" + n for n in sps_nals + pps_nals)
+    if frames:
+        frames[0] = prefix + frames[0]
+    sps = _parse_sps(_ebsp_to_rbsp(sps_nals[0][1:]))
+    left, right, top, bottom = sps.crop
+    w = sps.mb_w * 16 - 2 * (left + right)
+    h = sps.mb_h * 16 - 2 * (top + bottom)
+    if width and height and (width, height) != (w, h):
+        # PixelWidth/Height should echo the SPS; trust the SPS
+        pass
+    if frame_ns:
+        fps_num, fps_den = _NS, frame_ns
+    else:
+        fps_num, fps_den = int(round(sps.fps * 1000)), 1000
+    order = sorted(range(len(blocks)),
+                   key=lambda k: (blocks[k][0], k))
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "codec": "h264",
+        "n_frames": len(frames),
+        "frames": frames,
+        "sync": [i for i, (_, key, _b) in enumerate(blocks) if key],
+        "display_order": order,
+        "timestamp_scale": ts_scale,
+    }
+
+
+@normalize_decode_errors("MKV")
+def decode_mkv_frames(
+    payload: bytes,
+    every_n_frames: int = 1,
+    max_frames: Optional[int] = None,
+) -> Tuple[int, int, float, List[Tuple[int, np.ndarray]]]:
+    """The ``decode_avi_frames`` contract for MKV/H.264 payloads:
+    (width, height, fps, [(frame_index, HxWx3 RGB uint8), ...]) in
+    display order (the H.264 decoder's POC reordering, cross-checkable
+    against the block-timestamp permutation)."""
+    from .h264 import decode_h264  # noqa: PLC0415
+    from .mpeg1 import ycbcr420_to_rgb  # noqa: PLC0415
+
+    if every_n_frames < 1:
+        raise ValueError("every_n_frames must be >= 1")
+    info = parse_mkv(payload)
+    pics, (w, h, _fps) = decode_h264(b"".join(info["frames"]))
+    fps = info["fps_num"] / info["fps_den"]
+    out = []
+    for i in range(0, len(pics), every_n_frames):
+        out.append((i, ycbcr420_to_rgb(*pics[i])))
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return w, h, fps, out

@@ -12,7 +12,9 @@ round-trip byte-exact with zero native deps). H.264 rides in AVI too
 in-repo baseline I+P+B codec, ``h264.py``), and MP4/ISO-BMFF payloads —
 the container virtually all real web video ships in — are sniffed by
 their ``ftyp`` box and demuxed by ``mp4.py`` (box walk, sample tables,
-avcC, AVCC->Annex B) into the same H.264 decode. CABAC/high profiles
+avcC, AVCC->Annex B) into the same H.264 decode; Matroska/WebM
+payloads (the other major web container) are sniffed by the EBML magic
+and demuxed by ``mkv.py`` the same way. CABAC/high profiles
 plus VP9/AV1 genuinely need native libs and stay behind the declared
 stub; at scale the ``native_image_backend``-style seam applies — a
 production deployment plugs PyAV/ffmpeg in ahead of this decoder.
@@ -416,6 +418,19 @@ def sample_video_frames(
                             fps = inf["fps_num"] / inf["fps_den"]
                             step = max(1, int(round(fps * every_n_seconds)))
                             w, h, fps, frames = decode_mp4_frames(
+                                payload, step, max_frames_per_video
+                            )
+                        elif payload[:4] == b"\x1a\x45\xdf\xa3":
+                            # Matroska/WebM carrying H.264
+                            from .mkv import (  # noqa: PLC0415
+                                decode_mkv_frames,
+                                parse_mkv,
+                            )
+
+                            inf = parse_mkv(payload)
+                            fps = inf["fps_num"] / inf["fps_den"]
+                            step = max(1, int(round(fps * every_n_seconds)))
+                            w, h, fps, frames = decode_mkv_frames(
                                 payload, step, max_frames_per_video
                             )
                         else:
