@@ -1327,12 +1327,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec string, media_id long, width int, height int, "
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
+
+        # FLAC leg (round-5 continuation): REAL lossless audio decode
+        # under the hash gate (functions/flac.py — frame headers with
+        # UTF-8 numbers + CRC-8, CONSTANT/FIXED/LPC/VERBATIM subframes,
+        # partitioned Rice incl. the 5-bit method and verbatim escape,
+        # all four stereo modes, CRC-16, STREAMINFO MD5). The input is
+        # the same stereo sawtooth family as the wav leg (right =
+        # -left), the encoder twin cycles the full variant grid by
+        # media id, and losslessness makes the oracle the identical
+        # closed-form left-channel sum. Union alignment: codec =
+        # 'flac' || n_channels, width = sample_rate, height =
+        # n_samples, pixel_sum = left-channel sum.
+        flac_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 80)
+        )
+
+        def flac_decode(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions import flac as flacmod  # noqa: PLC0415
+
+            modes = ["ms", "ls", "rs", "indep"]
+            kinds = ["auto", "lpc", "fixed", "verbatim", "auto"]
+            blocks = [192, 256, 576]
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    n = 500 + (i % 7) * 100
+                    k = np.arange(n, dtype=np.int64)
+                    left = ((i * 37 + k * 11) % 2001) - 1000
+                    stereo = np.stack([left, -left], axis=1).astype(np.int16)
+                    payload = flacmod.encode_flac(
+                        stereo,
+                        rate=16000,
+                        channel_mode=modes[i % 4],
+                        subframe=kinds[i % 5],
+                        partition_order=i % 3,
+                        rice_method=i % 2,
+                        block_size=blocks[i % 3],
+                        escape_bits=20 if i % 7 == 0 else None,
+                    )
+                    rate, nch, samples = flacmod.decode_flac(payload)
+                    rows.append(
+                        {
+                            "codec": f"flac{nch}",
+                            "media_id": i,
+                            "width": rate,
+                            "height": int(samples.shape[0]),
+                            "pixel_sum": int(
+                                samples[:, 0].astype(np.int64).sum()
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        flac_leg = flac_docs.mapInPandas(
+            flac_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
+
         return (
             png_leg.unionByName(gif_leg)
             .unionByName(wav_leg)
             .unionByName(pdf_leg)
             .unionByName(h264_leg)
             .unionByName(mp4_leg)
+            .unionByName(flac_leg)
         )
 
     q["q47_png_decode"] = q47_png_decode
@@ -2844,6 +2910,20 @@ def oracle_sql() -> dict[str, str]:
                      WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
                  AS pixel_sum
         FROM documents WHERE doc_id < 100
+        UNION ALL
+        -- flac leg: FLAC is lossless, so the decode is pinned by the
+        -- same closed-form sawtooth sum as the wav leg (rate differs:
+        -- 16000), regardless of which encoder variant (stereo mode,
+        -- subframe kind, partition order, rice method, escape) the
+        -- media id selected
+        SELECT 'flac2' AS codec, doc_id AS media_id,
+               CAST(16000 AS INT) AS width,
+               CAST(500 + (doc_id % 7) * 100 AS INT) AS height,
+               CAST((SELECT SUM((doc_id * 37 + k.g * 11) % 2001 - 1000)
+                     FROM generate_series(0, 1099) k(g)
+                     WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
+                 AS pixel_sum
+        FROM documents WHERE doc_id < 80
         UNION ALL
         -- pdf leg: the extractor's output text reconstructed in closed
         -- form (pages joined by formfeed, lines by newline), pinned via

@@ -120,9 +120,10 @@ def native_audio_backend():
 
 def _decode_audio_any(payload: bytes, backend=None):
     """The one audio decode dispatch: injected native backend first
-    (when provided), then the pure stdlib-wave codec for PCM WAV.
+    (when provided), then the pure decoders by magic sniff — stdlib-wave
+    PCM WAV and the pure-Python FLAC codec (functions/flac.py).
     Raises ValueError when nothing can decode the payload."""
-    from . import codecs  # noqa: PLC0415
+    from . import codecs, flac  # noqa: PLC0415
 
     if backend is not None:
         try:
@@ -131,6 +132,9 @@ def _decode_audio_any(payload: bytes, backend=None):
             pass  # fall through to the pure decoder
     if codecs.is_wav(payload):
         return codecs.decode_wav(payload)
+    if flac.is_flac(payload):
+        rate, nch, samples = flac.decode_flac(payload)
+        return rate, nch, samples
     raise ValueError("no audio decoder for payload")
 
 
@@ -229,8 +233,9 @@ AUDIO_FEATURES_SCHEMA = (
 def extract_audio_features(
     media: DataFrame, batch_rows: int = 64, audio_decoder=None
 ) -> DataFrame:
-    """Real audio decode for 16-bit PCM WAV (stdlib wave): sample rate,
-    channel count, duration, RMS level, zero-crossing rate.
+    """Real audio decode for 16-bit PCM WAV (stdlib wave) and FLAC
+    (pure-Python codec, magic-sniffed): sample rate, channel count,
+    duration, RMS level, zero-crossing rate.
     ``audio_decoder`` injects a native backend (``payload ->
     (rate, nch, samples)``, ValueError on failure) ahead of the pure
     decoder — pass ``native_audio_backend()``'s result, or leave None
