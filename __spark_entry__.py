@@ -1392,6 +1392,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
 
+        # zstd leg: the from-scratch RFC 8878 decoder against REAL
+        # compressor output on the hash-verified path. Each media id
+        # builds a deterministic word-sequence text, compresses it with
+        # pyarrow's genuine zstd (level cycling 1/3/6/9/19 — raw,
+        # RLE-literal, huffman, FSE and long-match shapes all occur),
+        # decodes it with functions/zstd_codec.py, and emits the
+        # decoded byte sum — which losslessness pins to the closed-form
+        # plaintext sum the DuckDB oracle computes. Union alignment:
+        # width = compression level, height = decoded byte length.
+        zstd_docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 60)
+        )
+
+        def zstd_decode(batches):
+            import pandas as pd  # noqa: PLC0415
+            import pyarrow as pa  # noqa: PLC0415
+
+            from markdown_lab_spark.functions.zstd_codec import (  # noqa: PLC0415
+                decode_zstd,
+            )
+
+            words = ["the", "crawl", "frontier", "spark", "zstd",
+                     "markdown", "chunk", "robots", "wave", "http"]
+            levels = [1, 3, 6, 9, 19]
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    n = 500 + (i % 7) * 100
+                    text = " ".join(
+                        words[(i * 31 + k * 7) % 10] for k in range(n)
+                    ).encode()
+                    level = levels[i % 5]
+                    payload = pa.Codec(
+                        "zstd", compression_level=level
+                    ).compress(text, asbytes=True)
+                    decoded = decode_zstd(payload)
+                    rows.append(
+                        {
+                            "codec": "zstd",
+                            "media_id": i,
+                            "width": level,
+                            "height": len(decoded),
+                            "pixel_sum": sum(decoded),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        zstd_leg = zstd_docs.mapInPandas(
+            zstd_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
+
         return (
             png_leg.unionByName(gif_leg)
             .unionByName(wav_leg)
@@ -1399,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(h264_leg)
             .unionByName(mp4_leg)
             .unionByName(flac_leg)
+            .unionByName(zstd_leg)
         )
 
     q["q47_png_decode"] = q47_png_decode
@@ -2924,6 +2981,34 @@ def oracle_sql() -> dict[str, str]:
                      WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
                  AS pixel_sum
         FROM documents WHERE doc_id < 80
+        UNION ALL
+        -- zstd leg: the RFC 8878 decoder runs against REAL pyarrow
+        -- zstd streams; losslessness pins the decoded bytes to the
+        -- generated word sequence, whose length and byte sum are
+        -- closed-form (word lengths/sums hardcoded per index)
+        SELECT 'zstd' AS codec, doc_id AS media_id,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    WHEN 2 THEN 6 WHEN 3 THEN 9 ELSE 19 END AS INT)
+                 AS width,
+               CAST((SELECT SUM(CASE (doc_id * 31 + k.g * 7) % 10
+                      WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 8
+                      WHEN 3 THEN 5 WHEN 4 THEN 4 WHEN 5 THEN 8
+                      WHEN 6 THEN 5 WHEN 7 THEN 6 WHEN 8 THEN 4
+                      ELSE 4 END)
+                     + (500 + (doc_id % 7) * 100 - 1)
+                     FROM generate_series(0, 1099) k(g)
+                     WHERE k.g < 500 + (doc_id % 7) * 100) AS INT)
+                 AS height,
+               CAST((SELECT SUM(CASE (doc_id * 31 + k.g * 7) % 10
+                      WHEN 0 THEN 321 WHEN 1 THEN 537 WHEN 2 THEN 873
+                      WHEN 3 THEN 545 WHEN 4 THEN 453 WHEN 5 THEN 867
+                      WHEN 6 THEN 537 WHEN 7 THEN 665 WHEN 8 THEN 435
+                      ELSE 448 END)
+                     + (500 + (doc_id % 7) * 100 - 1) * 32
+                     FROM generate_series(0, 1099) k(g)
+                     WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
+                 AS pixel_sum
+        FROM documents WHERE doc_id < 60
         UNION ALL
         -- pdf leg: the extractor's output text reconstructed in closed
         -- form (pages joined by formfeed, lines by newline), pinned via

@@ -1,0 +1,781 @@
+"""From-scratch Zstandard (RFC 8878) decoder + store-mode encoder.
+
+Why this exists: the engine's web-scale ingest story is Common-Crawl-
+style archives, and the modern archive layout ships ``.warc.wet.zst`` /
+``.jsonl.zst`` (Dolma, RedPajama, many CC derivatives). The reference
+engine has no compression layer (it receives decoded bytes from its
+HTTP client); the Spark engine owns the whole byte path, so the decode
+is implemented from the RFC, not linked.
+
+Verification posture — stronger than the mirrored-pair codecs: pyarrow
+bundles the REAL zstd compressor, so every part of this decoder is
+exercised against genuinely foreign bitstreams (all literal modes, all
+FSE table modes, repeat offsets, multi-block windows, every compression
+level) in ``tests/test_zstd.py``. The encoder half is store-mode only
+(raw/RLE blocks + XXH64 content checksum — spec-legal, what a sink
+needs to EMIT .zst without a native lib) and is verified by the real
+decompressor decoding our frames.
+
+Layout implemented: frames (incl. skippable), raw/RLE/compressed
+blocks, all four literals modes (raw, RLE, Huffman 1-stream and
+4-stream, treeless repeat), Huffman tree descriptions (direct and
+FSE-compressed weights), FSE table descriptions with the
+probability-"less than 1" path, predefined/RLE/FSE/repeat sequence
+table modes, the three-state interleaved sequence bitstream, repeat
+offsets incl. the literals_length==0 shift, overlapping match copies,
+and the XXH64-low-32 content checksum. Dictionaries are rejected
+explicitly (out of scope).
+"""
+
+from __future__ import annotations
+
+from .xxhash import xxh64
+
+ZSTD_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+
+class ZstdError(ValueError):
+    pass
+
+
+def is_zstd(payload: bytes) -> bool:
+    if len(payload) < 4:
+        return False
+    m = int.from_bytes(payload[:4], "little")
+    return m == ZSTD_MAGIC or _SKIPPABLE_LO <= m <= _SKIPPABLE_HI
+
+
+# ---------------------------------------------------------------------------
+# bit readers
+
+
+class _ForwardBits:
+    """LSB-first forward reader (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        start = self.pos
+        end = start + n
+        if end > len(self.data) * 8:
+            raise ZstdError("FSE header overruns its bitstream")
+        chunk = self.data[start // 8 : (end + 7) // 8]
+        val = int.from_bytes(chunk, "little") >> (start % 8)
+        self.pos = end
+        return val & ((1 << n) - 1)
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class _BackBits:
+    """Backward reader: stream written forward, read from the sentinel
+    bit (highest set bit of the last byte) toward the start. Reads past
+    the beginning zero-fill and set ``overflowed`` — callers that must
+    not overrun check it (the weights loop relies on it to stop)."""
+
+    __slots__ = ("data", "bitpos", "overflowed")
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ZstdError("backward bitstream missing sentinel")
+        self.data = data
+        self.bitpos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        self.overflowed = False
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.bitpos -= n
+        start = self.bitpos
+        if start < 0:
+            self.overflowed = True
+            take = n + start  # bits actually available
+            if take <= 0:
+                return 0
+            chunk = self.data[0 : (take + 7) // 8]
+            val = int.from_bytes(chunk, "little") & ((1 << take) - 1)
+            return val << (-start)
+        end = start + n
+        chunk = self.data[start // 8 : (end + 7) // 8]
+        val = int.from_bytes(chunk, "little") >> (start % 8)
+        return val & ((1 << n) - 1)
+
+
+# ---------------------------------------------------------------------------
+# FSE
+
+
+def _read_fse_table(data: bytes, max_log: int, max_symbol: int):
+    """Parse an FSE table description (RFC 8878 §4.1.1): returns
+    (accuracy_log, probs list, bytes consumed)."""
+    bits = _ForwardBits(data)
+    accuracy_log = bits.read(4) + 5
+    if accuracy_log > max_log:
+        raise ZstdError("FSE accuracy_log too large")
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nbits = accuracy_log + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ZstdError("FSE table has too many symbols")
+        # a value in [0, remaining] encoded in nbits-1 or nbits bits:
+        # the lowest max_small codes of the short form are unambiguous
+        max_small = 2 * threshold - 1 - remaining
+        peek_pos = bits.pos
+        low = bits.read(nbits - 1)
+        if low < max_small:
+            count = low
+        else:
+            bits.pos = peek_pos
+            val = bits.read(nbits)
+            count = val & (2 * threshold - 1)
+            if count >= threshold:
+                count -= max_small
+        prob = count - 1  # -1 encodes "less than 1" probability
+        remaining -= -prob if prob < 0 else prob
+        probs.append(prob)
+        if prob == 0:
+            # 2-bit repeat fields for runs of zero-probability symbols
+            while True:
+                rep = bits.read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+        while 1 < remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("FSE table probabilities do not sum")
+    return accuracy_log, probs, bits.bytes_consumed()
+
+
+def _build_fse_decode_table(accuracy_log: int, probs: list[int]):
+    """RFC 8878 §4.1.1 spread + state build. Returns three parallel
+    lists: symbol, nb_bits, baseline per table cell."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:  # "less than 1": one cell at the table's end
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("FSE spread did not return to zero")
+    # nextState counters start at the symbol's cell count (1 for "-1"
+    # symbols); cells scanned in increasing index order, exactly the
+    # spec's table build
+    counter = [1 if p == -1 else p for p in probs]
+    nb_bits = [0] * size
+    baseline = [0] * size
+    for cell in range(size):
+        s = symbols[cell]
+        nxt_state = counter[s]
+        counter[s] = nxt_state + 1
+        nb = accuracy_log - (nxt_state.bit_length() - 1)
+        nb_bits[cell] = nb
+        baseline[cell] = (nxt_state << nb) - size
+    return symbols, nb_bits, baseline
+
+
+class _FseDecoder:
+    __slots__ = ("symbols", "nb_bits", "baseline", "state", "log")
+
+    def __init__(self, accuracy_log: int, probs: list[int]) -> None:
+        self.symbols, self.nb_bits, self.baseline = _build_fse_decode_table(
+            accuracy_log, probs
+        )
+        self.log = accuracy_log
+        self.state = 0
+
+    def init_state(self, bits: _BackBits) -> None:
+        self.state = bits.read(self.log)
+
+    def peek_symbol(self) -> int:
+        return self.symbols[self.state]
+
+    def update_state(self, bits: _BackBits) -> None:
+        cell = self.state
+        self.state = self.baseline[cell] + bits.read(self.nb_bits[cell])
+
+
+class _RleDecoder:
+    """Degenerate 'table': always the same symbol, zero update bits."""
+
+    __slots__ = ("symbol",)
+
+    def __init__(self, symbol: int) -> None:
+        self.symbol = symbol
+
+    def init_state(self, bits: _BackBits) -> None:
+        pass
+
+    def peek_symbol(self) -> int:
+        return self.symbol
+
+    def update_state(self, bits: _BackBits) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+
+
+def _huffman_weights(data: bytes):
+    """Parse a Huffman tree description. Returns (weights, consumed)."""
+    if not data:
+        raise ZstdError("empty huffman description")
+    header = data[0]
+    if header >= 128:
+        n = header - 127
+        packed = data[1 : 1 + (n + 1) // 2]
+        if len(packed) < (n + 1) // 2:
+            raise ZstdError("truncated direct huffman weights")
+        weights = []
+        for i in range(n):
+            b = packed[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, 1 + (n + 1) // 2
+    # FSE-compressed weights: header = compressed size
+    comp = data[1 : 1 + header]
+    if len(comp) < header:
+        raise ZstdError("truncated FSE huffman weights")
+    accuracy_log, probs, consumed = _read_fse_table(comp, 6, 255)
+    stream = comp[consumed:]
+    bits = _BackBits(stream)
+    d1 = _FseDecoder(accuracy_log, probs)
+    d2 = _FseDecoder(accuracy_log, probs)
+    d1.init_state(bits)
+    d2.init_state(bits)
+    weights: list[int] = []
+    cur, other = d1, d2
+    while len(weights) < 255:
+        weights.append(cur.peek_symbol())
+        cur.update_state(bits)
+        if bits.overflowed:
+            weights.append(other.peek_symbol())
+            break
+        cur, other = other, cur
+    return weights, 1 + header
+
+
+def _huffman_decode_table(weights: list[int]):
+    """Build the single-symbol decode table: each symbol of weight w
+    fills 2^(w-1) consecutive cells, symbols ordered by (weight,
+    symbol). Returns (table_log, symbols, lengths)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("huffman weights all zero")
+    target = 1 << total.bit_length()  # smallest power of two > total
+    rest = target - total
+    if rest & (rest - 1):
+        raise ZstdError("huffman weights do not complete a power of two")
+    last_weight = rest.bit_length()  # log2(rest) + 1
+    weights = weights + [last_weight]
+    table_log = target.bit_length() - 1
+    if table_log > 11:
+        raise ZstdError("huffman table too deep")
+    size = 1 << table_log
+    symbols = bytearray(size)
+    lengths = bytearray(size)
+    pos = 0
+    for w in range(1, table_log + 1):
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            run = 1 << (w - 1)
+            nb = table_log + 1 - w
+            for i in range(pos, pos + run):
+                symbols[i] = sym
+                lengths[i] = nb
+            pos += run
+    if pos != size:
+        raise ZstdError("huffman table underfilled")
+    return table_log, bytes(symbols), bytes(lengths)
+
+
+def _huffman_decode_stream(
+    stream: bytes, table_log: int, symbols: bytes, lengths: bytes, n_out: int
+) -> bytearray:
+    bits = _BackBits(stream)
+    out = bytearray(n_out)
+    mask = (1 << table_log) - 1
+    data = bits.data
+    bitpos = bits.bitpos
+    for i in range(n_out):
+        start = bitpos - table_log
+        if start >= 0:
+            chunk = data[start // 8 : (start + table_log + 7) // 8]
+            idx = (int.from_bytes(chunk, "little") >> (start % 8)) & mask
+        else:
+            take = table_log + start
+            if take <= 0:
+                idx = 0
+            else:
+                chunk = data[0 : (take + 7) // 8]
+                idx = (
+                    int.from_bytes(chunk, "little") & ((1 << take) - 1)
+                ) << (-start)
+        out[i] = symbols[idx]
+        bitpos -= lengths[idx]
+    if bitpos < 0:
+        raise ZstdError("huffman stream over-consumed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sequences: code -> (baseline, extra bits)
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = [c + 3 for c in range(32)] + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+
+# RFC 8878 predefined distributions
+_LL_DEFAULT = (
+    6,
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+)
+_ML_DEFAULT = (
+    6,
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+)
+_OF_DEFAULT = (
+    5,
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+)
+
+_MAX_LOG = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_DEFAULTS = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+
+
+def _sequence_decoder(kind: str, mode: int, data: bytes, prev):
+    """Returns (decoder, bytes_consumed). ``prev`` is the frame's
+    repeat-mode table for this kind."""
+    if mode == 0:
+        log, probs = _DEFAULTS[kind]
+        return _FseDecoder(log, probs), 0
+    if mode == 1:
+        if not data:
+            raise ZstdError("missing RLE symbol byte")
+        sym = data[0]
+        if sym > _MAX_SYM[kind]:
+            raise ZstdError("RLE symbol out of range")
+        return _RleDecoder(sym), 1
+    if mode == 2:
+        log, probs, consumed = _read_fse_table(
+            data, _MAX_LOG[kind], _MAX_SYM[kind]
+        )
+        return _FseDecoder(log, probs), consumed
+    if prev is None:
+        raise ZstdError("repeat mode without a previous table")
+    return prev, 0
+
+
+def _fresh(dec):
+    """Repeat mode reuses table contents but needs independent state."""
+    if isinstance(dec, _RleDecoder):
+        return dec
+    clone = _FseDecoder.__new__(_FseDecoder)
+    clone.symbols = dec.symbols
+    clone.nb_bits = dec.nb_bits
+    clone.baseline = dec.baseline
+    clone.log = dec.log
+    clone.state = 0
+    return clone
+
+
+# ---------------------------------------------------------------------------
+# block decode
+
+
+class _FrameState:
+    __slots__ = ("huffman", "ll", "of", "ml", "reps")
+
+    def __init__(self) -> None:
+        self.huffman = None
+        self.ll = None
+        self.of = None
+        self.ml = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, fs: _FrameState):
+    """Returns (literals bytearray, bytes consumed from block)."""
+    if not block:
+        raise ZstdError("empty literals section")
+    b0 = block[0]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # raw / RLE
+        if size_format in (0, 2):
+            rsize = b0 >> 3
+            hsize = 1
+        elif size_format == 1:
+            if len(block) < 2:
+                raise ZstdError("truncated literals header")
+            rsize = (b0 >> 4) | (block[1] << 4)
+            hsize = 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("truncated literals header")
+            rsize = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hsize = 3
+        if lit_type == 0:
+            lits = bytearray(block[hsize : hsize + rsize])
+            if len(lits) < rsize:
+                raise ZstdError("truncated raw literals")
+            return lits, hsize + rsize
+        if len(block) < hsize + 1:
+            raise ZstdError("truncated RLE literal")
+        return bytearray(block[hsize : hsize + 1] * rsize), hsize + 1
+    # compressed (2) / treeless (3)
+    if size_format == 0:
+        h = int.from_bytes(block[:3], "little")
+        rsize = (h >> 4) & 0x3FF
+        csize = (h >> 14) & 0x3FF
+        hsize, streams = 3, 1
+    elif size_format == 1:
+        h = int.from_bytes(block[:3], "little")
+        rsize = (h >> 4) & 0x3FF
+        csize = (h >> 14) & 0x3FF
+        hsize, streams = 3, 4
+    elif size_format == 2:
+        h = int.from_bytes(block[:4], "little")
+        rsize = (h >> 4) & 0x3FFF
+        csize = (h >> 18) & 0x3FFF
+        hsize, streams = 4, 4
+    else:
+        h = int.from_bytes(block[:5], "little")
+        rsize = (h >> 4) & 0x3FFFF
+        csize = (h >> 22) & 0x3FFFF
+        hsize, streams = 5, 4
+    payload = block[hsize : hsize + csize]
+    if len(payload) < csize:
+        raise ZstdError("truncated compressed literals")
+    if lit_type == 2:
+        weights, consumed = _huffman_weights(payload)
+        fs.huffman = _huffman_decode_table(weights)
+        payload = payload[consumed:]
+    elif fs.huffman is None:
+        raise ZstdError("treeless literals with no previous tree")
+    table_log, symbols, lengths = fs.huffman
+    if streams == 1:
+        lits = _huffman_decode_stream(
+            payload, table_log, symbols, lengths, rsize
+        )
+    else:
+        if len(payload) < 6:
+            raise ZstdError("missing 4-stream jump table")
+        s1 = int.from_bytes(payload[0:2], "little")
+        s2 = int.from_bytes(payload[2:4], "little")
+        s3 = int.from_bytes(payload[4:6], "little")
+        body = payload[6:]
+        if s1 + s2 + s3 > len(body):
+            raise ZstdError("jump table overruns literals payload")
+        part = (rsize + 3) // 4
+        lits = bytearray()
+        offsets = [0, s1, s1 + s2, s1 + s2 + s3, len(body)]
+        for i in range(4):
+            n = part if i < 3 else rsize - 3 * part
+            if n < 0:
+                raise ZstdError("negative last literals stream")
+            lits += _huffman_decode_stream(
+                body[offsets[i] : offsets[i + 1]],
+                table_log,
+                symbols,
+                lengths,
+                n,
+            )
+    return lits, hsize + csize
+
+
+def _decode_sequences_header(data: bytes):
+    if not data:
+        raise ZstdError("empty sequences section")
+    b0 = data[0]
+    if b0 == 0:
+        return 0, 1
+    if b0 < 128:
+        return b0, 1
+    if b0 < 255:
+        if len(data) < 2:
+            raise ZstdError("truncated sequence count")
+        return ((b0 - 128) << 8) | data[1], 2
+    if len(data) < 3:
+        raise ZstdError("truncated sequence count")
+    return int.from_bytes(data[1:3], "little") + 0x7F00, 3
+
+
+def _decode_block(block: bytes, out: bytearray, fs: _FrameState) -> None:
+    lits, consumed = _decode_literals(block, fs)
+    rest = block[consumed:]
+    n_seq, consumed = _decode_sequences_header(rest)
+    rest = rest[consumed:]
+    if n_seq == 0:
+        out += lits
+        return
+    if not rest:
+        raise ZstdError("missing sequence modes byte")
+    modes = rest[0]
+    if modes & 3:
+        raise ZstdError("reserved sequence mode bits set")
+    rest = rest[1:]
+    ll, used = _sequence_decoder("ll", (modes >> 6) & 3, rest, fs.ll)
+    rest = rest[used:]
+    of, used = _sequence_decoder("of", (modes >> 4) & 3, rest, fs.of)
+    rest = rest[used:]
+    ml, used = _sequence_decoder("ml", (modes >> 2) & 3, rest, fs.ml)
+    rest = rest[used:]
+    ll, of, ml = _fresh(ll), _fresh(of), _fresh(ml)
+    fs.ll, fs.of, fs.ml = ll, of, ml
+    bits = _BackBits(rest)
+    ll.init_state(bits)
+    of.init_state(bits)
+    ml.init_state(bits)
+    reps = fs.reps
+    lit_pos = 0
+    for i in range(n_seq):
+        of_code = of.peek_symbol()
+        ml_code = ml.peek_symbol()
+        ll_code = ll.peek_symbol()
+        if of_code > 31 or ml_code > 52 or ll_code > 35:
+            raise ZstdError("sequence code out of range")
+        offset_value = (1 << of_code) + bits.read(of_code)
+        match_len = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        lit_len = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        if bits.overflowed:
+            raise ZstdError("sequence bitstream over-consumed")
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
+        else:
+            idx = offset_value - 1 if lit_len > 0 else offset_value
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[0], reps[1] = reps[1], reps[0]
+            elif idx == 2:
+                offset = reps[2]
+                reps[0], reps[1], reps[2] = reps[2], reps[0], reps[1]
+            else:  # lit_len == 0, offset_value == 3
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow")
+                reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
+        if lit_len:
+            out += lits[lit_pos : lit_pos + lit_len]
+            lit_pos += lit_len
+        if offset > len(out):
+            raise ZstdError("match offset beyond window")
+        if match_len:
+            if offset >= match_len:
+                start = len(out) - offset
+                out += out[start : start + match_len]
+            else:
+                pattern = bytes(out[len(out) - offset :])
+                reps_needed = match_len // offset + 1
+                out += (pattern * reps_needed)[:match_len]
+        if i + 1 < n_seq:
+            ll.update_state(bits)
+            ml.update_state(bits)
+            of.update_state(bits)
+            if bits.overflowed:
+                raise ZstdError("sequence state update over-consumed")
+    if bits.bitpos != 0:
+        raise ZstdError("sequence bitstream not fully consumed")
+    out += lits[lit_pos:]
+
+
+# ---------------------------------------------------------------------------
+# frame decode
+
+
+def _decode_one_frame(
+    payload: bytes, pos: int, verify_checksum: bool
+) -> tuple[bytes | None, int]:
+    """Decode the frame starting at ``pos``; returns (content, new pos).
+    Content is None for skippable frames."""
+    n = len(payload)
+    if n - pos < 4:
+        raise ZstdError("truncated frame magic")
+    magic = int.from_bytes(payload[pos : pos + 4], "little")
+    pos += 4
+    if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+        if n - pos < 4:
+            raise ZstdError("truncated skippable frame")
+        size = int.from_bytes(payload[pos : pos + 4], "little")
+        if n - pos - 4 < size:
+            raise ZstdError("truncated skippable frame body")
+        return None, pos + 4 + size
+    if magic != ZSTD_MAGIC:
+        raise ZstdError("bad zstd magic")
+    if pos >= n:
+        raise ZstdError("truncated frame header")
+    fhd = payload[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ZstdError("reserved frame header bit set")
+    dict_flag = fhd & 3
+    checksum_flag = (fhd >> 2) & 1
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = (fhd >> 6) & 3
+    if not single_segment:
+        pos += 1  # window descriptor (bound not enforced)
+    if dict_flag:
+        raise ZstdError("dictionaries are not supported")
+    fcs_len = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+    content_size = None
+    if fcs_len:
+        content_size = int.from_bytes(
+            payload[pos : pos + fcs_len], "little"
+        )
+        if fcs_flag == 1:
+            content_size += 256
+        pos += fcs_len
+    fout = bytearray()  # per-frame window: offsets cannot cross frames
+    fs = _FrameState()
+    while True:
+        if n - pos < 3:
+            raise ZstdError("truncated block header")
+        bh = int.from_bytes(payload[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:
+            if n - pos < bsize:
+                raise ZstdError("truncated raw block")
+            fout += payload[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:
+            if pos >= n:
+                raise ZstdError("truncated RLE block")
+            fout += payload[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:
+            block = payload[pos : pos + bsize]
+            if len(block) < bsize:
+                raise ZstdError("truncated compressed block")
+            pos += bsize
+            _decode_block(block, fout, fs)
+        else:
+            raise ZstdError("reserved block type")
+        if last:
+            break
+    if content_size is not None and len(fout) != content_size:
+        raise ZstdError("frame content size mismatch")
+    if checksum_flag:
+        if n - pos < 4:
+            raise ZstdError("truncated content checksum")
+        want = int.from_bytes(payload[pos : pos + 4], "little")
+        pos += 4
+        if verify_checksum:
+            got = xxh64(bytes(fout)) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError("content checksum mismatch")
+    return bytes(fout), pos
+
+
+def iter_zstd_frames(
+    payload: bytes, verify_checksum: bool = True, tolerant: bool = False
+):
+    """Yield each frame's decompressed content in order (skippable
+    frames skipped). ``tolerant=True`` ends the iteration at the first
+    torn/corrupt frame instead of raising — the WARC torn-tail
+    contract (a truncated archive yields its whole frames)."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        try:
+            content, pos = _decode_one_frame(payload, pos, verify_checksum)
+        except ZstdError:
+            if tolerant:
+                return
+            raise
+        if content is not None:
+            yield content
+
+
+def decode_zstd(payload: bytes, verify_checksum: bool = True) -> bytes:
+    """Decode one-or-more concatenated zstd frames (skippable frames
+    are skipped), returning the full decompressed content."""
+    return b"".join(iter_zstd_frames(payload, verify_checksum))
+
+
+# ---------------------------------------------------------------------------
+# store-mode encoder (raw/RLE blocks — spec-legal, no entropy stage)
+
+
+def encode_zstd_store(
+    content: bytes, checksum: bool = True, block_size: int = 1 << 17
+) -> bytes:
+    """Emit a valid single-frame zstd stream using raw blocks (RLE when
+    a block is one repeated byte). This is what the WET/WARC sink needs
+    to publish ``.zst`` without a native library; any real zstd reader
+    (and :func:`decode_zstd`) decodes it."""
+    if block_size <= 0 or block_size > (1 << 21) - 1:
+        raise ZstdError("block size out of range")
+    parts = [ZSTD_MAGIC.to_bytes(4, "little")]
+    # single_segment=1, fcs_flag chosen by size, optional checksum
+    size = len(content)
+    if size == 0:
+        fcs_flag, fcs_len = 0, 1
+    elif size <= 255:
+        fcs_flag, fcs_len = 0, 1
+    elif size <= 65535 + 256:
+        fcs_flag, fcs_len = 1, 2
+    elif size < (1 << 32):
+        fcs_flag, fcs_len = 2, 4
+    else:
+        fcs_flag, fcs_len = 3, 8
+    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    parts.append(bytes([fhd]))
+    fcs_val = size - 256 if fcs_flag == 1 else size
+    parts.append(fcs_val.to_bytes(fcs_len, "little"))
+    blocks = [
+        content[i : i + block_size] for i in range(0, size, block_size)
+    ] or [b""]
+    for i, block in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        if len(block) > 1 and block.count(block[0]) == len(block):
+            header = last | (1 << 1) | (len(block) << 3)
+            parts.append(header.to_bytes(3, "little"))
+            parts.append(block[:1])
+        else:
+            header = last | (0 << 1) | (len(block) << 3)
+            parts.append(header.to_bytes(3, "little"))
+            parts.append(block)
+    if checksum:
+        parts.append((xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little"))
+    return b"".join(parts)

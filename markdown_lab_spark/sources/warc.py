@@ -48,24 +48,47 @@ WARC_RECORDS_SCHEMA = (
 
 
 def _split_members(payload: bytes) -> Iterator[bytes]:
-    """Decompressed gzip members of a ``.warc.gz`` (Common Crawl writes
-    one record per member), or the payload itself when uncompressed."""
-    if payload[:2] != b"\x1f\x8b":
-        yield payload
+    """Decompressed members of a WARC payload, magic-sniffed:
+    gzip member-per-record (``.warc.gz``, the classic Common Crawl
+    layout), zstd frames (``.warc.zst`` / ``.warc.wet.zst`` — the Dolma
+    / modern-corpus layout; in-repo RFC 8878 decoder), LZ4 frames, or
+    the payload itself when uncompressed. A torn tail member/frame ends
+    the stream instead of aborting the task."""
+    if payload[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(payload)
+        while pos < n and payload[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                out = d.decompress(payload[pos:])
+            except zlib.error:
+                return  # torn tail member: end of stream, not an abort
+            yield out
+            consumed = len(payload) - pos - len(d.unused_data)
+            if consumed <= 0:
+                return
+            pos += consumed
         return
-    pos = 0
-    n = len(payload)
-    while pos < n and payload[pos : pos + 2] == b"\x1f\x8b":
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    from markdown_lab_spark.functions.lz4_codec import (  # noqa: PLC0415
+        Lz4Error,
+        decode_lz4_frame,
+        is_lz4_frame,
+    )
+    from markdown_lab_spark.functions.zstd_codec import (  # noqa: PLC0415
+        is_zstd,
+        iter_zstd_frames,
+    )
+
+    if is_zstd(payload):
+        yield from iter_zstd_frames(payload, tolerant=True)
+        return
+    if is_lz4_frame(payload):
         try:
-            out = d.decompress(payload[pos:])
-        except zlib.error:
-            return  # torn tail member: end of stream, not an abort
-        yield out
-        consumed = len(payload) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+            yield decode_lz4_frame(payload)
+        except Lz4Error:
+            pass  # torn/corrupt archive: tolerate, yield nothing usable
+        return
+    yield payload
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -302,12 +325,20 @@ def warc_pdf_docs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def encode_wet(records: List[dict], compress: bool = True) -> bytes:
+def encode_wet(records: List[dict], compress: str | bool = True) -> bytes:
     """WET bytes (Common Crawl's extracted-text layout: WARC 1.0
-    ``conversion`` records, text/plain, member-per-record gzip).
-    Each record dict: url, text (str), warc_ts (datetime). Deterministic
-    for fixed inputs (mtime pinned to 0) — the egress twin of
-    ``read_wet``, and what a curation pipeline publishes."""
+    ``conversion`` records, text/plain, member-per-record compression).
+    Each record dict: url, text (str), warc_ts (datetime). ``compress``:
+    ``"gzip"``/True (classic CC layout), ``"zstd"`` (one checksummed
+    zstd frame per record via the in-repo store encoder — any zstd
+    reader and ``read_wet`` decode it), or ``"none"``/False.
+    Deterministic for fixed inputs (gzip mtime pinned to 0)."""
+    if compress is True:
+        compress = "gzip"
+    elif compress is False:
+        compress = "none"
+    if compress not in ("gzip", "zstd", "none"):
+        raise ValueError(f"unknown WET compression: {compress!r}")
     out = io.BytesIO()
     for i, r in enumerate(records):
         body = r["text"].encode("utf-8")
@@ -322,11 +353,17 @@ def encode_wet(records: List[dict], compress: bool = True) -> bytes:
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("latin-1")
         member = head + body + _CRLF + _CRLF
-        if compress:
+        if compress == "gzip":
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                 gz.write(member)
             out.write(buf.getvalue())
+        elif compress == "zstd":
+            from markdown_lab_spark.functions.zstd_codec import (  # noqa: PLC0415
+                encode_zstd_store,
+            )
+
+            out.write(encode_zstd_store(member))
         else:
             out.write(member)
     return out.getvalue()
@@ -344,18 +381,23 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
+def write_wet(
+    df: DataFrame, out_dir: str, compression: str = "gzip"
+) -> DataFrame:
     """Distributed WET egress: each partition writes ONE
-    ``part-<id>.warc.wet.gz`` executor-side (no driver collect, no
-    shuffle — the writer fuses into whatever stage produced the rows).
-    ``df`` needs (url, text, warc_ts). Returns the small (path,
-    n_records) manifest DataFrame — materialized by the caller, which
-    makes the write happen exactly once per partition task."""
+    ``part-<id>.warc.wet.gz`` (or ``.zst``) executor-side (no driver
+    collect, no shuffle — the writer fuses into whatever stage produced
+    the rows). ``df`` needs (url, text, warc_ts). Returns the small
+    (path, n_records) manifest DataFrame — materialized by the caller,
+    which makes the write happen exactly once per partition task."""
     import os as _os
 
     import pandas as pd  # noqa: PLC0415
     from pyspark import TaskContext  # noqa: PLC0415
 
+    if compression not in ("gzip", "zstd", "none"):
+        raise ValueError(f"unknown WET compression: {compression!r}")
+    ext = {"gzip": ".gz", "zstd": ".zst", "none": ""}[compression]
     _os.makedirs(out_dir, exist_ok=True)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -374,9 +416,9 @@ def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
                 )
         if not recs:
             return
-        p = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        p = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet{ext}")
         with open(p, "wb") as f:
-            f.write(encode_wet(recs))
+            f.write(encode_wet(recs, compress=compression))
         yield pd.DataFrame({"path": [p], "n_records": [len(recs)]})
 
     return df.select("url", "text", "warc_ts").mapInPandas(

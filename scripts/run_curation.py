@@ -86,6 +86,10 @@ def main() -> int:
     ap.add_argument("--wet-out",
                     help="also publish the curated corpus as WET "
                     "(.warc.wet.gz conversion records) to this directory")
+    ap.add_argument("--wet-compression", default="gzip",
+                    choices=["gzip", "zstd", "none"],
+                    help="WET member compression (zstd = .warc.wet.zst "
+                    "via the in-repo RFC 8878 store encoder)")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature source-mix weighting p_i ~ n_i^alpha "
                     "over the 'source' column (GPT-3/LLaMA rule); flattens "
@@ -372,7 +376,9 @@ def main() -> int:
             wet_in = wet_in.withColumn(
                 "warc_ts", F.to_timestamp(F.lit("2000-01-01 00:00:00"))
             )
-        manifest = write_wet(wet_in, args.wet_out).collect()
+        manifest = write_wet(
+            wet_in, args.wet_out, compression=args.wet_compression
+        ).collect()
         counts["wet_files"] = len(manifest)
         counts["wet_records"] = int(sum(r["n_records"] for r in manifest))
 

@@ -1,0 +1,285 @@
+"""From-scratch compression codecs vs the REAL libraries.
+
+Unlike the mirrored-pair media codecs, every decoder here is verified
+against genuinely foreign bitstreams: pyarrow bundles the reference
+zstd / LZ4 / Snappy compressors, and Spark's JVM ``xxhash64`` anchors
+the hash. The store-mode encoders are verified in the other direction —
+the real decompressors must decode our frames.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from markdown_lab_spark.functions.lz4_codec import (
+    Lz4Error,
+    decode_lz4_block,
+    decode_lz4_frame,
+    encode_lz4_frame_store,
+    is_lz4_frame,
+)
+from markdown_lab_spark.functions.snappy_codec import (
+    SnappyError,
+    decode_snappy,
+    encode_snappy_store,
+)
+from markdown_lab_spark.functions.xxhash import xxh32, xxh64
+from markdown_lab_spark.functions.zstd_codec import (
+    ZstdError,
+    decode_zstd,
+    encode_zstd_store,
+    is_zstd,
+)
+
+
+def _payload(kind: str, n: int, seed: int = 1) -> bytes:
+    rng = random.Random(seed)
+    if kind == "text":
+        words = ["the", "crawl", "frontier", "spark", "codec", "markdown",
+                 "chunk", "http", "robots", "wave"]
+        s = (" ".join(rng.choice(words) for _ in range(n // 4 + 2))).encode()
+        return (s * (n // max(len(s), 1) + 2))[:n]
+    if kind == "rep":
+        return (b"abcdefgh" * (n // 8 + 1))[:n]
+    if kind == "rand":
+        return bytes(rng.randrange(256) for _ in range(n))
+    return b"\0" * n
+
+
+KINDS = ["text", "rep", "rand", "zero"]
+SIZES = [0, 1, 5, 100, 4096, 70000, 300000]
+
+
+# ---------------------------------------------------------------------------
+# xxhash
+
+
+def test_xxhash_published_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    payloads = [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in [0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 63, 100, 1000, 4097]
+    ]
+    jvm = [
+        r.h
+        for r in spark.createDataFrame([(p,) for p in payloads], "b binary")
+        .select(F.xxhash64("b").alias("h"))
+        .collect()
+    ]
+    mine = [xxh64(p, seed=42) for p in payloads]
+    assert [m - (1 << 64) if m >= (1 << 63) else m for m in mine] == jvm
+
+
+@given(st.binary(max_size=500), st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_xxh32_one_shot_consistency(data, seed):
+    # structural: deterministic, seed-sensitive on non-trivial input
+    assert xxh32(data, seed) == xxh32(data, seed)
+    assert 0 <= xxh32(data, seed) < (1 << 32)
+
+
+# ---------------------------------------------------------------------------
+# zstd decode vs the real compressor
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_zstd_decodes_real_streams(kind, level):
+    codec = pa.Codec("zstd", compression_level=level)
+    for n in SIZES:
+        data = _payload(kind, n)
+        assert decode_zstd(codec.compress(data, asbytes=True)) == data
+
+
+def test_zstd_large_multi_block_window():
+    # >128 KiB forces multiple blocks; repetitive content forces
+    # offsets reaching into previous blocks through the frame window
+    data = _payload("text", 800_000, seed=3)
+    comp = pa.Codec("zstd", compression_level=6).compress(data, asbytes=True)
+    assert decode_zstd(comp) == data
+
+
+@given(st.binary(max_size=3000), st.sampled_from([1, 3, 7, 15]))
+@settings(max_examples=80, deadline=None)
+def test_zstd_fuzz_roundtrip_vs_pyarrow(data, level):
+    comp = pa.Codec("zstd", compression_level=level).compress(
+        data, asbytes=True
+    )
+    assert decode_zstd(comp) == data
+
+
+def test_zstd_concatenated_and_skippable_frames():
+    a, b = b"alpha" * 100, _payload("rand", 1000)
+    comp = (
+        pa.Codec("zstd").compress(a, asbytes=True)
+        + (0x184D2A53).to_bytes(4, "little")
+        + (6).to_bytes(4, "little")
+        + b"ignore"
+        + pa.Codec("zstd").compress(b, asbytes=True)
+    )
+    assert decode_zstd(comp) == a + b
+
+
+def test_zstd_corruption_detected_or_differs():
+    data = _payload("text", 20000)
+    comp = bytearray(pa.Codec("zstd", compression_level=3).compress(
+        data, asbytes=True
+    ))
+    rng = random.Random(11)
+    for _ in range(20):
+        i = rng.randrange(8, len(comp))  # keep magic/header intact
+        orig = comp[i]
+        comp[i] ^= 0x41
+        try:
+            got = decode_zstd(bytes(comp))
+            assert got != data
+        except ValueError:
+            pass
+        comp[i] = orig
+
+
+def test_zstd_store_encoder_decoded_by_real_zstd():
+    for kind in KINDS:
+        for n in [0, 1, 100, 300000]:
+            data = _payload(kind, n, seed=5)
+            frame = encode_zstd_store(data)
+            assert is_zstd(frame)
+            got = pa.Codec("zstd").decompress(
+                frame, decompressed_size=len(data), asbytes=True
+            )
+            assert got == data
+            assert decode_zstd(frame) == data
+
+
+def test_zstd_store_rle_block_path():
+    data = b"\x7f" * 300_000  # uniform -> RLE blocks
+    frame = encode_zstd_store(data)
+    assert len(frame) < 100  # RLE collapsed
+    assert decode_zstd(frame) == data
+    assert (
+        pa.Codec("zstd").decompress(
+            frame, decompressed_size=len(data), asbytes=True
+        )
+        == data
+    )
+
+
+def test_zstd_checksum_tamper_raises():
+    frame = bytearray(encode_zstd_store(b"checksummed content"))
+    frame[-9] ^= 1  # flip a content byte, keep the checksum
+    with pytest.raises(ZstdError):
+        decode_zstd(bytes(frame))
+
+
+def test_zstd_rejects_dictionary_frames_and_bad_magic():
+    with pytest.raises(ZstdError):
+        decode_zstd(b"\x00\x00\x00\x00rest")
+    # frame header with dictionary_id_flag set
+    bad = ZstdError  # noqa: F841  (clarity)
+    frame = (0xFD2FB528).to_bytes(4, "little") + bytes([0x21, 0x00, 0x05])
+    with pytest.raises(ZstdError):
+        decode_zstd(frame)
+
+
+# ---------------------------------------------------------------------------
+# LZ4
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_lz4_frame_and_block_decode_real_streams(kind):
+    for n in SIZES + [2_000_000]:
+        data = _payload(kind, n, seed=2)
+        assert decode_lz4_frame(
+            pa.compress(data, codec="lz4", asbytes=True)
+        ) == data
+        assert bytes(
+            decode_lz4_block(pa.compress(data, codec="lz4_raw", asbytes=True))
+        ) == data
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_lz4_fuzz_roundtrip_vs_pyarrow(data):
+    assert decode_lz4_frame(
+        pa.compress(data, codec="lz4", asbytes=True)
+    ) == data
+
+
+def test_lz4_store_encoder_decoded_by_real_lz4():
+    for n in [0, 1, 100, 300000]:
+        data = _payload("rand", n, seed=9)
+        frame = encode_lz4_frame_store(data)
+        assert is_lz4_frame(frame)
+        assert (
+            pa.Codec("lz4").decompress(
+                frame, decompressed_size=len(data), asbytes=True
+            )
+            == data
+        )
+        assert decode_lz4_frame(frame) == data
+
+
+def test_lz4_header_checksum_tamper_raises():
+    frame = bytearray(encode_lz4_frame_store(b"hello"))
+    frame[4] ^= 0x04  # flip a descriptor bit -> HC mismatch
+    with pytest.raises(Lz4Error):
+        decode_lz4_frame(bytes(frame))
+
+
+def test_lz4_content_checksum_tamper_raises():
+    frame = bytearray(encode_lz4_frame_store(b"hello world content"))
+    frame[-6] ^= 1
+    with pytest.raises(Lz4Error):
+        decode_lz4_frame(bytes(frame))
+
+
+# ---------------------------------------------------------------------------
+# Snappy
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_snappy_decodes_real_streams(kind):
+    for n in SIZES:
+        data = _payload(kind, n, seed=4)
+        assert decode_snappy(
+            pa.compress(data, codec="snappy", asbytes=True)
+        ) == data
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_snappy_fuzz_roundtrip_vs_pyarrow(data):
+    assert decode_snappy(
+        pa.compress(data, codec="snappy", asbytes=True)
+    ) == data
+
+
+def test_snappy_store_encoder_decoded_by_real_snappy():
+    for n in [0, 1, 60, 61, 100, 300000]:
+        data = _payload("text", n, seed=6)
+        enc = encode_snappy_store(data)
+        assert (
+            pa.Codec("snappy").decompress(
+                enc, decompressed_size=len(data), asbytes=True
+            )
+            == data
+        )
+        assert decode_snappy(enc) == data
+
+
+def test_snappy_truncation_raises():
+    comp = pa.compress(_payload("text", 5000), codec="snappy", asbytes=True)
+    with pytest.raises(SnappyError):
+        decode_snappy(comp[: len(comp) // 2])

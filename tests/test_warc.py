@@ -224,3 +224,80 @@ def test_warc_pdf_docs_extracts_pdf_records(spark, tmp_path):
     assert ok["error"] is None
     bad = rows["https://a.example/bad.pdf"]
     assert bad["text"] is None and bad["error"]
+
+
+def test_warc_zst_real_compressor_ingest():
+    """A .warc.zst written by the REAL zstd (pyarrow) parses through the
+    in-repo RFC 8878 decoder — the modern Dolma-style archive layout."""
+    import pyarrow as pa
+
+    recs = _records(4)
+    plain = encode_warc(recs, compress=False)
+    payload = pa.Codec("zstd", compression_level=9).compress(
+        plain, asbytes=True
+    )
+    got = list(parse_warc_stream(payload))
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
+    assert [r["html"] for r in got] == [r["html"] for r in recs]
+
+
+def test_warc_zst_torn_tail_is_tolerated():
+    import pyarrow as pa
+
+    recs = _records(2)
+    a = pa.Codec("zstd").compress(
+        encode_warc(recs[:1], compress=False), asbytes=True
+    )
+    b = pa.Codec("zstd").compress(
+        encode_warc(recs[1:], compress=False), asbytes=True
+    )
+    torn = (a + b)[:-4]  # tear the second frame
+    got = list(parse_warc_stream(torn))
+    assert [r["url"] for r in got] == [recs[0]["url"]]
+
+
+def test_warc_lz4_frame_ingest():
+    import pyarrow as pa
+
+    recs = _records(2)
+    payload = pa.compress(
+        encode_warc(recs, compress=False), codec="lz4", asbytes=True
+    )
+    got = list(parse_warc_stream(payload))
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
+
+
+def test_wet_zstd_egress_roundtrip(spark, tmp_path):
+    """write_wet(compression='zstd') publishes .warc.wet.zst via the
+    in-repo store encoder; read_wet ingests it back, and the REAL zstd
+    decodes the same files (interop both directions)."""
+    import glob
+
+    import pyarrow as pa
+
+    from markdown_lab_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        (f"https://w.test/d{i}", f"text body {i}", _ts(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text string, warc_ts timestamp"
+    ).repartition(2)
+    out_dir = str(tmp_path / "wet_zst")
+    manifest = write_wet(df, out_dir, compression="zstd").collect()
+    files = sorted(glob.glob(out_dir + "/*.warc.wet.zst"))
+    assert files and sum(r["n_records"] for r in manifest) == 5
+    # the real library decodes our frames (pyarrow needs the exact
+    # decompressed size; learn it from the in-repo decoder, then make
+    # the REAL zstd reproduce the same bytes)
+    from markdown_lab_spark.functions.zstd_codec import decode_zstd
+
+    raw = open(files[0], "rb").read()
+    mine = decode_zstd(raw)
+    plain = pa.Codec("zstd").decompress(
+        raw, decompressed_size=len(mine), asbytes=True
+    )
+    assert plain == mine and plain.startswith(b"WARC/1.0")
+    back = read_wet(spark, out_dir)
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    assert got == {(u, t) for u, t, _ in rows}
