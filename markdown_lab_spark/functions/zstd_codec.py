@@ -779,3 +779,285 @@ def encode_zstd_store(
     if checksum:
         parts.append((xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little"))
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# real compression encoder: greedy matches + predefined-FSE sequences
+# (raw literals). Verified by the REAL zstd decoding our frames
+# (tests/test_compression.py) — no native lib involved in producing
+# genuinely entropy-coded .zst.
+
+
+class _BackBitWriter:
+    """Backward-stream writer: bits appended LSB-upward into a little-
+    endian byte buffer; the decoder (reading from the sentinel down)
+    sees fields in reverse write order."""
+
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def add(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        self.add(1, 1)  # sentinel
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _FseEncoder:
+    """Encode-side FSE table from normalized counts (the inverse of
+    :func:`_build_fse_decode_table`; same spread)."""
+
+    __slots__ = ("log", "state_table", "delta_nb", "delta_fs", "state")
+
+    def __init__(self, accuracy_log: int, probs: list[int]) -> None:
+        self.log = accuracy_log
+        size = 1 << accuracy_log
+        symbols = [0] * size
+        high = size - 1
+        for s, p in enumerate(probs):
+            if p == -1:
+                symbols[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(probs):
+            for _ in range(max(p, 0)):
+                symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        cumul = [0] * (len(probs) + 1)
+        for s, p in enumerate(probs):
+            cumul[s + 1] = cumul[s] + (1 if p == -1 else max(p, 0))
+        fill = list(cumul[:-1])
+        self.state_table = [0] * size
+        for u in range(size):
+            s = symbols[u]
+            self.state_table[fill[s]] = size + u
+            fill[s] += 1
+        self.delta_nb = [0] * len(probs)
+        self.delta_fs = [0] * len(probs)
+        for s, p in enumerate(probs):
+            c = 1 if p == -1 else p
+            if c == 0:
+                continue
+            if c == 1:
+                self.delta_nb[s] = (accuracy_log << 16) - size
+            else:
+                # maxBitsOut = tableLog - floor(log2(c - 1))
+                max_bits = accuracy_log - ((c - 1).bit_length() - 1)
+                self.delta_nb[s] = (max_bits << 16) - (c << max_bits)
+            self.delta_fs[s] = cumul[s] - c
+        self.state = 0
+
+    def init_state(self, symbol: int) -> None:
+        nb = (self.delta_nb[symbol] + (1 << 15)) >> 16
+        value = (nb << 16) - self.delta_nb[symbol]
+        self.state = self.state_table[
+            (value >> nb) + self.delta_fs[symbol]
+        ]
+
+    def encode(self, bits: _BackBitWriter, symbol: int) -> None:
+        nb = (self.state + self.delta_nb[symbol]) >> 16
+        bits.add(self.state, nb)
+        self.state = self.state_table[
+            (self.state >> nb) + self.delta_fs[symbol]
+        ]
+
+    def flush(self, bits: _BackBitWriter) -> None:
+        bits.add(self.state, self.log)
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    for code in range(35, 15, -1):
+        if v >= _LL_BASE[code]:
+            return code
+    raise ZstdError("unreachable literal length")
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    for code in range(52, 31, -1):
+        if v >= _ML_BASE[code]:
+            return code
+    raise ZstdError("unreachable match length")
+
+
+def _find_sequences(block: bytes):
+    """Greedy single-entry hash-chain matcher (offsets stay within the
+    block). Returns (sequences [(lit_len, offset, match_len)], trailing
+    literal count); literals themselves are block bytes in order."""
+    n = len(block)
+    seqs = []
+    table: dict[int, int] = {}
+    anchor = 0
+    pos = 0
+    while pos + 4 <= n:
+        key = block[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None or pos - cand > (1 << 20):
+            pos += 1
+            continue
+        # extend the match forward
+        length = 4
+        limit = n - pos
+        while (
+            length < limit
+            and block[cand + length] == block[pos + length]
+        ):
+            length += 1
+        if length < 4:
+            pos += 1
+            continue
+        seqs.append((pos - anchor, pos - cand, length))
+        # index positions inside the match sparsely (speed/ratio trade)
+        end = pos + length
+        step = 1 if length < 64 else 7
+        for p in range(pos + 1, min(end, n - 4), step):
+            table[block[p : p + 4]] = p
+        pos = end
+        anchor = end
+    return seqs, n - anchor
+
+
+def _encode_compressed_block(block: bytes) -> bytes | None:
+    """One zstd compressed block (raw literals + predefined-FSE
+    sequences); None when sequences don't pay."""
+    seqs, _trail = _find_sequences(block)
+    if not seqs:
+        return None
+    # literals = bytes outside matches, in order
+    lits = bytearray()
+    cursor = 0
+    for lit_len, _off, mlen in seqs:
+        lits += block[cursor : cursor + lit_len]
+        cursor += lit_len + mlen
+    lits += block[cursor:]
+    # raw literals section header
+    rsize = len(lits)
+    if rsize < 32:
+        lit_hdr = bytes([(0 << 2) | (rsize << 3)])  # size_format 00
+    elif rsize < 4096:
+        lit_hdr = bytes(
+            [(1 << 2) | ((rsize & 0xF) << 4), (rsize >> 4) & 0xFF]
+        )
+    else:
+        lit_hdr = bytes(
+            [
+                (3 << 2) | ((rsize & 0xF) << 4),
+                (rsize >> 4) & 0xFF,
+                (rsize >> 12) & 0xFF,
+            ]
+        )
+    # sequences header
+    nseq = len(seqs)
+    if nseq < 128:
+        seq_hdr = bytes([nseq])
+    elif nseq <= 0x7EFF:
+        seq_hdr = bytes([(nseq >> 8) + 128, nseq & 0xFF])
+    else:
+        seq_hdr = b"\xff" + (nseq - 0x7F00).to_bytes(2, "little")
+    seq_hdr += b"\x00"  # all three symbol types: predefined mode
+    # code/extra decomposition per sequence
+    rows = []
+    for lit_len, offset, mlen in seqs:
+        ll = _ll_code(lit_len)
+        ml = _ml_code(mlen)
+        ov = offset + 3  # never use repeat-offset codes
+        of = ov.bit_length() - 1
+        rows.append(
+            (
+                ll, lit_len - _LL_BASE[ll], _LL_BITS[ll],
+                ml, mlen - _ML_BASE[ml], _ML_BITS[ml],
+                of, ov - (1 << of), of,
+            )
+        )
+    bits = _BackBitWriter()
+    enc_ll = _FseEncoder(*_LL_DEFAULT)
+    enc_of = _FseEncoder(*_OF_DEFAULT)
+    enc_ml = _FseEncoder(*_ML_DEFAULT)
+    last = rows[-1]
+    enc_ml.init_state(last[3])
+    enc_of.init_state(last[6])
+    enc_ll.init_state(last[0])
+    bits.add(last[1], last[2])  # LL extra
+    bits.add(last[4], last[5])  # ML extra
+    bits.add(last[7], last[8])  # OF extra
+    for i in range(len(rows) - 2, -1, -1):
+        r = rows[i]
+        enc_of.encode(bits, r[6])
+        enc_ml.encode(bits, r[3])
+        enc_ll.encode(bits, r[0])
+        bits.add(r[1], r[2])
+        bits.add(r[4], r[5])
+        bits.add(r[7], r[8])
+    enc_ml.flush(bits)
+    enc_of.flush(bits)
+    enc_ll.flush(bits)
+    body = lit_hdr + bytes(lits) + seq_hdr + bits.finish()
+    if len(body) >= len(block):
+        return None  # didn't pay; caller falls back to a raw block
+    return body
+
+
+def encode_zstd(
+    content: bytes, checksum: bool = True, block_size: int = 1 << 17
+) -> bytes:
+    """Genuinely compressed single-frame zstd: greedy LZ matches +
+    predefined-FSE sequence coding + raw literals, falling back to
+    raw/RLE blocks where compression doesn't pay. Decodable by any
+    zstd implementation (pinned against the real library in tests)."""
+    if block_size <= 0 or block_size > 1 << 17:
+        raise ZstdError("block size out of range (max 128 KiB)")
+    parts = [ZSTD_MAGIC.to_bytes(4, "little")]
+    size = len(content)
+    if size <= 255:
+        fcs_flag, fcs_len = 0, 1
+    elif size <= 65535 + 256:
+        fcs_flag, fcs_len = 1, 2
+    elif size < (1 << 32):
+        fcs_flag, fcs_len = 2, 4
+    else:
+        fcs_flag, fcs_len = 3, 8
+    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    parts.append(bytes([fhd]))
+    fcs_val = size - 256 if fcs_flag == 1 else size
+    parts.append(fcs_val.to_bytes(fcs_len, "little"))
+    blocks = [
+        content[i : i + block_size] for i in range(0, size, block_size)
+    ] or [b""]
+    for i, block in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        if len(block) > 1 and block.count(block[0]) == len(block):
+            parts.append((last | (1 << 1) | (len(block) << 3)).to_bytes(3, "little"))
+            parts.append(block[:1])
+            continue
+        body = _encode_compressed_block(block) if len(block) >= 16 else None
+        if body is None:
+            parts.append((last | (len(block) << 3)).to_bytes(3, "little"))
+            parts.append(block)
+        else:
+            parts.append((last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little"))
+            parts.append(body)
+    if checksum:
+        parts.append((xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little"))
+    return b"".join(parts)

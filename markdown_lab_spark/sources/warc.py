@@ -360,10 +360,10 @@ def encode_wet(records: List[dict], compress: str | bool = True) -> bytes:
             out.write(buf.getvalue())
         elif compress == "zstd":
             from markdown_lab_spark.functions.zstd_codec import (  # noqa: PLC0415
-                encode_zstd_store,
+                encode_zstd,
             )
 
-            out.write(encode_zstd_store(member))
+            out.write(encode_zstd(member))
         else:
             out.write(member)
     return out.getvalue()
