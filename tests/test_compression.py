@@ -501,3 +501,53 @@ def test_fse_encoder_inverts_decoder_all_tables():
                 if i + 1 < len(syms):
                     dec.update_state(bits)
             assert got == syms and bits.bitpos == 0
+
+
+def test_zstd_huffman_literals_paths():
+    """Skewed-byte data with no LZ matches forces the Huffman-literals
+    block path (1-stream and 4-stream); template-heavy data exercises
+    sequences + Huffman literals together. All decoded by REAL zstd."""
+    from markdown_lab_spark.functions.zstd_codec import encode_zstd
+
+    rng = random.Random(31)
+    for n in [200, 1023, 1024, 5000, 200000]:
+        skew = bytes(rng.choice(b"aaaaabbbcde") for _ in range(n))
+        frame = encode_zstd(skew)
+        assert (
+            pa.Codec("zstd").decompress(
+                frame, decompressed_size=n, asbytes=True
+            )
+            == skew
+        )
+        assert decode_zstd(frame) == skew
+        if n >= 5000:
+            assert len(frame) < int(n * 0.6)  # measured ~0.48
+    html = "".join(
+        f'<div class="row item-{i}"><a href="/p/{i * 7 % 97}">Item {i}'
+        f"</a><p>description {i % 13}</p></div>"
+        for i in range(2500)
+    ).encode()
+    frame = encode_zstd(html)
+    assert (
+        pa.Codec("zstd").decompress(
+            frame, decompressed_size=len(html), asbytes=True
+        )
+        == html
+    )
+    assert len(frame) < len(html) // 5  # measured ~0.14
+
+
+def test_zstd_package_merge_lengths_kraft_complete():
+    from markdown_lab_spark.functions.zstd_codec import (
+        _package_merge_lengths,
+    )
+
+    rng = random.Random(41)
+    for trial in range(30):
+        nsym = rng.randrange(2, 128)
+        freqs = {s: rng.randrange(1, 10000) for s in range(nsym)}
+        lengths = _package_merge_lengths(freqs, 11)
+        assert max(lengths.values()) <= 11
+        assert min(lengths.values()) >= 1
+        kraft = sum(2 ** (11 - length) for length in lengths.values())
+        assert kraft == 1 << 11, trial
