@@ -186,3 +186,124 @@ def encode_lz4_frame_store(
     if content_checksum:
         parts.append(xxh32(content).to_bytes(4, "little"))
     return b"".join(parts)
+
+
+def _chain_matches(data: bytes, max_offset: int, chain: int = 16):
+    """Greedy longest-match hash chains for the LZ4/Snappy encoders.
+    Yields (lit_start, lit_len, offset, match_len) with spec-safe
+    margins left to the caller via ``end_margin`` positions."""
+    n = len(data)
+    table: dict[bytes, list[int]] = {}
+    anchor = 0
+    pos = 0
+    out = []
+    # LZ4 end rules: last match starts >= 12 bytes before end, last 5
+    # bytes are literals; stopping matches at n-12 satisfies both
+    last_match_start = n - 12
+    while pos + 4 <= n and pos <= last_match_start:
+        key = data[pos : pos + 4]
+        cands = table.get(key)
+        if cands is None:
+            table[key] = [pos]
+            pos += 1
+            continue
+        best_len = 0
+        best_cand = -1
+        limit = min(n - 5, n) - pos  # keep 5 trailing literals
+        for cand in reversed(cands):
+            if pos - cand > max_offset:
+                continue
+            length = 4
+            while (
+                length < limit
+                and data[cand + length] == data[pos + length]
+            ):
+                length += 1
+            if length > best_len:
+                best_len = length
+                best_cand = cand
+                if length >= 1024:
+                    break
+        cands.append(pos)
+        if len(cands) > chain:
+            del cands[0]
+        if best_len < 4:
+            pos += 1
+            continue
+        out.append((anchor, pos - anchor, pos - best_cand, best_len))
+        end = pos + best_len
+        step = 1 if best_len < 64 else 7
+        for p in range(pos + 1, min(end, n - 4), step):
+            k2 = data[p : p + 4]
+            lst = table.get(k2)
+            if lst is None:
+                table[k2] = [p]
+            else:
+                lst.append(p)
+                if len(lst) > chain:
+                    del lst[0]
+        pos = end
+        anchor = end
+    return out, anchor
+
+
+def encode_lz4_block(data: bytes) -> bytes:
+    """Genuinely compressed raw LZ4 block (greedy hash-chain matching,
+    spec end-condition margins). Decodable by any LZ4 implementation —
+    pinned against the real library in tests."""
+    matches, anchor = _chain_matches(data, max_offset=0xFFFF)
+    parts = []
+
+    def emit(lit: bytes, mlen: int | None, offset: int | None) -> None:
+        ll = len(lit)
+        ml = 0 if mlen is None else mlen - 4
+        token = (min(ll, 15) << 4) | min(ml, 15)
+        parts.append(bytes([token]))
+        if ll >= 15:
+            rest = ll - 15
+            while rest >= 255:
+                parts.append(b"\xff")
+                rest -= 255
+            parts.append(bytes([rest]))
+        parts.append(lit)
+        if mlen is None:
+            return
+        parts.append(offset.to_bytes(2, "little"))
+        if ml >= 15:
+            rest = ml - 15
+            while rest >= 255:
+                parts.append(b"\xff")
+                rest -= 255
+            parts.append(bytes([rest]))
+
+    for lit_start, lit_len, offset, mlen in matches:
+        emit(data[lit_start : lit_start + lit_len], mlen, offset)
+    emit(data[anchor:], None, None)  # trailing literals-only sequence
+    return b"".join(parts)
+
+
+def encode_lz4_frame(
+    content: bytes, block_size: int = 1 << 16, content_checksum: bool = True
+) -> bytes:
+    """A genuinely compressed LZ4 frame (independent blocks; a block
+    falls back to uncompressed form when matching doesn't pay)."""
+    flg = (1 << 6) | (1 << 5) | (1 << 3)
+    if content_checksum:
+        flg |= 1 << 2
+    bd = 4 << 4
+    desc = bytes([flg, bd]) + len(content).to_bytes(8, "little")
+    hc = (xxh32(desc) >> 8) & 0xFF
+    parts = [LZ4_FRAME_MAGIC.to_bytes(4, "little"), desc, bytes([hc])]
+    for i in range(0, len(content), block_size):
+        block = content[i : i + block_size]
+        comp = encode_lz4_block(block)
+        if len(comp) < len(block):
+            parts.append(len(comp).to_bytes(4, "little"))
+            parts.append(comp)
+        else:
+            parts.append((len(block) | 0x80000000).to_bytes(4, "little"))
+            parts.append(block)
+    parts.append((0).to_bytes(4, "little"))
+    if content_checksum:
+        parts.append(xxh32(content).to_bytes(4, "little"))
+    return b"".join(parts)

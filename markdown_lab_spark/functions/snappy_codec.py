@@ -107,3 +107,66 @@ def encode_snappy_store(content: bytes) -> bytes:
         parts.append(content[pos : pos + length])
         pos += length
     return b"".join(parts)
+
+
+def encode_snappy(content: bytes) -> bytes:
+    """Genuinely compressed Snappy (greedy hash-chain matching, copy-1
+    and copy-2 elements). Decodable by any Snappy implementation —
+    pinned against the real library in tests."""
+    from .lz4_codec import _chain_matches  # noqa: PLC0415
+
+    parts = []
+    total = len(content)
+    val = total
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        parts.append(bytes([b | (0x80 if val else 0)]))
+        if not val:
+            break
+
+    def emit_literal(lit: bytes) -> None:
+        pos = 0
+        while pos < len(lit) or (not lit and pos == 0):
+            chunk = lit[pos : pos + (1 << 16)]
+            if not chunk:
+                break
+            ln = len(chunk)
+            if ln <= 60:
+                parts.append(bytes([(ln - 1) << 2]))
+            elif ln <= 256:
+                parts.append(bytes([60 << 2, ln - 1]))
+            else:
+                parts.append(bytes([61 << 2]))
+                parts.append((ln - 1).to_bytes(2, "little"))
+            parts.append(chunk)
+            pos += ln
+
+    def emit_copy(offset: int, length: int) -> None:
+        while length > 0:
+            if length > 64:
+                take = 64 if length - 64 >= 4 else length - 4
+            else:
+                take = length
+            if 4 <= take <= 11 and offset < 2048:
+                parts.append(
+                    bytes(
+                        [
+                            1 | ((take - 4) << 2) | ((offset >> 8) << 5),
+                            offset & 0xFF,
+                        ]
+                    )
+                )
+            else:
+                parts.append(bytes([2 | ((take - 1) << 2)]))
+                parts.append(offset.to_bytes(2, "little"))
+            length -= take
+
+    matches, anchor = _chain_matches(content, max_offset=0xFFFF)
+    for lit_start, lit_len, offset, mlen in matches:
+        if lit_len:
+            emit_literal(content[lit_start : lit_start + lit_len])
+        emit_copy(offset, mlen)
+    if anchor < total:
+        emit_literal(content[anchor:])
+    return b"".join(parts)

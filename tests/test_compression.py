@@ -551,3 +551,81 @@ def test_zstd_package_merge_lengths_kraft_complete():
         assert min(lengths.values()) >= 1
         kraft = sum(2 ** (11 - length) for length in lengths.values())
         assert kraft == 1 << 11, trial
+
+
+# ---------------------------------------------------------------------------
+# real LZ4 / Snappy COMPRESSION encoders
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_lz4_real_encoder_decoded_by_real_lz4(kind):
+    from markdown_lab_spark.functions.lz4_codec import (
+        encode_lz4_block,
+        encode_lz4_frame,
+    )
+
+    for n in [0, 1, 4, 12, 13, 100, 1000, 20000, 200000]:
+        data = _payload(kind, n, seed=33)
+        f = encode_lz4_frame(data)
+        assert (
+            pa.Codec("lz4").decompress(
+                f, decompressed_size=n, asbytes=True
+            )
+            == data
+        )
+        assert decode_lz4_frame(f) == data
+        b = encode_lz4_block(data)
+        assert (
+            pa.Codec("lz4_raw").decompress(
+                b, decompressed_size=n, asbytes=True
+            )
+            == data
+        )
+        assert bytes(decode_lz4_block(b)) == data
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_snappy_real_encoder_decoded_by_real_snappy(kind):
+    from markdown_lab_spark.functions.snappy_codec import encode_snappy
+
+    for n in [0, 1, 4, 11, 64, 65, 100, 1000, 200000]:
+        data = _payload(kind, n, seed=33)
+        s = encode_snappy(data)
+        assert (
+            pa.Codec("snappy").decompress(
+                s, decompressed_size=n, asbytes=True
+            )
+            == data
+        )
+        assert decode_snappy(s) == data
+
+
+def test_lz4_snappy_encoders_actually_compress():
+    from markdown_lab_spark.functions.lz4_codec import encode_lz4_frame
+    from markdown_lab_spark.functions.snappy_codec import encode_snappy
+
+    data = _payload("text", 200000, seed=33)
+    # 16-deep chains measured BELOW the reference defaults (0.25 vs
+    # 0.40 lz4, 0.21 vs 0.30 snappy) — assert a conservative bound
+    assert len(encode_lz4_frame(data)) < int(len(data) * 0.35)
+    assert len(encode_snappy(data)) < int(len(data) * 0.30)
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=50, deadline=None)
+def test_lz4_snappy_real_encoder_fuzz(data):
+    from markdown_lab_spark.functions.lz4_codec import encode_lz4_frame
+    from markdown_lab_spark.functions.snappy_codec import encode_snappy
+
+    assert (
+        pa.Codec("lz4").decompress(
+            encode_lz4_frame(data), decompressed_size=len(data), asbytes=True
+        )
+        == data
+    )
+    assert (
+        pa.Codec("snappy").decompress(
+            encode_snappy(data), decompressed_size=len(data), asbytes=True
+        )
+        == data
+    )
