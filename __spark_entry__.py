@@ -1448,6 +1448,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pixel_sum long",
         ).select("codec", "media_id", "width", "height", "pixel_sum")
 
+        # wiki leg: the Wikipedia-dump ingest chain on the hash gate —
+        # a 3-page MediaWiki multistream dump built per media id and
+        # compressed by the REAL bzip2 (stdlib), decompressed by the
+        # from-scratch decoder (functions/bzip2.py), XML-parsed and
+        # wikitext-cleaned (sources/wikipedia.py); the oracle rebuilds
+        # the exact cleaned text in SQL and compares an md5-prefix
+        # bigint (the pdf-leg pattern). width = n_pages, height = text
+        # length, pages joined by formfeed.
+        wiki_docs_ids = (
+            _t(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 50)
+        )
+
+        def wiki_decode(batches):
+            import hashlib  # noqa: PLC0415
+
+            import pandas as pd  # noqa: PLC0415
+
+            from markdown_lab_spark.functions.bzip2 import (  # noqa: PLC0415
+                decode_bzip2,
+            )
+            from markdown_lab_spark.sources.wikipedia import (  # noqa: PLC0415
+                encode_wikidump,
+                parse_wikidump,
+                wikitext_to_text,
+            )
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    pages = [
+                        {
+                            "title": f"Page {i} {j}",
+                            "ns": 0,
+                            "page_id": i * 10 + j,
+                            "wikitext": (
+                                f"'''Page {i} {j}''' covers "
+                                f"[[topic {i}|t {j}]] fully.\n"
+                                f"== History ==\n* item {i} {j}\n"
+                                f"{{{{box|v={i}}}}}end"
+                            ),
+                        }
+                        for j in range(3)
+                    ]
+                    payload = encode_wikidump(pages, multistream=2)
+                    xml = decode_bzip2(payload)  # owned byte path
+                    parsed = list(parse_wikidump(xml))
+                    txt = "\f".join(
+                        wikitext_to_text(p["wikitext"]) for p in parsed
+                    )
+                    rows.append(
+                        {
+                            "codec": "wiki",
+                            "media_id": i,
+                            "width": len(parsed),
+                            "height": len(txt),
+                            "pixel_sum": int(
+                                hashlib.md5(txt.encode()).hexdigest()[:15],
+                                16,
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        wiki_leg = wiki_docs_ids.mapInPandas(
+            wiki_decode,
+            "codec string, media_id long, width int, height int, "
+            "pixel_sum long",
+        ).select("codec", "media_id", "width", "height", "pixel_sum")
+
         return (
             png_leg.unionByName(gif_leg)
             .unionByName(wav_leg)
@@ -1456,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(mp4_leg)
             .unionByName(flac_leg)
             .unionByName(zstd_leg)
+            .unionByName(wiki_leg)
         )
 
     q["q47_png_decode"] = q47_png_decode
@@ -3009,6 +3082,28 @@ def oracle_sql() -> dict[str, str]:
                      WHERE k.g < 500 + (doc_id % 7) * 100) AS BIGINT)
                  AS pixel_sum
         FROM documents WHERE doc_id < 60
+        UNION ALL
+        -- wiki leg: the dump-ingest chain (real-bz2 compress ->
+        -- from-scratch bz2 decode -> XML parse -> wikitext clean) is
+        -- lossless-by-construction on this template, so the cleaned
+        -- text is rebuilt exactly in SQL and pinned by md5 prefix
+        SELECT 'wiki' AS codec, w.doc_id AS media_id,
+               CAST(3 AS INT) AS width,
+               CAST(length(w.txt) AS INT) AS height,
+               CAST(('0x' || substr(md5(w.txt), 1, 15))::UBIGINT AS BIGINT)
+                 AS pixel_sum
+        FROM (
+          SELECT doc_id,
+                 (SELECT string_agg(
+                    'Page ' || CAST(doc_id AS VARCHAR) || ' '
+                     || CAST(j.g AS VARCHAR) || ' covers t '
+                     || CAST(j.g AS VARCHAR) || ' fully.' || chr(10)
+                     || 'History' || chr(10) || 'item '
+                     || CAST(doc_id AS VARCHAR) || ' '
+                     || CAST(j.g AS VARCHAR) || chr(10) || 'end',
+                    chr(12) ORDER BY j.g)
+                  FROM generate_series(0, 2) j(g)) AS txt
+          FROM documents WHERE doc_id < 50) w
         UNION ALL
         -- pdf leg: the extractor's output text reconstructed in closed
         -- form (pages joined by formfeed, lines by newline), pinned via
