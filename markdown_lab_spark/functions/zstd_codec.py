@@ -962,9 +962,13 @@ def _find_sequences(block: bytes, chain: int = 16):
     return seqs, n - anchor
 
 
-def _encode_compressed_block(block: bytes) -> bytes | None:
-    """One zstd compressed block (raw literals + predefined-FSE
-    sequences); None when sequences don't pay."""
+def _encode_compressed_block(
+    block: bytes, frame_reps: list[int] | None = None
+) -> bytes | None:
+    """One zstd compressed block (Huffman/raw/RLE literals +
+    predefined-FSE sequences); None when compression doesn't pay.
+    ``frame_reps`` is the frame-scoped repeat-offset history (the
+    decoder persists it across blocks) — mutated only on success."""
     seqs, _trail = _find_sequences(block)
     # literals = bytes outside matches, in order
     lits = bytearray()
@@ -986,12 +990,41 @@ def _encode_compressed_block(block: bytes) -> bytes | None:
     else:
         seq_hdr = b"\xff" + (nseq - 0x7F00).to_bytes(2, "little")
     seq_hdr += b"\x00"  # all three symbol types: predefined mode
-    # code/extra decomposition per sequence
+    # code/extra decomposition per sequence, with repeat-offset codes:
+    # track the three-slot history exactly as the decoder updates it
+    # (offset_value 1-3, shifted when literals_length == 0) — repeated
+    # offsets (template-heavy web text) then cost 0-2 extra bits
+    # instead of a full offset
     rows = []
+    reps = list(frame_reps) if frame_reps is not None else [1, 4, 8]
     for lit_len, offset, mlen in seqs:
         ll = _ll_code(lit_len)
         ml = _ml_code(mlen)
-        ov = offset + 3  # never use repeat-offset codes
+        if lit_len > 0:
+            if offset == reps[0]:
+                ov = 1
+            elif offset == reps[1]:
+                ov = 2
+                reps[0], reps[1] = reps[1], reps[0]
+            elif offset == reps[2]:
+                ov = 3
+                reps[0], reps[1], reps[2] = reps[2], reps[0], reps[1]
+            else:
+                ov = offset + 3
+                reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
+        else:
+            if offset == reps[1]:
+                ov = 1
+                reps[0], reps[1] = reps[1], reps[0]
+            elif offset == reps[2]:
+                ov = 2
+                reps[0], reps[1], reps[2] = reps[2], reps[0], reps[1]
+            elif offset == reps[0] - 1 and offset > 0:
+                ov = 3
+                reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
+            else:
+                ov = offset + 3
+                reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
         of = ov.bit_length() - 1
         rows.append(
             (
@@ -1025,6 +1058,8 @@ def _encode_compressed_block(block: bytes) -> bytes | None:
     body = lit_section + seq_hdr + bits.finish()
     if len(body) >= len(block):
         return None  # didn't pay; caller falls back to a raw block
+    if frame_reps is not None:
+        frame_reps[:] = reps  # commit the history only on success
     return body
 
 
@@ -1054,13 +1089,18 @@ def encode_zstd(
     blocks = [
         content[i : i + block_size] for i in range(0, size, block_size)
     ] or [b""]
+    frame_reps = [1, 4, 8]
     for i, block in enumerate(blocks):
         last = 1 if i == len(blocks) - 1 else 0
         if len(block) > 1 and block.count(block[0]) == len(block):
             parts.append((last | (1 << 1) | (len(block) << 3)).to_bytes(3, "little"))
             parts.append(block[:1])
             continue
-        body = _encode_compressed_block(block) if len(block) >= 16 else None
+        body = (
+            _encode_compressed_block(block, frame_reps)
+            if len(block) >= 16
+            else None
+        )
         if body is None:
             parts.append((last | (len(block) << 3)).to_bytes(3, "little"))
             parts.append(block)

@@ -629,3 +629,40 @@ def test_lz4_snappy_real_encoder_fuzz(data):
         )
         == data
     )
+
+
+def test_zstd_encoder_repeat_offsets_cross_block():
+    """Template-heavy data makes the encoder emit repeat-offset codes
+    (offset_value 1-3, incl. the frame-scoped history that persists
+    across blocks); the REAL zstd decodes the result. The >128 KiB
+    input spans multiple blocks, so block 2's first rep codes depend on
+    block 1's final history — the cross-block state the decoder keeps
+    in its frame state."""
+    from markdown_lab_spark.functions.zstd_codec import encode_zstd
+
+    big = b"<tr><td class=\"c\">value</td></tr>" * 20000  # ~660 KB
+    frame = encode_zstd(big)
+    assert (
+        pa.Codec("zstd").decompress(
+            frame, decompressed_size=len(big), asbytes=True
+        )
+        == big
+    )
+    assert decode_zstd(frame) == big
+    # rep-coded sequences are tiny: whole frame collapses hard
+    assert len(frame) < len(big) // 100
+    # structured small cases exercising each rep slot
+    rng = random.Random(56)
+    for _ in range(60):
+        n = rng.randrange(0, 2500)
+        data = b"".join(
+            bytes([rng.choice(b"abcdxyz  ")]) * rng.randrange(1, 9)
+            for _ in range(n // 3 + 1)
+        )[:n]
+        frame = encode_zstd(data)
+        assert (
+            pa.Codec("zstd").decompress(
+                frame, decompressed_size=len(data), asbytes=True
+            )
+            == data
+        )
