@@ -666,3 +666,77 @@ def test_zstd_encoder_repeat_offsets_cross_block():
             )
             == data
         )
+
+
+# ---------------------------------------------------------------------------
+# CLI cross-checks (env-gated): the reference command-line tools decode
+# our frames INCLUDING checksum verification (pyarrow skips checksums)
+
+
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+_ZSTD_CLI = shutil.which("zstd")
+_LZ4_CLI = shutil.which("lz4")
+_GZIP_CLI = shutil.which("gzip")
+_BZIP2_CLI = shutil.which("bzip2")
+
+
+def _cli_roundtrip(cmd: list[str], frame: bytes) -> bytes:
+    p = subprocess.run(cmd, input=frame, capture_output=True, check=True)
+    return p.stdout
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no zstd CLI")
+def test_zstd_cli_decodes_our_checksummed_frames():
+    from markdown_lab_spark.functions.zstd_codec import (
+        encode_zstd,
+        encode_zstd_store,
+    )
+
+    for kind in KINDS:
+        data = _payload(kind, 150000, seed=61)
+        for frame in [encode_zstd(data), encode_zstd_store(data)]:
+            out = _cli_roundtrip([_ZSTD_CLI, "-d", "-c"], frame)
+            assert out == data
+    # the CLI actually verifies the XXH64 checksum: corrupt it -> fail
+    frame = bytearray(encode_zstd(b"checksummed payload " * 50))
+    frame[-2] ^= 1
+    with pytest.raises(subprocess.CalledProcessError):
+        _cli_roundtrip([_ZSTD_CLI, "-d", "-c"], bytes(frame))
+
+
+@pytest.mark.skipif(_LZ4_CLI is None, reason="no lz4 CLI")
+def test_lz4_cli_decodes_our_frames():
+    from markdown_lab_spark.functions.lz4_codec import (
+        encode_lz4_frame,
+        encode_lz4_frame_store,
+    )
+
+    for kind in KINDS:
+        data = _payload(kind, 150000, seed=62)
+        for frame in [encode_lz4_frame(data), encode_lz4_frame_store(data)]:
+            assert _cli_roundtrip([_LZ4_CLI, "-d", "-c"], frame) == data
+    frame = bytearray(encode_lz4_frame(b"checksummed payload " * 50))
+    frame[-2] ^= 1
+    with pytest.raises(subprocess.CalledProcessError):
+        _cli_roundtrip([_LZ4_CLI, "-d", "-c"], bytes(frame))
+
+
+@pytest.mark.skipif(_GZIP_CLI is None, reason="no gzip CLI")
+def test_gzip_cli_decodes_our_members():
+    from markdown_lab_spark.functions.deflate import encode_gzip_store
+
+    data = _payload("text", 150000, seed=63)
+    assert _cli_roundtrip([_GZIP_CLI, "-d", "-c"], encode_gzip_store(data)) == data
+
+
+@pytest.mark.skipif(_BZIP2_CLI is None, reason="no bzip2 CLI")
+def test_bzip2_cli_output_decodes_through_ours():
+    from markdown_lab_spark.functions.bzip2 import decode_bzip2
+
+    data = _payload("text", 150000, seed=64)
+    comp = subprocess.run(
+        [_BZIP2_CLI, "-c", "-3"], input=data, capture_output=True, check=True
+    ).stdout
+    assert decode_bzip2(comp) == data
