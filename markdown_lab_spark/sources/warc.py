@@ -51,7 +51,8 @@ def _split_members(payload: bytes) -> Iterator[bytes]:
     """Decompressed members of a WARC payload, magic-sniffed:
     gzip member-per-record (``.warc.gz``, the classic Common Crawl
     layout), zstd frames (``.warc.zst`` / ``.warc.wet.zst`` — the Dolma
-    / modern-corpus layout; in-repo RFC 8878 decoder), LZ4 frames, or
+    / modern-corpus layout; in-repo RFC 8878 decoder), xz streams
+    (in-repo LZMA decoder), LZ4 frames, or
     the payload itself when uncompressed. A torn tail member/frame ends
     the stream instead of aborting the task."""
     if payload[:2] == b"\x1f\x8b":
@@ -74,6 +75,11 @@ def _split_members(payload: bytes) -> Iterator[bytes]:
         decode_lz4_frame,
         is_lz4_frame,
     )
+    from markdown_lab_spark.functions.lzma_codec import (  # noqa: PLC0415
+        LzmaError,
+        decode_xz,
+        is_xz,
+    )
     from markdown_lab_spark.functions.zstd_codec import (  # noqa: PLC0415
         is_zstd,
         iter_zstd_frames,
@@ -81,6 +87,12 @@ def _split_members(payload: bytes) -> Iterator[bytes]:
 
     if is_zstd(payload):
         yield from iter_zstd_frames(payload, tolerant=True)
+        return
+    if is_xz(payload):
+        try:
+            yield decode_xz(payload)
+        except LzmaError:
+            pass  # torn/corrupt archive: tolerate
         return
     if is_lz4_frame(payload):
         try:

@@ -740,3 +740,118 @@ def test_bzip2_cli_output_decodes_through_ours():
         [_BZIP2_CLI, "-c", "-3"], input=data, capture_output=True, check=True
     ).stdout
     assert decode_bzip2(comp) == data
+
+
+# ---------------------------------------------------------------------------
+# XZ / LZMA (vs the stdlib's real liblzma + the xz CLI)
+
+
+def test_crc64_published_vector():
+    from markdown_lab_spark.functions.lzma_codec import crc64
+
+    assert crc64(b"123456789") == 0x995DC9BBDF1939FA
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("preset", [0, 1, 6, 9])
+def test_xz_decodes_real_streams(kind, preset):
+    import lzma
+
+    from markdown_lab_spark.functions.lzma_codec import decode_xz
+
+    for n in SIZES:
+        data = _payload(kind, n, seed=66)
+        assert decode_xz(lzma.compress(data, preset=preset)) == data
+
+
+@pytest.mark.parametrize(
+    "check_name", ["CHECK_CRC32", "CHECK_CRC64", "CHECK_SHA256", "CHECK_NONE"]
+)
+def test_xz_all_check_types(check_name):
+    import lzma
+
+    from markdown_lab_spark.functions.lzma_codec import decode_xz
+
+    data = _payload("text", 60000, seed=67)
+    comp = lzma.compress(data, check=getattr(lzma, check_name))
+    assert decode_xz(comp) == data
+
+
+def test_lzma_alone_format_and_concat_streams():
+    import lzma
+
+    from markdown_lab_spark.functions.lzma_codec import (
+        decode_lzma_alone,
+        decode_xz,
+    )
+
+    for n in [0, 1, 100, 150000]:
+        data = _payload("text", n, seed=68)
+        assert decode_lzma_alone(
+            lzma.compress(data, format=lzma.FORMAT_ALONE)
+        ) == data
+    two = lzma.compress(b"aaa") + lzma.compress(b"bbb" * 100)
+    assert decode_xz(two) == b"aaa" + b"bbb" * 100
+
+
+@given(st.binary(max_size=3000), st.sampled_from([0, 6]))
+@settings(max_examples=50, deadline=None)
+def test_xz_fuzz_roundtrip_vs_stdlib(data, preset):
+    import lzma
+
+    from markdown_lab_spark.functions.lzma_codec import decode_xz
+
+    assert decode_xz(lzma.compress(data, preset=preset)) == data
+
+
+def test_xz_check_tamper_detected():
+    import lzma
+
+    from markdown_lab_spark.functions.lzma_codec import (
+        LzmaError,
+        decode_xz,
+    )
+
+    comp = bytearray(lzma.compress(_payload("text", 5000, seed=69)))
+    # flip a byte inside the block's CRC64 field region near the index:
+    # easier robust approach — flip a content byte, keep container CRCs
+    # recalculated? not possible; instead flip one payload byte and
+    # expect either a container CRC error or a check mismatch
+    comp[len(comp) // 2] ^= 1
+    with pytest.raises((LzmaError, Exception)):
+        got = decode_xz(bytes(comp))
+        assert got != _payload("text", 5000, seed=69)
+
+
+_XZ_CLI = shutil.which("xz")
+
+
+@pytest.mark.skipif(_XZ_CLI is None, reason="no xz CLI")
+def test_xz_cli_output_decodes_through_ours():
+    from markdown_lab_spark.functions.lzma_codec import decode_xz
+
+    data = _payload("text", 150000, seed=70)
+    comp = subprocess.run(
+        [_XZ_CLI, "-c", "-6"], input=data, capture_output=True, check=True
+    ).stdout
+    assert decode_xz(comp) == data
+
+
+def test_warc_xz_ingest():
+    """.warc.xz parses through the in-repo LZMA decoder."""
+    import lzma
+    from datetime import datetime, timezone
+
+    from markdown_lab_spark.sources.warc import encode_warc, parse_warc_stream
+
+    recs = [
+        {
+            "url": f"https://w.test/x{i}",
+            "warc_ts": datetime(2026, 8, 19, tzinfo=timezone.utc),
+            "html": f"<html><body>xz page {i}</body></html>".encode(),
+        }
+        for i in range(3)
+    ]
+    payload = lzma.compress(encode_warc(recs, compress=False))
+    got = list(parse_warc_stream(payload))
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
