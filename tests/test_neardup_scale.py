@@ -233,6 +233,38 @@ def test_minhash_production_width_drill(spark):
     assert counts[400] <= 4 * (400 // 5), counts
 
 
+def test_simhash64_arrow_expr_agree(spark):
+    """The Arrow-batched simhash64 (round-6: no explode, no shuffle) must
+    be bit-identical to the expression twin the DuckDB oracle mirrors —
+    including the whitespace-class edge cases: Spark trim strips 0x20
+    only, Java \\s+ is the ASCII class, and leading/trailing separators
+    emit '' pseudo-tokens that vote like any other token."""
+    rows = [
+        (1, "hello world hello"),
+        (2, ""),
+        (3, "  \t leading"),
+        (4, "trailing \n "),
+        (5, None),
+        (6, "unicode café über tökens"),
+        (7, "a" * 5000 + " b c"),
+        (8, "tab\tsep\nnewline\x0bvtab\ffeed\rcr"),
+        (9, " "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    for frame in (df, corpus):
+        a = sorted(
+            map(tuple, D.simhash64(frame, "doc_id", "text").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.simhash64(frame, "doc_id", "text", impl="expr").collect(),
+            )
+        )
+        assert a == b
+
+
 def test_rademacher_signature_pandas_jvm_agree(spark):
     """The Arrow-batched numpy signature must be bit-identical to the
     pure-expression fold (which the DuckDB oracle unrolls): the numpy
