@@ -42,8 +42,22 @@ from markdown_lab_spark.functions.udfs import (
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table handle, cached per (session, dir, name). Caches only the
+    DataFrame DEFINITION (the resolved scan + schema): every execution
+    still reads the parquet files. Without this each ``spark.read
+    .parquet`` costs a driver job (~0.1 s) re-reading the same footer —
+    q47 alone builds nine legs over the same table, so a single query
+    construction paid ~1 s of pure metadata re-resolution (guide §6:
+    file-listing/metadata work is driver-side and repeats per read)."""
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -56,10 +70,39 @@ def _spread(df: DataFrame) -> DataFrame:
     case. Applied ONLY where the per-row work dwarfs the exchange
     (measured A/B at sf0.1: conversion+chunking ~1.9x, PNG codec ~2.1x;
     the cheaper gates lose more to the exchange than they gain and stay
-    unspread)."""
-    sc = df.sparkSession.sparkContext
+    unspread).
+
+    The under-parallel test is a DRIVER-SIDE estimate from file metadata
+    (split count ~= sum(size + openCost) / maxPartitionBytes, the scan
+    packing formula): the previous ``df.rdd.getNumPartitions()`` probe
+    executed the adaptive plan eagerly — ~3 jobs and ~0.3 s of wall per
+    call at query-construction time (guide §1: the probe was being
+    measured, not the query)."""
+    sess = df.sparkSession
+    sc = sess.sparkContext
     p = sc.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    try:
+        def _bytes_conf(key: str, default: str) -> int:
+            raw = sess.conf.get(key, default).strip().lower()
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+            mult, num = 1, raw
+            for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+                if raw.endswith(suffix):
+                    mult, num = units[suffix[0]], raw[: -len(suffix)]
+                    break
+            return int(num) * mult
+
+        files = df.inputFiles()
+        max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "134217728")
+        open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4194304")
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+        est_splits = max(1, -(-(total + len(files) * open_cost) // max_pb))
+    except Exception:  # non-file source or inaccessible metadata
+        est_splits = df.rdd.getNumPartitions()
+    return df.repartition(p) if est_splits < p else df
 
 
 # --------------------------------------------------------------------------
@@ -1386,7 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                 yield pd.DataFrame(rows)
 
-        flac_leg = flac_docs.mapInPandas(
+        # spread: ~7.5 ms/row of encoder+decoder work — the longest
+        # single-task leg of the union (0.6 s serial) without it
+        flac_leg = _spread(flac_docs).mapInPandas(
             flac_decode,
             "codec string, media_id long, width int, height int, "
             "pixel_sum long",

@@ -32,6 +32,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     qs = entrymod.queries()
+    # session warmup (python workers, codegen, parquet footers) so the
+    # first measured query doesn't absorb the one-time session costs
+    from pyspark.sql import functions as _F
+    spark.range(100000).select(_F.pandas_udf("long")(lambda s: s)("id")).count()
+    qs["q31_convert_markdown"](spark, SF_DIR).count()
     out: dict = {}
     names = only or [n for n in bench.BENCH_QUERIES if n in qs]
     for name in names:

@@ -54,10 +54,13 @@ def schedule_wave(
       second phase), mega hosts spread over up to ``salt_n`` shards so a
       phase-1 task sorts ~``fanin * budget`` rows;
     - shard heads then tree-merge with fan-in ``fanin``: each round
-      merges ``fanin`` adjacent shards (<= ``fanin * budget`` rows per
-      task) and keeps the exact top-``budget``; a statically-known
-      ``ceil(log_fanin(salt_n))`` rounds settle every host. Hosts whose
-      shards are already fully merged bypass later rounds entirely.
+      merges ``fanin`` adjacent shards' SURVIVORS (<= ``fanin * budget``
+      rows per task) and keeps the exact top-``budget``; a statically-
+      known ``ceil(log_fanin(salt_n))`` rounds settle every host. Rows
+      ride the rounds as ONE tagged frame (sticky ``_def`` flag, already-
+      deferred rows diverted to bounded per-shard buckets) rather than
+      per-round union branches, so the whole selection is a single
+      window chain with no branch recompute — see the inline comment.
 
     The per-host cap is EXACT at any skew (see module docstring); the
     knob trade-off is ``salt_n`` bounding how many shards a mega host
@@ -76,36 +79,50 @@ def schedule_wave(
         F.lit(salt_n),
         F.greatest(F.lit(1), F.ceil(F.col("_host_n") / F.lit(fanin * budget))),
     ).cast("int")
-    salted = (
+    cur = (
         over.withColumn("_ns", ns)
         .withColumn("_sh", F.pmod(F.xxhash64(F.col("canon_url")), F.col("_ns")).cast("int"))
         .drop("_host_n")
     )
 
+    # Single tagged pass (round-6 rewrite, guide §2.4): the previous
+    # formulation SPLIT kept/deferred/settled into union branches per
+    # round, and because none of them is materialized, every branch
+    # re-executed the whole window chain below it inside one job —
+    # ~8 legs x re-sorted windows at routing time (the crawl pays this
+    # once per wave; measured 3.3-3.7 s -> 1.8-2.3 s for the routed
+    # materialization at sf0.1, both politeness shapes). Instead every
+    # row carries a sticky ``_def`` flag through the SAME merge rounds
+    # and the split is two cheap filters at the end.
+    #
+    # Exactness (same induction as before): within a merge group the
+    # already-deferred rows are diverted to their own per-ORIGINAL-shard
+    # buckets (group key -1-_sh), so a kept row's rank is computed among
+    # exactly the surviving rows of its merged group — identical to
+    # ranking the survivors alone — and a deferred row's _def stays true
+    # by the OR regardless of its rank. Skew bounds are unchanged: a
+    # survivors bucket holds <= fanin * budget rows, a deferred bucket
+    # at most one phase-1 shard (~host_n / ns), so no task ever sorts
+    # more than the phase-1 bound.
     w_shard = Window.partitionBy("host", "_sh").orderBy(*order_cols())
-    ranked = salted.withColumn("_rn", F.row_number().over(w_shard))
-    kept = ranked.filter(F.col("_rn") <= budget).drop("_rn")
-    deferred = ranked.filter(F.col("_rn") > budget).drop("_rn", "_ns", "_sh")
-
-    settled = kept.filter(F.col("_ns") <= 1)
-    pending = kept.filter(F.col("_ns") > 1)
+    cur = cur.withColumn("_rn", F.row_number().over(w_shard)).withColumn(
+        "_def", F.col("_rn") > budget
+    )
     rounds = max(0, math.ceil(math.log(salt_n) / math.log(fanin))) if salt_n > 1 else 0
     width = 1
     for _ in range(rounds):
         width *= fanin
-        grouped = pending.withColumn("_g", F.floor(F.col("_sh") / width))
-        w_merge = Window.partitionBy("host", "_g").orderBy(*order_cols())
-        merged = grouped.withColumn("_rn", F.row_number().over(w_merge))
-        deferred = deferred.unionByName(
-            merged.filter(F.col("_rn") > budget).drop("_rn", "_g", "_ns", "_sh")
+        grp = F.when(F.col("_def"), -1 - F.col("_sh")).otherwise(
+            F.floor(F.col("_sh") / width)
         )
-        kept_round = merged.filter(F.col("_rn") <= budget).drop("_rn", "_g")
-        settled = settled.unionByName(kept_round.filter(F.col("_ns") <= width))
-        pending = kept_round.filter(F.col("_ns") > width)
-    # fanin**rounds >= salt_n >= _ns, so pending is empty here; the union
-    # keeps the plan total-preserving even if the clamp invariant changes
-    scheduled_over = settled.unionByName(pending).drop("_ns", "_sh")
-    return under.unionByName(scheduled_over), deferred
+        w_merge = Window.partitionBy("host", grp).orderBy(*order_cols())
+        cur = cur.withColumn("_rn", F.row_number().over(w_merge)).withColumn(
+            "_def", F.col("_def") | (F.col("_rn") > budget)
+        )
+    out = cur.drop("_rn", "_ns", "_sh")
+    scheduled = under.unionByName(out.filter(~F.col("_def")).drop("_def"))
+    deferred = out.filter(F.col("_def")).drop("_def")
+    return scheduled, deferred
 
 
 def politeness_budget(rps: float, wave_seconds: int) -> int:
