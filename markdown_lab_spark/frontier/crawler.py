@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.udfs import (
     chunk_markdown_udf,
@@ -321,49 +322,117 @@ def robots_filter(
     return allowed, denied
 
 
+# Above this many whole-filter bytes the bloom prefilter switches to the
+# per-shard probe (SURVEY §4: at 10^10 URLs the filter is ~12 GB — each
+# executor must load only the shards its candidates hash to, never the
+# whole thing). Local-scale filters stay on the single-broadcast path.
+BLOOM_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def bloom_antijoin(
     candidates: DataFrame,
     seen: Optional[DataFrame],
     bloom: Optional[ShardedBloom],
     spark: SparkSession,
+    per_shard: Optional[bool] = None,
 ) -> DataFrame:
-    """candidates minus seen: bloom prefilter + exact left_anti for hits."""
+    """candidates minus seen: bloom prefilter + exact left_anti for hits.
+
+    ``per_shard`` (default: auto by total filter size vs
+    ``BLOOM_BROADCAST_MAX_BYTES``) selects the probe layout:
+
+    - whole-filter broadcast (small filters): one broadcast holds every
+      shard's bitset; any task probes any row.
+    - per-shard probe (round-5 verdict item 2, the 10^10 design):
+      candidates are repartitioned by ``shard_of(host)`` and each shard's
+      bitset ships as its OWN broadcast — Spark fetches broadcasts
+      lazily on first ``.value`` access, so a task materializes exactly
+      the shards its rows hash to (one, absent partition-hash
+      collisions). The exactness guard is unchanged either way: the
+      bloom only prunes, the exact left_anti decides.
+    """
     if seen is None:
         return candidates
     if bloom is None:
         return candidates.join(seen, on="canon_url", how="left_anti")
 
-    bc = spark.sparkContext.broadcast(
-        [(bf.m_bits, bf.k, bf.to_bytes()) for bf in bloom.shards]
-    )
     num_shards = bloom.num_shards
+    shard_payloads = [(bf.m_bits, bf.k, bf.to_bytes()) for bf in bloom.shards]
+    if per_shard is None:
+        per_shard = (
+            sum(len(p[2]) for p in shard_payloads) > BLOOM_BROADCAST_MAX_BYTES
+        )
 
     from pyspark.sql.pandas.functions import pandas_udf  # noqa: PLC0415
 
-    @pandas_udf(T.BooleanType())
-    def maybe_seen(url: pd.Series, host: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: PLC0415
+    if not per_shard:
+        bc = spark.sparkContext.broadcast(shard_payloads)
 
-        from .bloom import BloomFilter  # noqa: PLC0415
-        from .hashing import url_hash64_vec  # noqa: PLC0415
+        @pandas_udf(T.BooleanType())
+        def maybe_seen(url: pd.Series, host: pd.Series) -> pd.Series:
+            import numpy as np  # noqa: PLC0415
 
-        shards = []
-        for m_bits, k, raw in bc.value:
-            bf = BloomFilter.__new__(BloomFilter)
-            bf.m_bits, bf.k = m_bits, k
-            bf.bits = np.frombuffer(raw, dtype=np.uint64)
-            shards.append(bf)
-        urls = url.fillna("").tolist()
-        hosts = host.fillna("").tolist()
-        keys = url_hash64_vec(urls)
-        sid = ShardedBloom.shard_of(hosts, num_shards)
-        out = np.zeros(len(urls), dtype=bool)
-        for s in np.unique(sid):
-            mask = sid == s
-            out[mask] = shards[int(s)].contains_keys(keys[mask])
-        return pd.Series(out)
+            from .bloom import BloomFilter  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
 
-    flagged = candidates.withColumn("_maybe", maybe_seen("canon_url", "host"))
+            shards = []
+            for m_bits, k, raw in bc.value:
+                bf = BloomFilter.__new__(BloomFilter)
+                bf.m_bits, bf.k = m_bits, k
+                bf.bits = np.frombuffer(raw, dtype=np.uint64)
+                shards.append(bf)
+            urls = url.fillna("").tolist()
+            hosts = host.fillna("").tolist()
+            keys = url_hash64_vec(urls)
+            sid = ShardedBloom.shard_of(hosts, num_shards)
+            out = np.zeros(len(urls), dtype=bool)
+            for s in np.unique(sid):
+                mask = sid == s
+                out[mask] = shards[int(s)].contains_keys(keys[mask])
+            return pd.Series(out)
+
+        flagged = candidates.withColumn(
+            "_maybe", maybe_seen("canon_url", "host")
+        )
+    else:
+        # one broadcast PER shard: executors fetch lazily, so a task
+        # holds only the bitsets of the shard ids present in its rows
+        shard_bcs = [spark.sparkContext.broadcast(p) for p in shard_payloads]
+
+        @pandas_udf(T.IntegerType())
+        def sid_of(host: pd.Series) -> pd.Series:
+            return pd.Series(
+                ShardedBloom.shard_of(host.fillna("").tolist(), num_shards)
+            )
+
+        @pandas_udf(T.BooleanType())
+        def maybe_seen_ps(
+            url: pd.Series, sid_col: pd.Series
+        ) -> pd.Series:
+            import numpy as np  # noqa: PLC0415
+
+            from .bloom import BloomFilter  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
+
+            keys = url_hash64_vec(url.fillna("").tolist())
+            sid = sid_col.to_numpy()
+            out = np.zeros(len(keys), dtype=bool)
+            for s in np.unique(sid):
+                m_bits, k, raw = shard_bcs[int(s)].value  # lazy fetch
+                bf = BloomFilter.__new__(BloomFilter)
+                bf.m_bits, bf.k = m_bits, k
+                bf.bits = np.frombuffer(raw, dtype=np.uint64)
+                mask = sid == s
+                out[mask] = bf.contains_keys(keys[mask])
+            return pd.Series(out)
+
+        flagged = (
+            candidates.withColumn("_sid", sid_of("host"))
+            .repartition(F.col("_sid"))
+            .withColumn("_maybe", maybe_seen_ps("canon_url", F.col("_sid")))
+            .drop("_sid")
+        )
+
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.filter(F.col("_maybe")).drop("_maybe")
     verified_new = needs_check.join(seen, on="canon_url", how="left_anti")
@@ -804,7 +873,12 @@ class CrawlEngine:
                 fresh = seen.filter(
                     F.col("status_wave") >= start_wave - cfg.ttl_waves
                 )
-                cuckoo.add_sharded_pairs(*self._cuckoo_pairs(fresh))
+                # executor-side shard build (round-5 verdict item 3):
+                # the window re-seed previously collected O(|window|)
+                # (idx, fp) pairs and replayed them through the serial
+                # driver insert loop; now each task builds whole shards
+                # and the driver adopts num_shards fixed-size tables
+                self._build_cuckoo(fresh, cuckoo)
         elif seen is not None and not cfg.bucketed_state:
             bloom = self._build_bloom(seen)  # full build only on resume
 
@@ -1402,6 +1476,85 @@ class CrawlEngine:
                 [], "canon_url string, wave int, pos int, content string"
             )
         return {"trace": trace, "seen": seen, "chunks": chunks_all}
+
+    def _build_cuckoo(self, df: DataFrame, cuckoo) -> None:
+        """Resume-path re-seed, executor-side (round-5 verdict item 3):
+        the still-fresh seen window is repartitioned by cuckoo shard id,
+        each task builds its shards' WHOLE tables with the same bulk
+        insert the driver uses, and the driver ADOPTS the returned
+        tables — so the driver receives num_shards fixed-size arrays
+        (the `_build_bloom` shape) instead of O(|window|) 10-byte pairs
+        plus a serial ~133k keys/s insert replay. Per-wave delta
+        inserts/deletes stay pair-based (bounded by hosts*budget)."""
+        cfg = self.config
+        nshards = cuckoo.num_shards
+        nb = cuckoo.nbuckets
+        cap = -(-cfg.cuckoo_capacity // cfg.cuckoo_shards)
+
+        @pandas_udf("long")
+        def _sid_of(urls: pd.Series) -> pd.Series:
+            from .cuckoo import ShardedCuckoo  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
+
+            keys = url_hash64_vec(urls.fillna("").tolist())
+            return pd.Series(ShardedCuckoo.shard_of_keys(keys, nshards))
+
+        def build(iterator):
+            import numpy as np  # noqa: PLC0415
+
+            from .cuckoo import CuckooFilter, ShardedCuckoo  # noqa: PLC0415
+            from .hashing import url_hash64_vec  # noqa: PLC0415
+
+            tables: dict = {}
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                keys = url_hash64_vec(pdf["canon_url"].fillna("").tolist())
+                sid = ShardedCuckoo.shard_of_keys(keys, nshards)
+                idx, fp = CuckooFilter.pairs_for_keys(keys, nb)
+                for s in np.unique(sid):
+                    t = tables.get(int(s))
+                    if t is None:
+                        t = tables[int(s)] = CuckooFilter(cap)
+                        assert t.nbuckets == nb, "shard geometry drift"
+                    m = sid == s
+                    t.add_pairs(idx[m], fp[m])
+            rows = []
+            for s, t in tables.items():
+                fail = np.array(sorted(t.failed), dtype=np.uint64)
+                rows.append(
+                    {
+                        "shard": s,
+                        "tbl": t.table.tobytes(),
+                        "cnt": t.count,
+                        "failed": fail.tobytes(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+        rows = (
+            df.select("canon_url")
+            .withColumn("_sid", _sid_of(F.col("canon_url")))
+            .repartition(nshards, "_sid")
+            .mapInPandas(build, "shard int, tbl binary, cnt long, failed binary")
+            .collect()
+        )
+        import numpy as np
+
+        for row in rows:
+            sh = cuckoo.shards[int(row["shard"])]
+            # adoption, not merge: cuckoo tables don't OR — valid only
+            # into a fresh filter (the resume path always is)
+            assert sh.count == 0, "executor cuckoo build into non-empty shard"
+            sh.table = np.frombuffer(row["tbl"], dtype=np.uint16).reshape(
+                sh.nbuckets, -1
+            ).copy()
+            sh.count = int(row["cnt"])
+            flat = np.frombuffer(row["failed"], dtype=np.uint64)
+            sh.failed = {
+                (int(flat[i]), int(flat[i + 1])) for i in range(0, len(flat), 2)
+            }
 
     def _cuckoo_pairs(self, df: DataFrame):
         """(index1, fingerprint) arrays for df.canon_url, computed

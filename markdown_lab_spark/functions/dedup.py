@@ -1153,13 +1153,23 @@ def canonical_dedup(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
     through.
 
     Plan: one partial-agg groupBy on canonical_target picking
-    min(struct(is_not_self, url)) + a semi-join back on (target, url) —
+    min(struct(is_not_self, url)) + a join back on the kept row's URL —
     the same skew-safe shape as paragraph_dedup: a mega-group (a site
     canonicalizing a million variants to one URL) collapses map-side,
-    never pins one task in a window."""
-    tagged = canonical_targets(df, url_col, html_col)
+    never pins one task in a window.
+
+    ``url_col`` is the corpus row key (the crawl invariant: one row per
+    canonical URL). That lets the keep set re-attach by URL alone, so
+    the html-parsing UDF runs in ONE narrow pass (url + html only cross
+    Arrow) inside the keep computation — the previous semi-join on
+    (target, url) consumed the un-materialized UDF column on BOTH sides
+    and parsed the whole corpus twice (guide §4.1: control how many
+    columns cross, and how many times)."""
+    narrow = canonical_targets(
+        df.select(url_col, html_col), url_col, html_col
+    ).select(url_col, "canonical_target")
     keep = (
-        tagged.groupBy("canonical_target")
+        narrow.groupBy("canonical_target")
         .agg(
             F.min(
                 F.struct(
@@ -1174,9 +1184,8 @@ def canonical_dedup(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
             F.col("canonical_target").alias("_t"), F.col("_k._u").alias("_u")
         )
     )
-    return tagged.join(
-        keep,
-        (F.col("canonical_target") == F.col("_t"))
-        & (F.col(url_col) == F.col("_u")),
-        "left_semi",
+    return (
+        df.join(keep, F.col(url_col) == F.col("_u"), "inner")
+        .withColumn("canonical_target", F.col("_t"))
+        .drop("_t", "_u")
     )

@@ -139,6 +139,37 @@ def test_cuckoo_pairs_distributed_match_driver(spark, cycle_pages):
     assert 'r["canon_url"] for r in' not in src
 
 
+def test_build_cuckoo_executor_side_matches_driver_build(spark, cycle_pages):
+    """Round-6: the resume re-seed builds whole shards executor-side and
+    the driver ADOPTS the tables (no O(|window|) pair collect). The
+    resulting filter must behave like a driver-side build of the same
+    keys: every inserted key probes True (no false negatives), per-shard
+    counts match, and nothing lands in the failure set at the configured
+    headroom."""
+    from markdown_lab_spark.frontier.cuckoo import ShardedCuckoo
+
+    cfg = CrawlConfig(ttl_waves=2, cuckoo_capacity=1 << 12)
+    engine = CrawlEngine(spark, cycle_pages, cfg)
+    urls = [f"https://h{i % 5}.test/page/{i}" for i in range(800)]
+    df = spark.createDataFrame(
+        [(u,) for u in urls], "canon_url string"
+    ).repartition(7)  # build must be partitioning-independent
+
+    built = ShardedCuckoo(
+        cfg.cuckoo_shards, -(-cfg.cuckoo_capacity // cfg.cuckoo_shards)
+    )
+    engine._build_cuckoo(df, built)
+
+    ref = ShardedCuckoo(
+        cfg.cuckoo_shards, -(-cfg.cuckoo_capacity // cfg.cuckoo_shards)
+    )
+    ref.add(urls)
+
+    assert built.contains(urls).all()
+    assert built.count == ref.count
+    assert all(not sh.failed for sh in built.shards)
+
+
 def test_cuckoo_full_tracks_failures_and_delete_is_safe():
     """ADVICE: a key that failed to insert (table full) must not be
     deletable — deleting it could strip a colliding fingerprint belonging
