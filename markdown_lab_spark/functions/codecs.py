@@ -244,10 +244,15 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
-def audio_features(rate: int, nch: int, samples: np.ndarray) -> dict:
-    """Deterministic audio features: duration, rms (normalized), zero-
+def audio_features(
+    rate: int, nch: int, samples: np.ndarray, bits_per_sample: int = 16
+) -> dict:
+    """Deterministic audio features: duration, rms (normalized to the
+    sample depth's full scale — FLAC payloads carry 8..32-bit PCM, so a
+    fixed /32768 was off by up to 2^16 for non-16-bit audio), zero-
     crossing rate of the mean channel."""
-    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    scale = float(1 << (bits_per_sample - 1))
+    mono = samples.astype(np.float64).mean(axis=1) / scale
     n = len(mono)
     duration = n / rate if rate else 0.0
     rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0

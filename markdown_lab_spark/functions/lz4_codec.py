@@ -41,6 +41,8 @@ def decode_lz4_block(block: bytes, out: bytearray | None = None) -> bytearray:
     if n == 0:
         return out
     while True:
+        if pos >= n:
+            raise Lz4Error("truncated sequence token")
         token = block[pos]
         pos += 1
         lit_len = token >> 4
@@ -118,10 +120,14 @@ def decode_lz4_frame(payload: bytes, verify_checksums: bool = True) -> bytes:
             raise Lz4Error("reserved BD bits set")
         content_size = None
         if has_content_size:
+            if n - pos < 8:
+                raise Lz4Error("truncated content size")
             content_size = int.from_bytes(payload[pos : pos + 8], "little")
             pos += 8
         if dict_id:
             raise Lz4Error("dictionaries are not supported")
+        if pos >= n:
+            raise Lz4Error("truncated header checksum")
         hc = payload[pos]
         pos += 1
         if verify_checksums:
@@ -143,6 +149,8 @@ def decode_lz4_frame(payload: bytes, verify_checksums: bool = True) -> bytes:
             block = payload[pos : pos + bsize]
             pos += bsize
             if block_checksum:
+                if n - pos < 4:
+                    raise Lz4Error("truncated block checksum")
                 want = int.from_bytes(payload[pos : pos + 4], "little")
                 pos += 4
                 if verify_checksums and xxh32(block) != want:
@@ -159,6 +167,8 @@ def decode_lz4_frame(payload: bytes, verify_checksums: bool = True) -> bytes:
         if content_size is not None and len(window) != content_size:
             raise Lz4Error("content size mismatch")
         if content_checksum:
+            if n - pos < 4:
+                raise Lz4Error("truncated content checksum")
             want = int.from_bytes(payload[pos : pos + 4], "little")
             pos += 4
             if verify_checksums and xxh32(bytes(window)) != want:

@@ -412,6 +412,8 @@ def decode_xz(payload: bytes, verify_checksum: bool = True) -> bytes:
     pos = 0
     n = len(payload)
     while pos < n:
+        if n - pos < 12:
+            raise LzmaError("truncated xz stream header")
         if payload[pos : pos + 6] != XZ_MAGIC:
             raise LzmaError("bad xz magic")
         flags = payload[pos + 6 : pos + 8]
@@ -490,6 +492,8 @@ def decode_xz(payload: bytes, verify_checksum: bool = True) -> bytes:
                 raise LzmaError("index CRC mismatch")
         pos += 4
         # footer: CRC32(4) + backward size(4) + flags(2) + "YZ"
+        if n - pos < 12:
+            raise LzmaError("truncated xz stream footer")
         if payload[pos + 10 : pos + 12] != b"YZ":
             raise LzmaError("bad xz footer magic")
         pos += 12

@@ -113,12 +113,44 @@ def _is_unknown_size(buf: bytes, pos: int) -> bool:
 # at the first partial child — the streamed-Matroska recovery convention.
 _TORN_OK = frozenset({_SEGMENT, _CLUSTER})
 
+# Segment-level element ids: per the EBML streaming rule, an
+# unknown-size Cluster ends where an element that cannot be its
+# descendant begins — in practice the next Cluster or another
+# Segment-level master element.
+_SEGMENT_LEVEL = frozenset(
+    {_CLUSTER, _INFO, _TRACKS, _SEGMENT, _EBML}
+)
+
+
+def _unknown_cluster_end(buf: bytes, pos: int, end: int) -> int:
+    """Extent of an unknown-size Cluster starting at ``pos``: child
+    elements are walked until the next Segment-level id (the following
+    Cluster or sibling master) or the buffer end — the streamed-file
+    convention where EVERY Cluster has unknown size (round-5 ADVICE:
+    consuming to Segment end silently dropped all later clusters)."""
+    while pos < end:
+        try:
+            eid, p = _read_vint(buf, pos, keep_marker=True)
+            if eid in _SEGMENT_LEVEL:
+                return pos
+            unknown = _is_unknown_size(buf, p)
+            size, p = _read_vint(buf, p, keep_marker=False)
+        except ValueError:
+            return end  # torn tail: clamp
+        if unknown or p + size > end:
+            return end  # torn/unknown child: clamp
+        pos = p + size
+    return end
+
 
 def _walk(buf: bytes, pos: int, end: int) -> Iterator[Tuple[int, int, int]]:
     """Yield (element_id, payload_start, payload_end) for EBML children;
-    unknown-size elements extend to ``end`` (master-element streaming
-    convention). Torn tails end the walk instead of raising; a torn
-    Segment/Cluster is clamped so whole children still parse."""
+    an unknown-size Cluster ends at the next Segment-level sibling (so
+    streamed files where every Cluster is unknown-size keep ALL their
+    clusters); other unknown-size elements extend to ``end``
+    (master-element streaming convention). Torn tails end the walk
+    instead of raising; a torn Segment/Cluster is clamped so whole
+    children still parse."""
     while pos < end:
         try:
             eid, p = _read_vint(buf, pos, keep_marker=True)
@@ -127,6 +159,11 @@ def _walk(buf: bytes, pos: int, end: int) -> Iterator[Tuple[int, int, int]]:
         except ValueError:
             return
         if unknown:
+            if eid == _CLUSTER:
+                stop = _unknown_cluster_end(buf, p, end)
+                yield eid, p, stop
+                pos = stop
+                continue
             yield eid, p, end
             return
         if p + size > end:
@@ -361,6 +398,12 @@ def parse_mkv(payload: bytes) -> dict:
                     continue
                 (rel,) = struct.unpack_from(">h", payload, p)
                 flags = payload[p + 2]
+                if flags & 0x06:
+                    # Xiph/fixed/EBML lacing packs several frames into
+                    # one block; treating the laced payload as a single
+                    # AVCC sample would yield a corrupt NAL stream —
+                    # fail typed instead (round-5 ADVICE)
+                    raise ValueError("MKV: lacing unsupported")
                 key = (bool(flags & 0x80) if key_override is None
                        else key_override)
                 blocks.append((base + rel, key, payload[p + 3 : e]))

@@ -122,19 +122,24 @@ def _decode_audio_any(payload: bytes, backend=None):
     """The one audio decode dispatch: injected native backend first
     (when provided), then the pure decoders by magic sniff — stdlib-wave
     PCM WAV and the pure-Python FLAC codec (functions/flac.py).
+    Returns (rate, nch, samples, bits_per_sample) — the depth rides the
+    contract so amplitude features normalize correctly for 8/20/24/32-
+    bit FLAC (round-5 ADVICE); injected backends keep their 3-tuple
+    shape and the depth is inferred from the sample dtype.
     Raises ValueError when nothing can decode the payload."""
     from . import codecs, flac  # noqa: PLC0415
 
     if backend is not None:
         try:
-            return backend(payload)
+            rate, nch, samples = backend(payload)
+            return rate, nch, samples, 8 * samples.dtype.itemsize
         except ValueError:
             pass  # fall through to the pure decoder
     if codecs.is_wav(payload):
-        return codecs.decode_wav(payload)
+        rate, nch, samples = codecs.decode_wav(payload)
+        return rate, nch, samples, 16  # decode_wav is 16-bit-PCM-only
     if flac.is_flac(payload):
-        rate, nch, samples = flac.decode_flac(payload)
-        return rate, nch, samples
+        return flac.decode_flac(payload, return_bps=True)
     raise ValueError("no audio decoder for payload")
 
 
@@ -253,10 +258,10 @@ def extract_audio_features(
                 for media_id, raw in zip(part["media_id"], part["payload"]):
                     payload = bytes(raw or b"")
                     try:
-                        rate, nch, samples = _decode_audio_any(
+                        rate, nch, samples, bps = _decode_audio_any(
                             payload, audio_decoder
                         )
-                        f = codecs.audio_features(rate, nch, samples)
+                        f = codecs.audio_features(rate, nch, samples, bps)
                         rows.append({"media_id": media_id, **f})
                         continue
                     except ValueError:

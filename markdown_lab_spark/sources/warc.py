@@ -88,16 +88,20 @@ def _split_members(payload: bytes) -> Iterator[bytes]:
     if is_zstd(payload):
         yield from iter_zstd_frames(payload, tolerant=True)
         return
+    # IndexError alongside the typed errors: the named truncation points
+    # raise typed errors (round-5 ADVICE), and this belt catches any
+    # remaining short read deep in the decoders so a torn tail can never
+    # abort the Spark task — the documented gzip/zstd-branch contract
     if is_xz(payload):
         try:
             yield decode_xz(payload)
-        except LzmaError:
+        except (LzmaError, IndexError):
             pass  # torn/corrupt archive: tolerate
         return
     if is_lz4_frame(payload):
         try:
             yield decode_lz4_frame(payload)
-        except Lz4Error:
+        except (Lz4Error, IndexError):
             pass  # torn/corrupt archive: tolerate, yield nothing usable
         return
     yield payload

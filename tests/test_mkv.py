@@ -108,6 +108,81 @@ def test_mkv_sampling_and_torn_tail():
         np.testing.assert_array_equal(rgb, ycbcr420_to_rgb(*pics[idx]))
 
 
+def _streamed_variant(pay: bytes) -> bytes:
+    """Rewrite a sized MKV so the Segment and EVERY Cluster carry the
+    unknown-size marker — the live-streaming convention the docstring
+    cites (no element sizes known while writing)."""
+    eid, p = mkv._read_vint(pay, 0, keep_marker=True)
+    assert eid == mkv._EBML
+    esize, p = mkv._read_vint(pay, p, keep_marker=False)
+    head_end = p + esize
+    out = bytearray(pay[:head_end])
+    eid, p = mkv._read_vint(pay, head_end, keep_marker=True)
+    assert eid == mkv._SEGMENT
+    ssize, p = mkv._read_vint(pay, p, keep_marker=False)
+    seg_end = p + ssize
+    out += mkv._enc_vint_id(mkv._SEGMENT) + b"\xff"  # unknown size
+    pos = p
+    while pos < seg_end:
+        eid, q = mkv._read_vint(pay, pos, keep_marker=True)
+        size, q = mkv._read_vint(pay, q, keep_marker=False)
+        if eid == mkv._CLUSTER:
+            out += mkv._enc_vint_id(mkv._CLUSTER) + b"\xff"
+            out += pay[q : q + size]
+        else:
+            out += pay[pos : q + size]
+        pos = q + size
+    return bytes(out)
+
+
+def test_mkv_streamed_unknown_size_clusters_keep_all_clusters():
+    """Round-5 ADVICE: in streamed files where EVERY Cluster has unknown
+    size, only the first cluster's blocks used to survive (the walk
+    consumed to Segment end); the unknown-size Cluster must instead end
+    at the next Cluster start, so every frame decodes identically to
+    the sized layout."""
+    frames = _frames(8)
+    pay = encode_mkv(frames, qp=26, fps=2.0, gop=4, cluster_blocks=3)
+    streamed = _streamed_variant(pay)
+    assert streamed != pay
+    w0, h0, f0, got0 = decode_mkv_frames(pay)
+    w1, h1, f1, got1 = decode_mkv_frames(streamed)
+    assert (w0, h0, f0) == (w1, h1, f1)
+    assert len(got1) == len(got0) == 8
+    for (i0, rgb0), (i1, rgb1) in zip(got0, got1):
+        assert i0 == i1
+        np.testing.assert_array_equal(rgb0, rgb1)
+
+
+def test_mkv_laced_block_raises_typed_error():
+    """Round-5 ADVICE: lacing flags (0x06) were ignored — a laced block
+    treated as one AVCC payload yields a corrupt NAL stream. It must
+    raise the typed MKV error instead."""
+    frames = _frames(2)
+    pay = bytearray(encode_mkv(frames, qp=30))
+    # locate the first SimpleBlock's flags byte and set Xiph lacing
+    eid, p = mkv._read_vint(pay, 0, keep_marker=True)
+    esize, p = mkv._read_vint(pay, p, keep_marker=False)
+    pos = p + esize
+    eid, p = mkv._read_vint(pay, pos, keep_marker=True)
+    ssize, seg_start = mkv._read_vint(pay, p, keep_marker=False)
+    hit = False
+    for eid, cs, ce in mkv._walk(pay, seg_start, seg_start + ssize):
+        if eid != mkv._CLUSTER:
+            continue
+        for bid, bs, be in mkv._walk(pay, cs, ce):
+            if bid == mkv._SIMPLE_BLOCK:
+                _tn, q = mkv._read_vint(pay, bs, keep_marker=False)
+                pay[q + 2] |= 0x02  # Xiph lacing
+                hit = True
+                break
+        if hit:
+            break
+    assert hit
+    with pytest.raises(ValueError, match="MKV"):
+        parse_mkv(bytes(pay))
+
+
 def test_mkv_error_boundaries():
     assert not is_mkv(b"\x00\x00\x00\x14ftypisom")
     with pytest.raises(ValueError, match="MKV"):

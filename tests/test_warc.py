@@ -256,6 +256,41 @@ def test_warc_zst_torn_tail_is_tolerated():
     assert [r["url"] for r in got] == [recs[0]["url"]]
 
 
+def test_warc_xz_lz4_torn_tails_tolerated():
+    """Round-5 ADVICE (medium): truncated .warc.xz / .warc.lz4 payloads
+    must END the stream (the documented gzip/zstd contract), never
+    propagate an IndexError out of the decoders and abort the task.
+    Covers the named truncation points: a magic-only xz payload, an lz4
+    frame cut before its header checksum, and tears at every byte
+    boundary of both containers."""
+    import lzma
+
+    import pyarrow as pa
+
+    from markdown_lab_spark.functions.lz4_codec import Lz4Error, decode_lz4_frame
+    from markdown_lab_spark.functions.lzma_codec import LzmaError, decode_xz
+
+    recs = _records(2)
+    plain = encode_warc(recs, compress=False)
+    xz_payload = lzma.compress(plain, format=lzma.FORMAT_XZ)
+    lz4_payload = pa.compress(plain, codec="lz4", asbytes=True)
+
+    # decoders raise the TYPED error on the ADVICE's named truncations
+    import pytest
+
+    with pytest.raises(LzmaError):
+        decode_xz(xz_payload[:6])  # magic only: flags read was unguarded
+    with pytest.raises(Lz4Error):
+        decode_lz4_frame(lz4_payload[:6])  # cut before header checksum
+
+    # and the stream contract holds at EVERY tear point
+    for payload, full_n in ((xz_payload, 2), (lz4_payload, 2)):
+        assert len(list(parse_warc_stream(payload))) == full_n
+        for cut in range(len(payload)):
+            got = list(parse_warc_stream(payload[:cut]))  # must not raise
+            assert len(got) <= full_n
+
+
 def test_warc_lz4_frame_ingest():
     import pyarrow as pa
 
