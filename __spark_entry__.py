@@ -62,47 +62,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Match partitioning to cluster parallelism ahead of a compute-bound
-    stage. The bench tables are single small parquet files, so the scan
-    yields ONE split and a Python-heavy stage serializes on one core
-    regardless of cluster size. At warehouse scale a 100 TB table's scan
-    already has >= cores splits, so this is a structural no-op there —
-    the round-robin exchange only exists in the under-parallel small-file
-    case. Applied ONLY where the per-row work dwarfs the exchange
-    (measured A/B at sf0.1: conversion+chunking ~1.9x, PNG codec ~2.1x;
-    the cheaper gates lose more to the exchange than they gain and stay
-    unspread).
+    stage (functions/partitioning.spread — shared with the operators
+    since round 6). Applied ONLY where the per-row work dwarfs the
+    exchange (measured A/B at sf0.1: conversion+chunking ~1.9x, PNG
+    codec ~2.1x; the cheaper gates lose more to the exchange than they
+    gain and stay unspread)."""
+    from markdown_lab_spark.functions.partitioning import spread
 
-    The under-parallel test is a DRIVER-SIDE estimate from file metadata
-    (split count ~= sum(size + openCost) / maxPartitionBytes, the scan
-    packing formula): the previous ``df.rdd.getNumPartitions()`` probe
-    executed the adaptive plan eagerly — ~3 jobs and ~0.3 s of wall per
-    call at query-construction time (guide §1: the probe was being
-    measured, not the query)."""
-    sess = df.sparkSession
-    sc = sess.sparkContext
-    p = sc.defaultParallelism
-    try:
-        def _bytes_conf(key: str, default: str) -> int:
-            raw = sess.conf.get(key, default).strip().lower()
-            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-            mult, num = 1, raw
-            for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
-                if raw.endswith(suffix):
-                    mult, num = units[suffix[0]], raw[: -len(suffix)]
-                    break
-            return int(num) * mult
-
-        files = df.inputFiles()
-        max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "134217728")
-        open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4194304")
-        total = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in files
-        )
-        est_splits = max(1, -(-(total + len(files) * open_cost) // max_pb))
-    except Exception:  # non-file source or inaccessible metadata
-        est_splits = df.rdd.getNumPartitions()
-    return df.repartition(p) if est_splits < p else df
+    return spread(df)
 
 
 # --------------------------------------------------------------------------

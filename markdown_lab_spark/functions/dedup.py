@@ -62,20 +62,84 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """k-lane MinHash signature per doc: lane i = min(md5(shingle || ':' || i)).
 
-    One explode + ONE groupBy (single shuffle) computes all lanes.
+    Two implementations with identical output (pinned by
+    tests/test_neardup_scale.py):
+
+    - ``impl="arrow"`` (default): ONE Arrow-batched pandas UDF — a doc's
+      shingles never leave its row, so the explode + k-lane groupBy
+      shuffle disappears (guide §2.4/§4.2) and the per-shingle work is
+      hashlib's C md5; the input is spread to cluster parallelism first
+      (partitioning.spread, a no-op for corpus-scale scans). Hex-string
+      min in Python equals the JVM's UTF8String ordering because both
+      compare lowercase-hex bytewise.
+    - ``impl="expr"``: the original explode + single-shuffle groupBy,
+      the shape the DuckDB oracle mirrors one-to-one.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    if impl == "expr":
+        exploded = df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        aggs = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+        return exploded.groupBy(id_col).agg(*aggs)
+
+    from .partitioning import spread  # noqa: PLC0415
+
+    @F.pandas_udf("array<string>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        import hashlib  # noqa: PLC0415
+        import re  # noqa: PLC0415
+
+        # Java default \s (no UNICODE_CHARACTER_CLASS) + Spark trim
+        # (0x20 only): tokens match F.split(F.trim(col), r"\s+")
+        # byte-for-byte, '' pseudo-tokens included (simhash64 rationale)
+        split = re.compile("[ \t\n\x0b\f\r]+").split
+        n = shingle_n
+        suffixes = [f":{i}".encode() for i in range(k)]
+        out = []
+        for text in texts:
+            if text is None:
+                # expr twin: greatest(size(NULL), 0) = 0 and
+                # concat_ws over the null slice is '' — a null text
+                # gets the empty-string pseudo-gram, NOT dropped
+                grams = {""}
+                words = None
+            else:
+                words = split(text.strip(" "))
+                # shingles(): sequence(0, greatest(size - n, 0)) then
+                # concat_ws over slice — short texts emit one whole-text
+                # pseudo-gram; array_distinct = the set below
+                grams = {
+                    " ".join(words[i : i + n])
+                    for i in range(max(len(words) - n, 0) + 1)
+                }
+            md5 = hashlib.md5
+            lanes = []
+            for suf in suffixes:
+                lanes.append(
+                    min(md5(g.encode("utf-8") + suf).hexdigest() for g in grams)
+                )
+            out.append(lanes)
+        return pd.Series(out)
+
+    sig = spread(df).select(
+        F.col(id_col), _sig(F.col(text_col)).alias("_mh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}")))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), *[F.col("_mh")[i].alias(f"mh_{i}") for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(

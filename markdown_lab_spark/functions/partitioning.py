@@ -1,0 +1,52 @@
+"""Partitioning helpers shared by the entry queries and operators."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def _bytes_conf(sess, key: str, default: str) -> int:
+    raw = sess.conf.get(key, default).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mult, num = 1, raw
+    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suffix):
+            mult, num = units[suffix[0]], raw[: -len(suffix)]
+            break
+    return int(num) * mult
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Match partitioning to cluster parallelism ahead of a compute-bound
+    stage. Small single-file scans yield ONE split, so a Python-heavy
+    stage serializes on one core regardless of cluster size; at
+    warehouse scale a large table's scan already has >= cores splits and
+    this is a structural no-op (the round-robin exchange only exists in
+    the under-parallel small-file case).
+
+    The under-parallel test is a DRIVER-SIDE estimate from file metadata
+    (split count ~= sum(size + openCost) / maxPartitionBytes, the scan
+    packing formula) — an executed probe (df.rdd) would cost ~3 jobs per
+    call at query-construction time (guide §1: don't measure the probe).
+    """
+    sess = df.sparkSession
+    sc = sess.sparkContext
+    p = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        max_pb = _bytes_conf(
+            sess, "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        open_cost = _bytes_conf(
+            sess, "spark.sql.files.openCostInBytes", "4194304"
+        )
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+        est_splits = max(1, -(-(total + len(files) * open_cost) // max_pb))
+    except Exception:  # non-file source or inaccessible metadata
+        est_splits = df.rdd.getNumPartitions()
+    return df.repartition(p) if est_splits < p else df

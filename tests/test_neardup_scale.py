@@ -233,6 +233,42 @@ def test_minhash_production_width_drill(spark):
     assert counts[400] <= 4 * (400 // 5), counts
 
 
+def test_minhash_arrow_expr_agree(spark):
+    """The Arrow-batched minhash_signatures (round-6: shingles never
+    leave their doc's row) must equal the expression twin the DuckDB
+    oracle mirrors — including the null-text row (which the expr form
+    KEEPS with the empty-string pseudo-gram), short texts below the
+    shingle width, and whitespace-class edges."""
+    rows = [
+        (1, "hello world foo bar baz"),
+        (2, ""),
+        (3, "a b"),
+        (4, "one"),
+        (5, None),
+        (6, "unicode café über tökens x"),
+        (7, "t " * 300),
+        (8, "tab\tsep\nnl\x0bvt\ffd\rcr end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    for frame in (df, corpus):
+        a = sorted(
+            map(
+                tuple,
+                D.minhash_signatures(frame, "doc_id", "text", k=8).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.minhash_signatures(
+                    frame, "doc_id", "text", k=8, impl="expr"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
 def test_simhash64_arrow_expr_agree(spark):
     """The Arrow-batched simhash64 (round-6: no explode, no shuffle) must
     be bit-identical to the expression twin the DuckDB oracle mirrors —
