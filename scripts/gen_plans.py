@@ -24,7 +24,7 @@ PICK = {
  "q52_paragraph_dedup": "paragraph dedup (round-4 rewrite): partial_min BEFORE the para_hash exchange absorbs mega-duplicate skew; no Window node",
  "q58_decontaminate": "benchmark decontamination: broadcast bench-ngram membership, corpus side narrow shingle+explode, one partial-agg groupBy",
  "q63_substring_dedup": "exact substring dedup: JVM window hashing (no Python), ONE partial-agg count shuffle on whash, join back, higher-order coverage splice — no Window node",
- "q64_crawl_delay_cap": "Crawl-delay cap: every Window partitions the SCHEDULE (per-host size <= budget by construction, all carry WindowGroupLimit rank pushdown; union legs repeat the subtree), under-budget hosts bypass it; delays join is AQE-broadcastable",
+ "q64_crawl_delay_cap": "Crawl-delay cap: every Window partitions the SCHEDULE (per-host size <= budget by construction); since the round-6 politeness rewrite the merge rounds are ONE tagged window chain (sticky _def flag, bounded per-shard buckets for deferred rows) instead of per-round union branches, so the plan no longer repeats the window subtree per leg; under-budget hosts bypass the windows; delays join is AQE-broadcastable",
  "q65_canonical_dedup": "canonical dedup: ONE partial-agg groupBy on canonical_target (min(struct) collapses mega-groups map-side) + semi-join back — no Window",
  "q68_quality_classifier": "NBSVM quality classifier, closed-form train+score in ONE declarative query: distinct-presence agg + term agg build the weight table (partial agg absorbs Zipf skew), scoring is a broadcast weights join + ONE per-doc agg; no Window, no Python UDF",
  "q66_near_dedup_keep": "fuzzy-dedup composition: banded LSH candidates -> candidate-restricted exact-Jaccard verify (joins touch only candidate rows) -> bounded-iteration components -> ONE left_anti; no O(n^2) stage",
@@ -118,8 +118,10 @@ out.append(
     "## connected_components — one large-star half-round\n\n"
     "**Evidence:** the per-node neighborhood minimum is a partial-agg "
     "HashAggregate BEFORE its Exchange (hub skew absorbed map-side), the "
-    "re-attach is one shuffle join on the node id, and the emitted edge "
-    "count never exceeds the input count (Kiveris et al. 2014 invariant; "
+    "re-attach is one shuffle join on the node id, and (round 6) the "
+    "half-round emits WITHOUT a dedup exchange — small-star's min-agg "
+    "and trailing distinct restore set semantics one stage later "
+    "(Kiveris et al. 2014 invariant; "
     "convergence + labels asserted against a union-find reference and a "
     "DuckDB recursive-CTE oracle in tests/test_connected_components.py).\n\n"
     f"```\n{head.strip()}\n\n" + "\n\n".join("\n".join(b.splitlines()[:12]) for b in aggs[:2]) + "\n```\n"
