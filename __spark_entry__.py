@@ -42,7 +42,11 @@ from markdown_lab_spark.functions.udfs import (
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-_TABLE_CACHE: dict = {}
+import weakref
+
+# session -> {(dir, name): DataFrame}; weak on the session so a stopped
+# session's handles don't pin its JVM references for process lifetime
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,10 +57,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     q47 alone builds nine legs over the same table, so a single query
     construction paid ~1 s of pure metadata re-resolution (guide §6:
     file-listing/metadata work is driver-side and repeats per read)."""
-    key = (spark, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
-        df = _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = per_session[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return df
 
 

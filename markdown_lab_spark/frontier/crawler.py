@@ -1516,7 +1516,13 @@ class CrawlEngine:
                     t = tables.get(int(s))
                     if t is None:
                         t = tables[int(s)] = CuckooFilter(cap)
-                        assert t.nbuckets == nb, "shard geometry drift"
+                        if t.nbuckets != nb:  # config drift would make
+                            # the adopted table mis-indexed (silent
+                            # false negatives); fail loudly, -O-proof
+                            raise ValueError(
+                                "cuckoo shard geometry drift: "
+                                f"{t.nbuckets} != {nb}"
+                            )
                     m = sid == s
                     t.add_pairs(idx[m], fp[m])
             rows = []
@@ -1545,8 +1551,13 @@ class CrawlEngine:
         for row in rows:
             sh = cuckoo.shards[int(row["shard"])]
             # adoption, not merge: cuckoo tables don't OR — valid only
-            # into a fresh filter (the resume path always is)
-            assert sh.count == 0, "executor cuckoo build into non-empty shard"
+            # into a fresh filter (the resume path always is); a loud
+            # -O-proof check, since overwriting a live shard would
+            # silently drop its keys (false negatives in the prefilter)
+            if sh.count != 0:
+                raise ValueError(
+                    "executor cuckoo build into non-empty shard"
+                )
             sh.table = np.frombuffer(row["tbl"], dtype=np.uint16).reshape(
                 sh.nbuckets, -1
             ).copy()

@@ -819,7 +819,12 @@ def connected_components(
     # stops paying 64-partition scheduling per round (measured 7.5 s ->
     # ~4 s at sf0.1, where rounds are pure job-cadence overhead).
     # Restored in the finally — only the loop's own collects run under
-    # it; the returned stars/roots plan executes under the caller's conf.
+    # it; the returned stars/roots plan executes under the caller's
+    # conf. CAVEAT: shuffle.partitions is session-scoped, so a driver
+    # thread planning OTHER queries on this same session concurrently
+    # with this loop would see the reduced value — run this operator
+    # from its own session (spark.newSession()) in multi-threaded
+    # drivers.
     spark = pairs.sparkSession
     sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
     loop_sp = max(1, min(int(sess_sp), -(-prev[0] // 512_000)))
@@ -1222,8 +1227,10 @@ def canonical_dedup(df: DataFrame, url_col: str, html_col: str) -> DataFrame:
     canonicalizing a million variants to one URL) collapses map-side,
     never pins one task in a window.
 
-    ``url_col`` is the corpus row key (the crawl invariant: one row per
-    canonical URL). That lets the keep set re-attach by URL alone, so
+    PRECONDITION: ``url_col`` is the corpus row key (the crawl
+    invariant: one row per canonical URL) — duplicate url values would
+    cross-multiply through the keep join; dedupe upstream first.
+    That lets the keep set re-attach by URL alone, so
     the html-parsing UDF runs in ONE narrow pass (url + html only cross
     Arrow) inside the keep computation — the previous semi-join on
     (target, url) consumed the un-materialized UDF column on BOTH sides

@@ -124,15 +124,21 @@ def _decode_audio_any(payload: bytes, backend=None):
     PCM WAV and the pure-Python FLAC codec (functions/flac.py).
     Returns (rate, nch, samples, bits_per_sample) — the depth rides the
     contract so amplitude features normalize correctly for 8/20/24/32-
-    bit FLAC (round-5 ADVICE); injected backends keep their 3-tuple
-    shape and the depth is inferred from the sample dtype.
+    bit FLAC (round-5 ADVICE). Injected backends may return either the
+    legacy 3-tuple (treated as 16-bit PCM, the pre-round-6 behavior —
+    dtype is NOT a depth signal: libsndfile-style backends commonly
+    widen 16-bit samples into int32 buffers) or a 4-tuple carrying
+    their true bits-per-sample.
     Raises ValueError when nothing can decode the payload."""
     from . import codecs, flac  # noqa: PLC0415
 
     if backend is not None:
         try:
-            rate, nch, samples = backend(payload)
-            return rate, nch, samples, 8 * samples.dtype.itemsize
+            ret = backend(payload)
+            if len(ret) == 4:
+                return ret
+            rate, nch, samples = ret
+            return rate, nch, samples, 16
         except ValueError:
             pass  # fall through to the pure decoder
     if codecs.is_wav(payload):

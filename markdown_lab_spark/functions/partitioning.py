@@ -36,17 +36,28 @@ def spread(df: DataFrame) -> DataFrame:
     p = sc.defaultParallelism
     try:
         files = df.inputFiles()
-        max_pb = _bytes_conf(
-            sess, "spark.sql.files.maxPartitionBytes", "134217728"
-        )
-        open_cost = _bytes_conf(
-            sess, "spark.sql.files.openCostInBytes", "4194304"
-        )
-        total = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in files
-        )
-        est_splits = max(1, -(-(total + len(files) * open_cost) // max_pb))
-    except Exception:  # non-file source or inaccessible metadata
+        if not files:
+            # not scan-rooted (in-memory / post-shuffle frame): the file
+            # estimate would read 0 bytes -> 1 split and inject a
+            # useless exchange; fall back to the executed-partition
+            # probe for this rare shape
+            est_splits = df.rdd.getNumPartitions()
+        else:
+            max_pb = _bytes_conf(
+                sess, "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+            open_cost = _bytes_conf(
+                sess, "spark.sql.files.openCostInBytes", "4194304"
+            )
+            total = sum(
+                os.path.getsize(
+                    f[len("file:"):] if f.startswith("file:") else f
+                )
+                for f in files
+            )
+            est_splits = max(
+                1, -(-(total + len(files) * open_cost) // max_pb)
+            )
+    except Exception:  # inaccessible metadata
         est_splits = df.rdd.getNumPartitions()
     return df.repartition(p) if est_splits < p else df
